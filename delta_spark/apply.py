@@ -1,0 +1,224 @@
+"""Micro-batch apply: filter → dedup → DDL-ordered sub-batches →
+LWW collapse → MERGE → lineage + metrics.
+
+This is the engine's equivalent of the reference's worker apply loop
+(/root/reference/delta-app/src/main/java/io/cdap/delta/app/
+DeltaWorker.java:405-493): where the reference applies one
+``Sequenced<ChangeEvent>`` at a time in strict order, we apply a whole
+micro-batch set-at-a-time, preserving the same semantics:
+
+  * events at or below the committed sequence are replays → dropped
+    (startFromLastCommit, DeltaWorker.java:576-578)
+  * a DDL event takes effect before any later-sequenced DML
+    (strict in-order apply, DeltaWorker.java:481-493) → the batch is
+    split at DDL boundaries and sub-batches commit in order
+  * per-key last writer wins; DELETE removes
+  * metrics are flushed with the commit and never double-counted on
+    replay (DeltaContext.java:121-125,274-276) → the lineage record is
+    written idempotently keyed (writer-id, batch-id)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_by_seq, drop_seen, lww_collapse, lww_collapse_salted
+from .lake import LakeTable
+from .schema import DDL_OPS, DML_OPS
+
+
+@dataclass
+class ApplyStats:
+    writer_id: str
+    batch_id: str
+    applied: bool = False
+    sub_batches: int = 0
+    ddls_applied: int = 0
+    rows_in: int = 0
+    upserts: int = 0
+    deletes: int = 0
+    buckets: list = field(default_factory=list)
+    op_counts: dict = field(default_factory=dict)
+    bytes_in: int = 0
+    max_seq: int = -1
+    latency_s: float | None = None
+    wall_ms: int = 0
+
+
+def _rewrite_to_current(batch: DataFrame, table: LakeTable) -> DataFrame:
+    """Events arrive addressing original (schema v0) column names; remap
+    them to current names by column id and align types/additions —
+    the rename-map rewrite (reference analog: rename bookkeeping in
+    DefaultMutableRowSchema.java:85-130 + PK remap in
+    TransformationUtil.java:121-132). Renamed keys remap for free since
+    key_cols are resolved by id."""
+    orig_to_cur = table.original_to_current_names(0)
+    cur_to_orig = {v: k for k, v in orig_to_cur.items()}
+    cols = [F.col("seq"), F.col("op")]
+    batch_cols = set(batch.columns)
+    for f in table.fields:
+        t = f["type"]
+        src = cur_to_orig.get(f["name"], f["name"])
+        if src in batch_cols:
+            cols.append(F.col(src).cast(t).alias(f["name"]))
+        else:
+            cols.append(F.lit(None).cast(t).alias(f["name"]))
+    return batch.select(*cols)
+
+
+def apply_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    writer_id: str,
+    batch_id: str | int,
+    op_blacklist: tuple[str, ...] = (),
+    salt_buckets: int = 0,
+    transforms=None,
+    lineage: bool = True,
+) -> ApplyStats:
+    """Apply one micro-batch of changelog rows to ``table``.
+
+    Safe to call again with the same (writer_id, batch_id) after a
+    crash anywhere in the middle: sub-batches and DDLs that already
+    committed are recognized and skipped, the rest complete — the
+    at-least-once replay / idempotent-apply ⇒ exactly-once protocol
+    (reference: DeltaWorker.java:297-440 + EventConsumer.java:39-76).
+    """
+    t0 = time.time()
+    batch_id = str(batch_id)
+    stats = ApplyStats(writer_id=writer_id, batch_id=batch_id)
+
+    # F1: op blacklist (reference: QueueingEventEmitter.shouldIgnore,
+    # QueueingEventEmitter.java:96-125)
+    if op_blacklist:
+        batch = batch.filter(~F.col("op").isin(list(op_blacklist)))
+
+    # replay guard: drop events already committed by this writer
+    last_seq = table.last_committed_seq(writer_id)
+    batch = drop_seen(batch, last_seq)
+    batch = dedup_by_seq(batch)
+
+    if transforms:
+        batch = transforms(batch)
+
+    batch = batch.cache()
+    try:
+        # one aggregation pass for metrics + DDL detection (tiny result)
+        agg = (
+            batch.groupBy("op")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.octet_length("text")).alias("bytes"),
+                F.max("seq").alias("mx"),
+                F.min("ingest_ts").alias("oldest"),
+            )
+            .collect()
+        )
+        stats.op_counts = {r["op"]: r["n"] for r in agg}
+        stats.rows_in = sum(r["n"] for r in agg)
+        stats.bytes_in = sum(r["bytes"] or 0 for r in agg)
+        stats.max_seq = max((r["mx"] for r in agg), default=-1) if agg else -1
+        oldest = min((r["oldest"] for r in agg if r["oldest"] is not None), default=None)
+        if oldest is not None:
+            stats.latency_s = max(0.0, time.time() - oldest.timestamp())
+        if stats.rows_in == 0:
+            stats.wall_ms = int((time.time() - t0) * 1000)
+            return stats
+
+        # DDL boundaries: DDL rows are rare control events — collecting
+        # them to the driver is the Spark analog of the reference's
+        # in-order single-event DDL apply (DeltaWorker.java:481-487)
+        ddl_rows = sorted(
+            batch.filter(F.col("op").isin(list(DDL_OPS)))
+            .select("seq", "ddl")
+            .collect(),
+            key=lambda r: r["seq"],
+        )
+        dml = batch.filter(F.col("op").isin(list(DML_OPS)))
+
+        segments: list[tuple[int, int, dict | None]] = []
+        lo = -(1 << 62)
+        for r in ddl_rows:
+            segments.append((lo, r["seq"], json.loads(r["ddl"])))
+            lo = r["seq"]
+        segments.append((lo, 1 << 62, None))
+
+        collapse = (
+            (lambda df: lww_collapse_salted(df, table.key_cols, "seq", salt_buckets))
+            if salt_buckets
+            else (lambda df: lww_collapse(df, table.key_cols, "seq"))
+        )
+
+        for i, (s_lo, s_hi, ddl_after) in enumerate(segments):
+            sub_id = f"{batch_id}.{i}" if len(segments) > 1 else batch_id
+            if not table.is_applied(writer_id, sub_id):
+                sub = dml.filter((F.col("seq") > s_lo) & (F.col("seq") < s_hi))
+                sub = _rewrite_to_current(sub, table)
+                collapsed = collapse(sub)
+                res = table.merge(
+                    collapsed,
+                    writer_id,
+                    sub_id,
+                    summary={"max-seq": int(min(stats.max_seq, s_hi - 1))},
+                )
+                if res:
+                    stats.upserts += res["upserts"]
+                    stats.deletes += res["deletes"]
+                    stats.buckets = sorted(set(stats.buckets) | set(res["buckets"]))
+            stats.sub_batches += 1
+            if ddl_after is not None:
+                if table.apply_ddl(ddl_after):
+                    stats.ddls_applied += 1
+
+        stats.applied = True
+        stats.wall_ms = int((time.time() - t0) * 1000)
+        if lineage:
+            write_lineage(table, stats)
+        return stats
+    finally:
+        batch.unpersist()
+
+
+def write_lineage(table: LakeTable, stats: ApplyStats) -> None:
+    """Per-batch lineage + metrics record, idempotent by file name
+    (writer-id, batch-id) — commit-coupled metric flush, never
+    double-counted on replay (reference: MetricsHandler flush-on-commit,
+    delta-app/.../metrics/MetricsHandler.java:97-119 +
+    DeltaContext.clearMetrics:274-276)."""
+    d = os.path.join(table.path, "metadata", "lineage")
+    os.makedirs(d, exist_ok=True)
+    safe = stats.batch_id.replace("/", "_")
+    path = os.path.join(d, f"{stats.writer_id}-{safe}.json")
+    if os.path.exists(path):
+        return
+    rec = {
+        "writer_id": stats.writer_id,
+        "batch_id": stats.batch_id,
+        "rows_in": stats.rows_in,
+        "op_counts": stats.op_counts,
+        "bytes_in": stats.bytes_in,
+        "upserts": stats.upserts,
+        "deletes": stats.deletes,
+        "buckets": stats.buckets,
+        "sub_batches": stats.sub_batches,
+        "ddls_applied": stats.ddls_applied,
+        "max_seq": stats.max_seq,
+        "latency_s": stats.latency_s,
+        "wall_ms": stats.wall_ms,
+        "committed_at_ms": int(time.time() * 1000),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, path)
+
+
+def read_lineage(spark, table: LakeTable) -> DataFrame:
+    d = os.path.join(table.path, "metadata", "lineage")
+    return spark.read.json(d)

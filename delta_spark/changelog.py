@@ -1,0 +1,330 @@
+"""Deterministic synthetic transcript changelog: generator + scan.
+
+Generator properties (FIXTURES.md §2, mirroring the reference's mock
+source replay fixtures — /root/reference/delta-test/src/main/java/io/
+cdap/delta/test/mock/MockEventReader.java:43-77 and the E2E golden
+lists in DeltaPipelineStateStoreBaseTest.java:85-116):
+
+  * seeded + fully vectorized (numpy) — scale-free row count
+  * snapshot prefix (``is_snapshot=True`` INSERTs), then streamed
+    INSERT/UPDATE/DELETE with valid per-key lifecycles
+    (INSERT < UPDATEs < DELETE in seq order)
+  * ~30% UPDATE / ~1% DELETE by default
+  * one hot conv_id receiving ~20% of stream events (skew/salting test)
+  * duplicate-seq injections (exact row replays — dedup test)
+  * out-of-order file placement within a bounded window (watermark test)
+  * optional mid-stream DDL add/rename/widen sequence
+  * multi-file parquet output in file order = replay order
+
+The *file order* is the order a tailing source observes; ``seq`` is the
+authoritative total order (reference: Sequenced.java:26-53).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from .schema import (
+    DDL_ADD_COLUMN,
+    DDL_RENAME_COLUMN,
+    DDL_WIDEN_COLUMN,
+    DML_DELETE,
+    DML_INSERT,
+    DML_UPDATE,
+    KEY_COLS,
+)
+
+_BASE_TS = np.datetime64("2025-01-01T00:00:00", "us")
+
+# default mid-stream DDL sequence: add a nullable column, rename a
+# payload column, widen a key column (reference analog:
+# TransformationUtil.transformDDLEvent remaps renamed PKs,
+# delta-app/.../transformation/TransformationUtil.java:121-132)
+DEFAULT_DDLS = [
+    {"op": DDL_ADD_COLUMN, "column": "score", "new_type": "double"},
+    {"op": DDL_RENAME_COLUMN, "column": "tool", "new_name": "tool_name"},
+    {"op": DDL_WIDEN_COLUMN, "column": "turn_idx", "new_type": "bigint"},
+]
+
+
+@dataclass
+class ChangelogSpec:
+    n_events: int = 20_000          # stream DML events (excl. snapshot)
+    n_convs: int = 400
+    mean_turns: float = 8.0         # snapshot turns per conv
+    update_frac: float = 0.30
+    delete_frac: float = 0.01
+    hot_frac: float = 0.20          # share of stream events on 1 conv
+    dup_frac: float = 0.02          # duplicate-seq injection rate
+    shuffle_window: int = 64        # out-of-order bound (rows)
+    seed: int = 42
+    text_chars: int = 160
+    include_ddl: bool = False
+    ddls: list = field(default_factory=lambda: [dict(d) for d in DEFAULT_DDLS])
+    n_files: int = 8
+
+
+def _mk_text(conv: np.ndarray, turn: np.ndarray, ver: np.ndarray, width: int) -> np.ndarray:
+    """Deterministic per-(conv,turn,version) text, ~width chars."""
+    base = np.char.add(
+        np.char.add(np.char.add("conv=", conv.astype(str)), " turn="),
+        turn.astype(str),
+    )
+    base = np.char.add(np.char.add(base, " v"), ver.astype(str))
+    filler = " lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    reps = max(1, width // len(filler) + 1)
+    return np.char.add(base, filler * reps).astype(object)
+
+
+def generate_changelog(spec: ChangelogSpec) -> pd.DataFrame:
+    """Build the full changelog as one pandas DataFrame in replay
+    (file) order, with authoritative ``seq`` assigned in event order."""
+    rng = np.random.default_rng(spec.seed)
+    roles = np.array(["user", "assistant", "system", "tool"], dtype=object)
+    tools = np.array(["", "search", "python", "browser", "calculator"], dtype=object)
+
+    # ---------------- snapshot: turns 0..T_c-1 per conv, in order
+    turns_per_conv = rng.poisson(spec.mean_turns, spec.n_convs).astype(np.int64) + 1
+    conv_of_snap = np.repeat(np.arange(spec.n_convs), turns_per_conv)
+    turn_of_snap = np.concatenate([np.arange(t) for t in turns_per_conv])
+    n_snap = conv_of_snap.size
+
+    # ---------------- stream inserts: new turns appended per conv
+    n_ins = max(1, int(spec.n_events * (1 - spec.update_frac - spec.delete_frac)))
+    # conv choice: hot conv 0 gets hot_frac of stream events
+    p = np.full(spec.n_convs, (1 - spec.hot_frac) / max(1, spec.n_convs - 1))
+    p[0] = spec.hot_frac
+    conv_of_ins = rng.choice(spec.n_convs, size=n_ins, p=p)
+    # turn_idx for appended turns: per conv, next indices after snapshot
+    order = np.argsort(conv_of_ins, kind="stable")
+    sorted_conv = conv_of_ins[order]
+    within = np.arange(n_ins) - np.concatenate(
+        ([0], np.cumsum(np.bincount(sorted_conv, minlength=spec.n_convs))[:-1])
+    )[sorted_conv]
+    turn_sorted = turns_per_conv[sorted_conv] + within
+    turn_of_ins = np.empty(n_ins, dtype=np.int64)
+    turn_of_ins[order] = turn_sorted
+
+    # ---------------- event ordering key
+    # within a conv, inserts must be in turn order; across convs, free.
+    # order_key monotone in turn_idx (jitter < 1 preserves it).
+    snap_key = turn_of_snap - 1e9  # snapshot strictly first
+    ins_key = turn_of_ins + rng.uniform(0, 0.999, n_ins)
+
+    all_conv = np.concatenate([conv_of_snap, conv_of_ins])
+    all_turn = np.concatenate([turn_of_snap, turn_of_ins])
+    all_key = np.concatenate([snap_key, ins_key])
+    is_snap = np.concatenate(
+        [np.ones(n_snap, dtype=bool), np.zeros(n_ins, dtype=bool)]
+    )
+    n_base = all_conv.size
+
+    # ---------------- updates: re-image existing (conv, turn) rows
+    n_upd = int(spec.n_events * spec.update_frac)
+    upd_src = rng.integers(0, n_base, n_upd)  # uniform over inserted keys
+    upd_conv = all_conv[upd_src]
+    upd_turn = all_turn[upd_src]
+    upd_key = all_key[upd_src] + rng.uniform(0.001, 4.0, n_upd)
+
+    # ---------------- deletes: distinct keys, strictly last per key
+    n_del = int(spec.n_events * spec.delete_frac)
+    del_src = rng.choice(n_base, size=min(n_del, n_base), replace=False)
+    del_conv = all_conv[del_src]
+    del_turn = all_turn[del_src]
+    # delete order key beyond any possible update of that key
+    del_key = all_key[del_src] + 5.0 + rng.uniform(0, 1.0, del_src.size)
+
+    conv = np.concatenate([all_conv, upd_conv, del_conv])
+    turn = np.concatenate([all_turn, upd_turn, del_turn])
+    okey = np.concatenate([all_key, upd_key, del_key])
+    op = np.concatenate(
+        [
+            np.where(is_snap, DML_INSERT, DML_INSERT).astype(object),
+            np.full(n_upd, DML_UPDATE, dtype=object),
+            np.full(del_src.size, DML_DELETE, dtype=object),
+        ]
+    )
+    snap_flag = np.concatenate(
+        [is_snap, np.zeros(n_upd + del_src.size, dtype=bool)]
+    )
+
+    n = conv.size
+    event_order = np.argsort(okey, kind="stable")
+    conv, turn, okey, op, snap_flag = (
+        conv[event_order],
+        turn[event_order],
+        okey[event_order],
+        op[event_order],
+        snap_flag[event_order],
+    )
+    seq = np.arange(1, n + 1, dtype=np.int64)
+
+    # version counter per key for deterministic text evolution
+    df = pd.DataFrame(
+        {
+            "seq": seq,
+            "op": op,
+            "conv_id": np.char.add("c", conv.astype(str)).astype(object),
+            "turn_idx": turn.astype(np.int32),
+            "is_snapshot": snap_flag,
+        }
+    )
+    ver = df.groupby(["conv_id", "turn_idx"], sort=False).cumcount().to_numpy()
+    text = _mk_text(conv, turn, ver, spec.text_chars)
+    prev_text = np.where(
+        op == DML_UPDATE, _mk_text(conv, turn, np.maximum(ver - 1, 0), spec.text_chars), None
+    )
+    rng2 = np.random.default_rng(spec.seed + 1)
+    role = roles[(conv + turn) % roles.size]
+    tool = tools[rng2.integers(0, tools.size, n)]
+    ts = _BASE_TS + (conv.astype("int64") * 86_400_000_000 + turn.astype("int64") * 60_000_000)
+    ingest_ts = _BASE_TS + seq * 1_000_00  # 0.1 s cadence
+
+    df["role"] = role
+    df["text"] = text
+    df["tool"] = tool
+    df["ts"] = ts
+    df["prev_text"] = prev_text
+    df["ingest_ts"] = ingest_ts
+    df["ddl"] = None
+
+    # DELETE rows carry no new image (reference: DMLEvent row null
+    # semantics are target-side; we null the payload except the key)
+    is_del = df["op"] == DML_DELETE
+    for c in ("role", "text", "tool", "prev_text"):
+        df.loc[is_del, c] = None
+    df.loc[is_del, "ts"] = pd.NaT
+
+    # ---------------- mid-stream DDL rows
+    if spec.include_ddl and spec.ddls:
+        # place DDLs after the snapshot, spaced through the stream
+        lo = int(n_snap) + 1
+        positions = np.linspace(lo, n - 1, num=len(spec.ddls) + 2)[1:-1].astype(int)
+        ddl_rows = []
+        for pos, d in zip(positions, spec.ddls):
+            ddl_rows.append(
+                {
+                    "seq": float(pos) + 0.5,  # between existing seqs
+                    "op": d["op"],
+                    "conv_id": None,
+                    "turn_idx": None,
+                    "is_snapshot": False,
+                    "role": None,
+                    "text": None,
+                    "tool": None,
+                    "ts": pd.NaT,
+                    "prev_text": None,
+                    "ingest_ts": pd.NaT,
+                    "ddl": json.dumps(d),
+                }
+            )
+        df = (
+            pd.concat([df, pd.DataFrame(ddl_rows)], ignore_index=True)
+            .sort_values("seq", kind="stable")
+            .reset_index(drop=True)
+        )
+        df["seq"] = np.arange(1, len(df) + 1, dtype=np.int64)
+
+    n = len(df)
+
+    # ---------------- duplicate-seq injections (exact replays)
+    rng3 = np.random.default_rng(spec.seed + 2)
+    n_dup = int(n * spec.dup_frac)
+    dup_idx = rng3.choice(n, size=n_dup, replace=False)
+    dups = df.iloc[dup_idx].copy()
+
+    # ---------------- out-of-order file placement
+    file_key = df.index.to_numpy() + rng3.uniform(0, spec.shuffle_window, n)
+    dup_key = dup_idx + rng3.uniform(1, spec.shuffle_window * 2, n_dup)
+    out = pd.concat([df, dups], ignore_index=True)
+    out["_fk"] = np.concatenate([file_key, dup_key])
+    out = out.sort_values("_fk", kind="stable").drop(columns="_fk").reset_index(drop=True)
+    out["turn_idx"] = out["turn_idx"].astype("Int32")
+    return out
+
+
+def write_changelog(df: pd.DataFrame, path: str, n_files: int = 8) -> list[str]:
+    """Write the changelog as n_files parquet files in replay order.
+
+    File names sort lexicographically in replay order so Spark's file
+    source (which orders by modification time, then path) tails them
+    like a WAL.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    n = len(df)
+    bounds = np.linspace(0, n, n_files + 1).astype(int)
+    files = []
+    arrow_schema = pa.schema(
+        [
+            pa.field("seq", pa.int64(), False),
+            pa.field("op", pa.string(), False),
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("role", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("tool", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("prev_text", pa.string()),
+            pa.field("is_snapshot", pa.bool_(), False),
+            pa.field("ingest_ts", pa.timestamp("us")),
+            pa.field("ddl", pa.string()),
+        ]
+    )
+    cols = [f.name for f in arrow_schema]
+    for i in range(n_files):
+        chunk = df.iloc[bounds[i] : bounds[i + 1]][cols]
+        tbl = pa.Table.from_pandas(chunk, schema=arrow_schema, preserve_index=False)
+        f = os.path.join(path, f"part-{i:05d}.parquet")
+        pq.write_table(tbl, f)
+        files.append(f)
+    return files
+
+
+def generate_and_write(path: str, spec: ChangelogSpec | None = None) -> pd.DataFrame:
+    spec = spec or ChangelogSpec()
+    df = generate_changelog(spec)
+    write_changelog(df, path, spec.n_files)
+    return df
+
+
+# -------------------------------------------------------------- oracle
+
+
+def oracle_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Reference replay in pandas: dedup by seq, apply in seq order,
+    last writer wins per (conv_id, turn_idx), DELETE removes, DDL
+    applied to the final frame. This is the golden oracle for the E2E
+    tests (reference analog: FileEventConsumer golden compare,
+    delta-test/.../FileEventConsumer.java:90-117)."""
+    ev = df.drop_duplicates("seq", keep="first").sort_values("seq", kind="stable")
+    ddl_rows = ev[ev["ddl"].notna()]
+    dml = ev[ev["ddl"].isna()]
+    last = dml.groupby(KEY_COLS, sort=False, dropna=False).tail(1)
+    final = last[last["op"] != DML_DELETE][
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ].reset_index(drop=True)
+    final["turn_idx"] = final["turn_idx"].astype("int64")
+
+    for _, r in ddl_rows.iterrows():
+        d = json.loads(r["ddl"])
+        if d["op"] == DDL_ADD_COLUMN:
+            final[d["column"]] = pd.Series([None] * len(final), dtype="float64")
+        elif d["op"] == DDL_RENAME_COLUMN:
+            final = final.rename(columns={d["column"]: d["new_name"]})
+        elif d["op"] == DDL_WIDEN_COLUMN:
+            # int32 -> int64 / float64 etc.
+            tgt = {"bigint": "int64", "double": "float64", "float": "float32"}[
+                d["new_type"]
+            ]
+            final[d["column"]] = final[d["column"]].astype(tgt)
+    return final.sort_values(
+        [c for c in ("conv_id", "turn_idx") if c in final.columns]
+    ).reset_index(drop=True)

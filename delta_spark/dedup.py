@@ -1,0 +1,93 @@
+"""Sequence dedup + last-writer-wins collapse.
+
+Reference semantics being rebuilt (not ported):
+  * monotone sequence numbers stamped at emit time —
+    /root/reference/delta-app/src/main/java/io/cdap/delta/app/
+    QueueingEventEmitter.java:47,87
+  * at-least-once replay + idempotent apply ⇒ exactly-once —
+    DeltaWorker.java:297-440, EventConsumer.java:39-76
+  * unordered sources resolved by sort keys at the target —
+    SourceProperties.java:29-32, SortKey.java:26-41
+
+Spark-first design: the collapse is an *algebraic* reduce (argmax by
+seq per key), so it admits a partial-aggregate (map-side combine)
+implementation via ``max_by`` that never materializes a per-key sorted
+window. For skewed keys we additionally expose a two-phase salted
+variant. At 100 TB the ``groupBy`` path is the default: Catalyst plans
+it as partial_aggregate → shuffle → final_aggregate, so the hot
+``conv_id`` keys are pre-collapsed map-side before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .schema import DML_DELETE
+
+
+def drop_seen(batch: DataFrame, last_committed_seq: int) -> DataFrame:
+    """Sequence-number watermark: drop events at or below the last
+    committed sequence (replayed prefix after a restart)."""
+    if last_committed_seq is None or last_committed_seq < 0:
+        return batch
+    return batch.filter(F.col("seq") > F.lit(int(last_committed_seq)))
+
+
+def dedup_by_seq(batch: DataFrame) -> DataFrame:
+    """Drop duplicate-seq injections (exact replays). Events are
+    immutable per seq, so any representative is correct."""
+    return batch.dropDuplicates(["seq"])
+
+
+def lww_collapse(batch: DataFrame, key_cols: list[str], seq_col: str = "seq") -> DataFrame:
+    """Last-writer-wins: one row per key, the one with max seq.
+
+    groupBy + max_by(struct) rather than a row_number window: the
+    aggregate gets a map-side partial combine (each input partition
+    reduces its own duplicates before the shuffle), while a window
+    must shuffle *every* row of a hot key to one partition first.
+    """
+    others = [c for c in batch.columns if c not in key_cols]
+    packed = batch.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), F.col(seq_col)).alias("_r")
+    )
+    return packed.select(*key_cols, *[F.col(f"_r.{c}").alias(c) for c in others])
+
+
+def lww_collapse_salted(
+    batch: DataFrame, key_cols: list[str], seq_col: str = "seq", salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase LWW for pathologically hot keys: collapse per
+    (key, salt) first — spreading one hot key over ``salt_buckets``
+    reducers — then collapse the survivors. Because argmax-by-seq is
+    associative, the two phases compose exactly.
+
+    Only needed when a single key's row count overwhelms one reducer
+    even after map-side combine (e.g. one conv_id holding 20% of a
+    10^10-event replay — BASELINE.json north_star).
+    """
+    salted = batch.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt_buckets))
+    )
+    phase1 = lww_collapse(salted, [*key_cols, "_salt"], seq_col).drop("_salt")
+    return lww_collapse(phase1, key_cols, seq_col)
+
+
+def lww_collapse_window(batch: DataFrame, key_cols: list[str], seq_col: str = "seq") -> DataFrame:
+    """Window-function formulation (row_number()=1). Kept for the
+    oracle-SQL cross-check (QUALIFY row_number() OVER ... = 1); the
+    aggregate path above is what the pipeline uses."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def split_upserts_deletes(collapsed: DataFrame, op_col: str = "op"):
+    """After collapse, a key's final op decides its fate."""
+    upserts = collapsed.filter(F.col(op_col) != DML_DELETE)
+    deletes = collapsed.filter(F.col(op_col) == DML_DELETE)
+    return upserts, deletes

@@ -1,0 +1,430 @@
+"""LakeTable: snapshot-isolated, hash-bucketed Parquet table with
+copy-on-write MERGE, schema evolution, and idempotent commit markers.
+
+Reference semantics rebuilt here (Spark-first, not a port):
+  * idempotent applyDML / applyDDL contract —
+    /root/reference/delta-api/src/main/java/io/cdap/delta/api/
+    EventConsumer.java:39-76
+  * offset+sequence commit records —
+    delta-api/.../OffsetAndSequence.java:26-41 (here: snapshot summary
+    ``writer-id`` / ``batch-id`` / ``max-seq`` markers)
+  * generation fencing — DeltaWorker.java:140-150 (here: the writer-id
+    embeds a generation; a fresh generation never matches old markers)
+
+Scale design (100 TB / 1000 executors):
+  * data is hash-bucketed on the bucket key (``conv_id``): a MERGE
+    reads and rewrites ONLY buckets containing batch keys, and both
+    sides of the anti-join arrive bucket-partitioned, so the join
+    shuffles only the (small) batch, never the whole table.
+  * metadata embeds the file manifest in one JSON document — right for
+    up to ~10^5 files; beyond that Iceberg-style split manifests are
+    the drop-in evolution (noted, not built).
+  * snapshots are immutable: readers pin the manifest they loaded, so
+    concurrent MERGE commits never tear a read (snapshot isolation).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import can_widen
+
+_TYPES = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+}
+
+
+def _type_of(name: str) -> T.DataType:
+    try:
+        return _TYPES[name]
+    except KeyError:
+        return T.StructType.fromDDL(f"x {name}")[0].dataType
+
+
+class CommitConflict(Exception):
+    """Another writer committed the next metadata version first."""
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str, metadata: dict):
+        self.spark = spark
+        self.path = path
+        self.metadata = metadata
+
+    # ------------------------------------------------------ lifecycle
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        bucket_col: str | None = None,
+        num_buckets: int = 16,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        fields = [
+            {"id": i + 1, "name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+            for i, f in enumerate(schema.fields)
+        ]
+        name_to_id = {f["name"]: f["id"] for f in fields}
+        meta = {
+            "format_version": 1,
+            "table_uuid": str(uuid.uuid4()),
+            "version": 0,
+            "num_buckets": num_buckets,
+            "key_ids": [name_to_id[c] for c in key_cols],
+            "bucket_id": name_to_id[bucket_col or key_cols[0]],
+            "schema_version": 0,
+            "schemas": {"0": fields},
+            "current_snapshot_id": None,
+            "snapshots": [],
+        }
+        t = LakeTable(spark, path, meta)
+        t._write_metadata(meta, expected_version=None)
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "LakeTable":
+        return LakeTable(spark, path, LakeTable._read_metadata(path))
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return bool(glob.glob(os.path.join(path, "metadata", "v*.json")))
+
+    @staticmethod
+    def _read_metadata(path: str) -> dict:
+        versions = glob.glob(os.path.join(path, "metadata", "v*.json"))
+        if not versions:
+            raise FileNotFoundError(f"no lake table at {path}")
+        latest = max(versions, key=lambda p: int(os.path.basename(p)[1:-5]))
+        with open(latest) as f:
+            return json.load(f)
+
+    def refresh(self) -> "LakeTable":
+        self.metadata = self._read_metadata(self.path)
+        return self
+
+    def _write_metadata(self, meta: dict, expected_version: int | None) -> None:
+        """Optimistic-concurrency atomic commit: claim the next version
+        file with O_EXCL; a losing concurrent writer gets
+        CommitConflict and must refresh + retry (Iceberg's protocol)."""
+        new_version = 0 if expected_version is None else expected_version + 1
+        meta = dict(meta, version=new_version)
+        target = os.path.join(self.path, "metadata", f"v{new_version}.json")
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {new_version} already committed") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        self.metadata = meta
+
+    # ------------------------------------------------------ schema
+
+    @property
+    def fields(self) -> list[dict]:
+        m = self.metadata
+        return m["schemas"][str(m["schema_version"])]
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(f["name"], _type_of(f["type"]), f["nullable"]) for f in self.fields]
+        )
+
+    @property
+    def key_cols(self) -> list[str]:
+        by_id = {f["id"]: f["name"] for f in self.fields}
+        return [by_id[i] for i in self.metadata["key_ids"]]
+
+    @property
+    def bucket_col(self) -> str:
+        by_id = {f["id"]: f["name"] for f in self.fields}
+        return by_id[self.metadata["bucket_id"]]
+
+    @property
+    def num_buckets(self) -> int:
+        return self.metadata["num_buckets"]
+
+    def original_to_current_names(self, from_schema_version: int = 0) -> dict[str, str]:
+        """Map column names as of ``from_schema_version`` to current
+        names (by column id). Used to rewrite event payloads that still
+        address renamed columns (reference analog: rename bookkeeping,
+        delta-app/.../transformation/DefaultMutableRowSchema.java:85-130)."""
+        old = {f["id"]: f["name"] for f in self.metadata["schemas"][str(from_schema_version)]}
+        return {old[f["id"]]: f["name"] for f in self.fields if f["id"] in old}
+
+    def bucket_expr(self, col: str | None = None):
+        return F.pmod(F.xxhash64(F.col(col or self.bucket_col)), F.lit(self.num_buckets))
+
+    # ------------------------------------------------------ snapshots
+
+    @property
+    def current_snapshot(self) -> dict | None:
+        sid = self.metadata["current_snapshot_id"]
+        if sid is None:
+            return None
+        return next(s for s in self.metadata["snapshots"] if s["id"] == sid)
+
+    def snapshot_summaries(self) -> list[dict]:
+        return [s["summary"] for s in self.metadata["snapshots"]]
+
+    def is_applied(self, writer_id: str, batch_id: str) -> bool:
+        """Exactly-once check: has (writer-id, batch-id) committed?"""
+        return any(
+            s["summary"].get("writer-id") == writer_id
+            and s["summary"].get("batch-id") == str(batch_id)
+            for s in self.metadata["snapshots"]
+        )
+
+    def last_committed_seq(self, writer_id: str | None = None) -> int:
+        seqs = [
+            int(s["summary"]["max-seq"])
+            for s in self.metadata["snapshots"]
+            if "max-seq" in s["summary"]
+            and (writer_id is None or s["summary"].get("writer-id") == writer_id)
+        ]
+        return max(seqs, default=-1)
+
+    # ------------------------------------------------------ read
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Read the current snapshot (optionally pruned to buckets),
+        aligned to the current schema. Files written under older schema
+        versions are aligned by column id: renamed columns re-aliased,
+        widened columns cast, added columns filled with NULL."""
+        snap = self.current_snapshot
+        cur = self.fields
+        if snap is None or not snap["files"]:
+            return self.spark.createDataFrame([], self.schema)
+        files = snap["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+            if not files:
+                return self.spark.createDataFrame([], self.schema)
+        by_sv: dict[int, list[str]] = {}
+        for f in files:
+            by_sv.setdefault(f["schema_version"], []).append(
+                os.path.join(self.path, f["path"])
+            )
+        parts = []
+        for sv, paths in by_sv.items():
+            old_fields = {f["id"]: f for f in self.metadata["schemas"][str(sv)]}
+            df = self.spark.read.parquet(*paths)
+            cols = []
+            for f in cur:
+                t = _type_of(f["type"])
+                if f["id"] in old_fields:
+                    cols.append(F.col(old_fields[f["id"]]["name"]).cast(t).alias(f["name"]))
+                else:
+                    cols.append(F.lit(None).cast(t).alias(f["name"]))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ------------------------------------------------------ write
+
+    def _commit_snapshot(self, files: list[dict], summary: dict) -> None:
+        meta = dict(self.metadata)
+        sid = (meta["current_snapshot_id"] or 0) + 1
+        snap = {
+            "id": sid,
+            "parent": meta["current_snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "summary": summary,
+            "files": files,
+        }
+        meta["snapshots"] = [*meta["snapshots"], snap]
+        meta["current_snapshot_id"] = sid
+        self._write_metadata(meta, expected_version=self.metadata["version"])
+
+    def _write_data(self, df: DataFrame, snap_tag: str) -> list[dict]:
+        """Write df (which must carry ``_bucket``) as one parquet
+        directory per bucket under data/<snap_tag>/; returns manifest
+        entries. repartition by _bucket keeps each output file inside a
+        single bucket; partitionBy splits hash-colliding buckets."""
+        out_dir = os.path.join(self.path, "data", snap_tag)
+        n_parts = max(1, df.sparkSession.sparkContext.defaultParallelism)
+        (
+            df.repartition(n_parts, "_bucket")
+            .write.mode("errorifexists")
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        entries = []
+        sv = self.metadata["schema_version"]
+        for p in sorted(glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet"))):
+            bucket = int(p.split("_bucket=")[1].split(os.sep)[0])
+            entries.append(
+                {
+                    "path": os.path.relpath(p, self.path),
+                    "bucket": bucket,
+                    "schema_version": sv,
+                }
+            )
+        return entries
+
+    def overwrite(self, df: DataFrame, writer_id: str, batch_id: str, summary: dict | None = None) -> bool:
+        """Replace the table contents (snapshot-style full load)."""
+        if self.is_applied(writer_id, batch_id):
+            return False
+        tagged = df.withColumn("_bucket", self.bucket_expr())
+        files = self._write_data(tagged, f"snap-{uuid.uuid4().hex[:12]}")
+        self._commit_snapshot(
+            files,
+            {
+                "operation": "overwrite",
+                "writer-id": writer_id,
+                "batch-id": str(batch_id),
+                **(summary or {}),
+            },
+        )
+        return True
+
+    def merge(
+        self,
+        batch: DataFrame,
+        writer_id: str,
+        batch_id: str,
+        op_col: str = "op",
+        delete_op: str = "DELETE",
+        summary: dict | None = None,
+    ) -> dict | None:
+        """Copy-on-write MERGE keyed on ``key_cols``.
+
+        ``batch`` must be collapsed to ONE row per key (last writer
+        wins upstream) and carry the current-schema payload columns
+        plus ``op_col``. Semantics = Iceberg/SQL MERGE:
+          WHEN MATCHED AND op=DELETE  THEN DELETE
+          WHEN MATCHED                THEN UPDATE SET *
+          WHEN NOT MATCHED AND op<>DELETE THEN INSERT *
+
+        Only buckets containing batch keys are read and rewritten; the
+        anti-join runs bucket-partitioned so the big (target) side
+        never shuffles beyond the bucket repartition it needs for the
+        rewrite anyway. Returns commit stats, or None if (writer-id,
+        batch-id) was already applied (idempotent replay — reference
+        contract EventConsumer.java:39-76).
+        """
+        if self.is_applied(writer_id, batch_id):
+            return None
+        payload = [f["name"] for f in self.fields]
+        keys = self.key_cols
+        batch = batch.withColumn("_bucket", self.bucket_expr()).cache()
+        try:
+            affected = sorted(
+                r[0] for r in batch.select("_bucket").distinct().collect()
+            )
+            if not affected:
+                return {"buckets": [], "files": 0, "upserts": 0, "deletes": 0}
+            target = self.read(buckets=affected)
+            upserts = batch.filter(F.col(op_col) != delete_op).select(*payload, "_bucket")
+            # all batch keys (upsert or delete) vacate their old row
+            n_batch = batch.count()
+            batch_keys = batch.select(*keys)
+            # a CDC micro-batch is normally tiny vs the table: broadcast
+            # the key set so the target side never shuffles for the
+            # anti-join. A huge (backfill-sized) batch falls back to a
+            # shuffled join rather than an oversized broadcast.
+            if n_batch <= 2_000_000:
+                batch_keys = F.broadcast(batch_keys)
+            survivors = target.join(batch_keys, keys, "left_anti").withColumn(
+                "_bucket", self.bucket_expr()
+            )
+            new_data = survivors.unionByName(upserts)
+            files_new = self._write_data(new_data, f"snap-{uuid.uuid4().hex[:12]}")
+            cur = self.current_snapshot
+            kept = [
+                f for f in (cur["files"] if cur else []) if f["bucket"] not in set(affected)
+            ]
+            n_up = upserts.count()
+            n_del = n_batch - n_up
+            self._commit_snapshot(
+                kept + files_new,
+                {
+                    "operation": "merge",
+                    "writer-id": writer_id,
+                    "batch-id": str(batch_id),
+                    "upserts": n_up,
+                    "deletes": n_del,
+                    "rewritten-buckets": len(affected),
+                    **(summary or {}),
+                },
+            )
+            return {
+                "buckets": affected,
+                "files": len(files_new),
+                "upserts": n_up,
+                "deletes": n_del,
+            }
+        finally:
+            batch.unpersist()
+
+    # ------------------------------------------------------ DDL
+
+    def apply_ddl(self, ddl: dict) -> bool:
+        """Idempotent metadata-only schema evolution (reference:
+        applyDDL contract, EventConsumer.java:39-55; CREATE/ALTER as
+        Iceberg UpdateSchema). Returns True if the schema changed."""
+        op = ddl["op"]
+        fields = [dict(f) for f in self.fields]
+        names = {f["name"] for f in fields}
+        if op == "ADD_COLUMN":
+            if ddl["column"] in names:
+                return False  # replayed — already applied
+            fields.append(
+                {
+                    "id": max(f["id"] for f in fields) + 1,
+                    "name": ddl["column"],
+                    "type": ddl["new_type"],
+                    "nullable": True,
+                }
+            )
+        elif op == "RENAME_COLUMN":
+            if ddl["column"] not in names:
+                if ddl["new_name"] in names:
+                    return False  # replayed
+                raise ValueError(f"rename: no column {ddl['column']}")
+            for f in fields:
+                if f["name"] == ddl["column"]:
+                    f["name"] = ddl["new_name"]
+        elif op == "WIDEN_COLUMN":
+            fld = next((f for f in fields if f["name"] == ddl["column"]), None)
+            if fld is None:
+                raise ValueError(f"widen: no column {ddl['column']}")
+            if fld["type"] == ddl["new_type"]:
+                return False  # replayed
+            if not can_widen(fld["type"], ddl["new_type"]):
+                raise ValueError(f"illegal widen {fld['type']} -> {ddl['new_type']}")
+            fld["type"] = ddl["new_type"]
+        else:
+            raise ValueError(f"unknown DDL op {op}")
+        meta = dict(self.metadata)
+        sv = meta["schema_version"] + 1
+        meta["schema_version"] = sv
+        meta["schemas"] = {**meta["schemas"], str(sv): fields}
+        self._write_metadata(meta, expected_version=self.metadata["version"])
+        return True

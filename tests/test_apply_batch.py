@@ -1,0 +1,136 @@
+"""Golden replay: changelog → batch apply → final table state equals
+the pandas oracle (reference analog: testOneRun golden compare,
+/root/reference/delta-app/src/test/java/io/cdap/delta/app/
+DeltaPipelineStateStoreBaseTest.java:126-173)."""
+
+import json
+import os
+
+import pytest
+
+from delta_spark.changelog import ChangelogSpec, generate_and_write, oracle_apply
+from delta_spark.pipeline import Pipeline, PipelineConfig
+from delta_spark.lake import LakeTable
+
+from conftest import assert_pdf_equal
+
+
+def _run(spark, tmp_path, spec, **cfg_kw):
+    log_dir = str(tmp_path / "changelog")
+    df = generate_and_write(log_dir, spec)
+    cfg = PipelineConfig(
+        changelog_path=log_dir,
+        table_path=str(tmp_path / "table"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        generation=1,
+        **cfg_kw,
+    )
+    p = Pipeline(spark, cfg)
+    st = p.run_batch()
+    table = LakeTable.load(spark, cfg.table_path)
+    return df, st, table
+
+
+def test_replay_basic(spark, tmp_path):
+    spec = ChangelogSpec(n_events=4000, n_convs=60, seed=11)
+    raw, st, table = _run(spark, tmp_path, spec)
+    expected = oracle_apply(raw)
+    actual = table.read().toPandas()
+    assert_pdf_equal(actual, expected, ["conv_id", "turn_idx"])
+    assert st.applied and st.rows_in > 0
+    assert st.op_counts.get("INSERT", 0) > 0
+
+
+def test_replay_idempotent_rerun(spark, tmp_path):
+    """Re-applying the same batch is a no-op (exactly-once markers)."""
+    spec = ChangelogSpec(n_events=2000, n_convs=40, seed=12)
+    raw, st, table = _run(spark, tmp_path, spec)
+    v_before = table.metadata["version"]
+    cfg = PipelineConfig(
+        changelog_path=str(tmp_path / "changelog"),
+        table_path=str(tmp_path / "table"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        generation=1,
+    )
+    p2 = Pipeline(spark, cfg)
+    st2 = p2.run_batch()  # same writer_id + batch_id
+    table2 = LakeTable.load(spark, cfg.table_path)
+    assert table2.metadata["version"] == v_before  # no new commit
+    assert st2.upserts == 0 and st2.deletes == 0
+    assert_pdf_equal(table2.read().toPandas(), oracle_apply(raw), ["conv_id", "turn_idx"])
+
+
+def test_replay_ddl(spark, tmp_path):
+    """Mid-stream add/rename/widen: DDL applied before later-sequenced
+    DML; final schema evolved; renamed column realigned."""
+    spec = ChangelogSpec(n_events=4000, n_convs=60, seed=13, include_ddl=True)
+    raw, st, table = _run(spark, tmp_path, spec)
+    assert st.ddls_applied == 3
+    assert st.sub_batches == 4
+    names = [f["name"] for f in table.fields]
+    assert "score" in names and "tool_name" in names and "tool" not in names
+    widened = next(f for f in table.fields if f["name"] == "turn_idx")
+    assert widened["type"] == "bigint"
+    expected = oracle_apply(raw)
+    actual = table.read().toPandas()
+    # oracle puts columns in a fixed order; align
+    actual = actual[list(expected.columns)]
+    assert_pdf_equal(actual, expected, ["conv_id", "turn_idx"])
+
+
+def test_replay_salted_equals_plain(spark, tmp_path):
+    spec = ChangelogSpec(n_events=3000, n_convs=30, seed=14, hot_frac=0.4)
+    raw, st, table = _run(spark, tmp_path, spec, salt_buckets=8)
+    assert_pdf_equal(table.read().toPandas(), oracle_apply(raw), ["conv_id", "turn_idx"])
+
+
+def test_lineage_written(spark, tmp_path):
+    spec = ChangelogSpec(n_events=1000, n_convs=20, seed=15)
+    raw, st, table = _run(spark, tmp_path, spec)
+    d = os.path.join(table.path, "metadata", "lineage")
+    files = os.listdir(d)
+    assert len(files) == 1
+    rec = json.load(open(os.path.join(d, files[0])))
+    assert rec["rows_in"] == st.rows_in
+    assert rec["max_seq"] == raw["seq"].max()
+    assert rec["buckets"] == st.buckets and len(rec["buckets"]) > 0
+    assert rec["op_counts"]["INSERT"] > 0 and rec["bytes_in"] > 0
+
+
+def test_op_blacklist(spark, tmp_path):
+    """F1: blacklisted DELETE ops are dropped before apply (reference:
+    QueueingEventEmitter.shouldIgnore)."""
+    spec = ChangelogSpec(n_events=2000, n_convs=40, seed=16)
+    raw, st, table = _run(spark, tmp_path, spec, op_blacklist=("DELETE",))
+    raw_no_del = raw[raw["op"] != "DELETE"]
+    expected = oracle_apply(raw_no_del)
+    assert_pdf_equal(table.read().toPandas(), expected, ["conv_id", "turn_idx"])
+    assert "DELETE" not in st.op_counts
+
+
+def test_bucket_pruning_incremental(spark, tmp_path):
+    """A second small batch touching few convs rewrites only the
+    buckets those convs hash to."""
+    import pandas as pd
+    from delta_spark.apply import apply_batch
+    from delta_spark.changelog import write_changelog
+
+    spec = ChangelogSpec(n_events=3000, n_convs=200, seed=17)
+    raw, st, table = _run(spark, tmp_path, spec, num_buckets=16)
+    full_buckets = set(st.buckets)
+    # incremental batch: update 2 conversations only
+    inc = raw[raw["conv_id"].isin(["c1", "c2"]) & (raw["op"] == "INSERT")].head(5).copy()
+    inc["seq"] = raw["seq"].max() + 1 + pd.RangeIndex(len(inc))
+    inc["op"] = "UPDATE"
+    inc["text"] = "patched"
+    inc_dir = str(tmp_path / "inc")
+    write_changelog(inc, inc_dir, n_files=1)
+    from delta_spark.schema import CHANGELOG_SCHEMA
+
+    inc_df = spark.read.schema(CHANGELOG_SCHEMA).parquet(inc_dir)
+    st2 = apply_batch(table, inc_df, writer_id="transcripts-g1-i0", batch_id="inc-1")
+    assert 0 < len(st2.buckets) <= 2 < len(full_buckets)
+    patched = (
+        table.read().filter("text = 'patched'").count()
+    )
+    assert patched == len(inc.drop_duplicates(["conv_id", "turn_idx"]))

@@ -1,0 +1,90 @@
+"""Generator invariants (FIXTURES.md §2 properties)."""
+
+import numpy as np
+import pandas as pd
+
+from delta_spark.changelog import ChangelogSpec, generate_changelog, oracle_apply
+from delta_spark.schema import DML_DELETE, DML_INSERT, DML_UPDATE
+
+
+def _gen(**kw):
+    return generate_changelog(ChangelogSpec(n_events=3000, n_convs=50, seed=7, **kw))
+
+
+def test_deterministic():
+    a, b = _gen(), _gen()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_seq_contiguous_and_dups():
+    df = _gen()
+    seqs = df["seq"].to_numpy()
+    uniq = np.unique(seqs)
+    assert uniq[0] == 1 and uniq[-1] == len(uniq)  # contiguous after dedup
+    assert len(seqs) > len(uniq)  # duplicate injections present
+    dup_rows = df[df.duplicated("seq", keep=False)].groupby("seq").nunique()
+    assert (dup_rows <= 1).all().all()  # duplicates are exact replays
+
+
+def test_out_of_order_but_bounded():
+    df = _gen()
+    first = df.drop_duplicates("seq", keep="first")
+    pos = np.arange(len(first))
+    disp = np.abs(first["seq"].to_numpy() - 1 - pos)
+    assert disp.max() > 0  # genuinely out of order
+    spec = ChangelogSpec(n_events=3000, n_convs=50, seed=7)
+    assert disp.max() <= 4 * spec.shuffle_window
+
+
+def test_per_key_lifecycle():
+    """INSERT first, DELETE (if any) strictly last per key, in seq order."""
+    df = _gen().drop_duplicates("seq").sort_values("seq")
+    dml = df[df["ddl"].isna()]
+    g = dml.groupby(["conv_id", "turn_idx"])
+    first_op = g["op"].first()
+    assert (first_op == DML_INSERT).all()
+    for (_, _), grp in list(g)[:200]:
+        ops = grp["op"].tolist()
+        if DML_DELETE in ops:
+            assert ops[-1] == DML_DELETE
+            assert ops.count(DML_DELETE) == 1
+
+
+def test_hot_key_skew():
+    df = _gen()
+    stream = df[~df["is_snapshot"] & df["ddl"].isna()]
+    share = (stream["conv_id"] == "c0").mean()
+    assert share > 0.10  # hot conv holds a large share
+
+
+def test_op_mix():
+    df = _gen().drop_duplicates("seq")
+    frac_upd = (df["op"] == DML_UPDATE).mean()
+    frac_del = (df["op"] == DML_DELETE).mean()
+    assert 0.05 < frac_upd < 0.5
+    assert 0 < frac_del < 0.05
+
+
+def test_ddl_rows_present_and_midstream():
+    df = generate_changelog(ChangelogSpec(n_events=3000, n_convs=50, seed=7, include_ddl=True))
+    ddl = df[df["ddl"].notna()].drop_duplicates("seq")
+    assert len(ddl) == 3
+    n = df["seq"].max()
+    assert (ddl["seq"] > 1).all() and (ddl["seq"] < n).all()
+
+
+def test_oracle_apply_basic():
+    df = _gen()
+    final = oracle_apply(df)
+    # every surviving key appears once
+    assert not final.duplicated(["conv_id", "turn_idx"]).any()
+    # deleted keys are gone
+    dedup = df.drop_duplicates("seq").sort_values("seq")
+    dml = dedup[dedup["ddl"].isna()]
+    last = dml.groupby(["conv_id", "turn_idx"]).tail(1)
+    deleted = last[last["op"] == DML_DELETE]
+    merged = final.merge(
+        deleted[["conv_id", "turn_idx"]], on=["conv_id", "turn_idx"], how="inner"
+    )
+    assert merged.empty
+    assert len(final) == len(last) - len(deleted)
