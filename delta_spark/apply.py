@@ -81,6 +81,7 @@ def apply_batch(
     salt_buckets: int = 0,
     transforms=None,
     lineage: bool = True,
+    assume_ordered: bool = False,
 ) -> ApplyStats:
     """Apply one micro-batch of changelog rows to ``table``.
 
@@ -99,9 +100,13 @@ def apply_batch(
     if op_blacklist:
         batch = batch.filter(~F.col("op").isin(list(op_blacklist)))
 
-    # replay guard: drop events already committed by this writer
-    last_seq = table.last_committed_seq(writer_id)
-    batch = drop_seen(batch, last_seq)
+    # Replay guard. Only valid when the source delivers in seq order
+    # ACROSS micro-batches (reference: Ordering.ORDERED,
+    # SourceProperties.java:29-32); with reordered delivery an event
+    # below the committed max-seq may be new, so correctness then
+    # rests on the seq-guarded MERGE, not on dropping.
+    if assume_ordered:
+        batch = drop_seen(batch, table.last_committed_seq(writer_id))
     batch = dedup_by_seq(batch)
 
     if transforms:

@@ -208,21 +208,39 @@ class LakeTable:
 
     # ------------------------------------------------------ read
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def _schema_with_system(self) -> T.StructType:
+        return T.StructType(
+            [
+                *self.schema.fields,
+                T.StructField("_seq", T.LongType(), True),
+                T.StructField("_deleted", T.BooleanType(), True),
+            ]
+        )
+
+    def read(
+        self, buckets: list[int] | None = None, include_system: bool = False
+    ) -> DataFrame:
         """Read the current snapshot (optionally pruned to buckets),
         aligned to the current schema. Files written under older schema
         versions are aligned by column id: renamed columns re-aliased,
-        widened columns cast, added columns filled with NULL."""
+        widened columns cast, added columns filled with NULL.
+
+        System columns ``_seq`` (version guard) and ``_deleted``
+        (tombstone) are stored in every data file; default reads hide
+        tombstoned rows and drop the system columns (the MoR-style
+        read of an Iceberg equality-delete table)."""
         snap = self.current_snapshot
         cur = self.fields
         if snap is None or not snap["files"]:
-            return self.spark.createDataFrame([], self.schema)
+            empty = self._schema_with_system() if include_system else self.schema
+            return self.spark.createDataFrame([], empty)
         files = snap["files"]
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
             if not files:
-                return self.spark.createDataFrame([], self.schema)
+                empty = self._schema_with_system() if include_system else self.schema
+                return self.spark.createDataFrame([], empty)
         by_sv: dict[int, list[str]] = {}
         for f in files:
             by_sv.setdefault(f["schema_version"], []).append(
@@ -239,10 +257,13 @@ class LakeTable:
                     cols.append(F.col(old_fields[f["id"]]["name"]).cast(t).alias(f["name"]))
                 else:
                     cols.append(F.lit(None).cast(t).alias(f["name"]))
+            cols += [F.col("_seq"), F.col("_deleted")]
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if not include_system:
+            out = out.filter(~F.col("_deleted")).drop("_seq", "_deleted")
         return out
 
     # ------------------------------------------------------ write
@@ -291,6 +312,11 @@ class LakeTable:
         """Replace the table contents (snapshot-style full load)."""
         if self.is_applied(writer_id, batch_id):
             return False
+        cols = set(df.columns)
+        if "_seq" not in cols:
+            df = df.withColumn("_seq", F.lit(0).cast("long"))
+        if "_deleted" not in cols:
+            df = df.withColumn("_deleted", F.lit(False))
         tagged = df.withColumn("_bucket", self.bucket_expr())
         files = self._write_data(tagged, f"snap-{uuid.uuid4().hex[:12]}")
         self._commit_snapshot(
@@ -310,24 +336,35 @@ class LakeTable:
         writer_id: str,
         batch_id: str,
         op_col: str = "op",
+        seq_col: str = "seq",
         delete_op: str = "DELETE",
         summary: dict | None = None,
     ) -> dict | None:
-        """Copy-on-write MERGE keyed on ``key_cols``.
+        """Copy-on-write MERGE keyed on ``key_cols``, guarded by seq.
 
         ``batch`` must be collapsed to ONE row per key (last writer
         wins upstream) and carry the current-schema payload columns
-        plus ``op_col``. Semantics = Iceberg/SQL MERGE:
-          WHEN MATCHED AND op=DELETE  THEN DELETE
-          WHEN MATCHED                THEN UPDATE SET *
-          WHEN NOT MATCHED AND op<>DELETE THEN INSERT *
+        plus ``op_col`` and ``seq_col``. Semantics = Iceberg/SQL MERGE
+        with a version guard (the standard CDC-upsert shape):
+          WHEN MATCHED AND src.seq > tgt._seq AND op=DELETE → DELETE
+          WHEN MATCHED AND src.seq > tgt._seq              → UPDATE *
+          WHEN NOT MATCHED AND op<>DELETE                  → INSERT *
 
-        Only buckets containing batch keys are read and rewritten; the
-        anti-join runs bucket-partitioned so the big (target) side
-        never shuffles beyond the bucket repartition it needs for the
-        rewrite anyway. Returns commit stats, or None if (writer-id,
-        batch-id) was already applied (idempotent replay — reference
-        contract EventConsumer.java:39-76).
+        The guard makes apply correct for UNORDERED delivery across
+        micro-batches (reference: UN_ORDERED sources resolved by sort
+        keys at the target, SourceProperties.java:29-32): an event
+        routed into a later batch than a newer event for the same key
+        can never regress the row. DELETEs persist as tombstones
+        (``_deleted``) so a late stale UPDATE cannot resurrect a
+        deleted key.
+
+        Physical plan: union(target-of-affected-buckets, batch) →
+        algebraic LWW collapse (partial-agg map-side combine) →
+        rewrite ONLY affected buckets. The big unaffected remainder of
+        the table is untouched metadata; the shuffle is bounded by the
+        affected buckets + batch. Returns commit stats, or None if
+        (writer-id, batch-id) was already applied (idempotent replay —
+        reference contract EventConsumer.java:39-76).
         """
         if self.is_applied(writer_id, batch_id):
             return None
@@ -340,35 +377,38 @@ class LakeTable:
             )
             if not affected:
                 return {"buckets": [], "files": 0, "upserts": 0, "deletes": 0}
-            target = self.read(buckets=affected)
-            upserts = batch.filter(F.col(op_col) != delete_op).select(*payload, "_bucket")
-            # all batch keys (upsert or delete) vacate their old row
-            n_batch = batch.count()
-            batch_keys = batch.select(*keys)
-            # a CDC micro-batch is normally tiny vs the table: broadcast
-            # the key set so the target side never shuffles for the
-            # anti-join. A huge (backfill-sized) batch falls back to a
-            # shuffled join rather than an oversized broadcast.
-            if n_batch <= 2_000_000:
-                batch_keys = F.broadcast(batch_keys)
-            survivors = target.join(batch_keys, keys, "left_anti").withColumn(
+            target = self.read(buckets=affected, include_system=True).withColumn(
                 "_bucket", self.bucket_expr()
             )
-            new_data = survivors.unionByName(upserts)
+            batch_sys = batch.select(
+                *payload,
+                F.col(seq_col).cast("long").alias("_seq"),
+                (F.col(op_col) == delete_op).alias("_deleted"),
+                F.col("_bucket"),
+            )
+            n_batch = batch.count()
+            n_del = batch.filter(F.col(op_col) == delete_op).count()
+            combined = target.unionByName(batch_sys)
+            # argmax-by-_seq per key: map-side partial combine collapses
+            # hot keys before the shuffle (see dedup.lww_collapse)
+            others = [c for c in combined.columns if c not in keys]
+            new_data = (
+                combined.groupBy(*keys)
+                .agg(F.max_by(F.struct(*others), F.col("_seq")).alias("_r"))
+                .select(*keys, *[F.col(f"_r.{c}").alias(c) for c in others])
+            )
             files_new = self._write_data(new_data, f"snap-{uuid.uuid4().hex[:12]}")
             cur = self.current_snapshot
             kept = [
                 f for f in (cur["files"] if cur else []) if f["bucket"] not in set(affected)
             ]
-            n_up = upserts.count()
-            n_del = n_batch - n_up
             self._commit_snapshot(
                 kept + files_new,
                 {
                     "operation": "merge",
                     "writer-id": writer_id,
                     "batch-id": str(batch_id),
-                    "upserts": n_up,
+                    "upserts": n_batch - n_del,
                     "deletes": n_del,
                     "rewritten-buckets": len(affected),
                     **(summary or {}),
@@ -377,7 +417,7 @@ class LakeTable:
             return {
                 "buckets": affected,
                 "files": len(files_new),
-                "upserts": n_up,
+                "upserts": n_batch - n_del,
                 "deletes": n_del,
             }
         finally:

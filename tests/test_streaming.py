@@ -1,0 +1,133 @@
+"""Structured Streaming replay: end-to-end, kill/resume from
+checkpoint, failure injection with proceed-file.
+
+Reference analogs:
+  * testRestartFromOffset — resume applies only remaining events
+    (/root/reference/delta-app/src/test/java/io/cdap/delta/app/
+    DeltaPipelineStateStoreBaseTest.java:175-232)
+  * testFailureRetries — sink raises until a proceed file exists; no
+    double-counting (:307-397; FailureTarget.java:101-111)
+"""
+
+import os
+
+import pytest
+
+from delta_spark.changelog import ChangelogSpec, generate_and_write, oracle_apply
+from delta_spark.lake import LakeTable
+from delta_spark.pipeline import Pipeline, PipelineConfig
+
+from conftest import assert_pdf_equal
+
+
+def _mk(spark, tmp_path, spec, **kw):
+    log_dir = str(tmp_path / "changelog")
+    raw = generate_and_write(log_dir, spec)
+    cfg = PipelineConfig(
+        changelog_path=log_dir,
+        table_path=str(tmp_path / "table"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        generation=1,
+        **kw,
+    )
+    return raw, cfg
+
+
+def test_stream_replay_full(spark, tmp_path):
+    spec = ChangelogSpec(n_events=2500, n_convs=40, seed=21, n_files=6)
+    raw, cfg = _mk(spark, tmp_path, spec, max_files_per_trigger=3)
+    p = Pipeline(spark, cfg)
+    p.run_stream_to_completion()
+    assert len(p.stats) >= 2  # multiple micro-batches
+    table = LakeTable.load(spark, cfg.table_path)
+    assert_pdf_equal(table.read().toPandas(), oracle_apply(raw), ["conv_id", "turn_idx"])
+
+
+def test_stream_kill_resume(spark, tmp_path):
+    """Stop after the first micro-batch; restart; final state exact,
+    replayed prefix not double-applied."""
+    spec = ChangelogSpec(n_events=2500, n_convs=40, seed=22, n_files=8)
+    raw, cfg = _mk(spark, tmp_path, spec, max_files_per_trigger=2)
+
+    p1 = Pipeline(spark, cfg)
+    table = p1.ensure_table()
+    q = p1.run_stream(available_now=True)
+    # kill after the first progress (mid-stream)
+    while not p1.stats:
+        q.awaitTermination(1)
+    q.stop()
+    q.awaitTermination(60)
+    applied_before = len(p1.stats)
+    assert applied_before < 4  # genuinely mid-stream
+
+    p2 = Pipeline(spark, cfg)  # same generation -> same checkpoint+writer
+    p2.run_stream_to_completion()
+    table = LakeTable.load(spark, cfg.table_path)
+    assert_pdf_equal(table.read().toPandas(), oracle_apply(raw), ["conv_id", "turn_idx"])
+    # replays of already-committed epochs were skipped, not re-merged
+    summaries = table.snapshot_summaries()
+    batch_ids = [s["batch-id"] for s in summaries if "batch-id" in s]
+    assert len(batch_ids) == len(set(batch_ids))
+
+
+def test_stream_failure_injection_then_proceed(spark, tmp_path):
+    """Chaos: the apply path raises until a proceed-file exists. After
+    the file appears and the query restarts, everything lands exactly
+    once."""
+    spec = ChangelogSpec(n_events=1500, n_convs=30, seed=23, n_files=4)
+    raw, cfg = _mk(spark, tmp_path, spec, max_files_per_trigger=2)
+    proceed = tmp_path / "proceed"
+
+    class ChaosPipeline(Pipeline):
+        def _foreach_batch(self, table):
+            inner = super()._foreach_batch(table)
+
+            def _fn(df, epoch_id):
+                if epoch_id >= 1 and not os.path.exists(proceed):
+                    raise RuntimeError("injected failure (no proceed file)")
+                inner(df, epoch_id)
+
+            return _fn
+
+    p1 = ChaosPipeline(spark, cfg)
+    q = p1.run_stream(available_now=True)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        raise RuntimeError("query should have failed")
+    assert len(p1.stats) == 1  # first epoch landed, second blew up
+
+    proceed.touch()
+    p2 = Pipeline(spark, cfg)
+    p2.run_stream_to_completion()
+    table = LakeTable.load(spark, cfg.table_path)
+    assert_pdf_equal(table.read().toPandas(), oracle_apply(raw), ["conv_id", "turn_idx"])
+    # metrics not double-counted: lineage rows_in totals match distinct events
+    lineage_dir = os.path.join(cfg.table_path, "metadata", "lineage")
+    import json
+
+    total = sum(
+        json.load(open(os.path.join(lineage_dir, f)))["rows_in"]
+        for f in os.listdir(lineage_dir)
+    )
+    # each distinct event counted once per batch it lands in; duplicate
+    # seqs are deduped within a batch but may recur across batches
+    assert raw["seq"].nunique() <= total <= len(raw)
+
+
+def test_generation_fencing(spark, tmp_path):
+    """A new generation (redeploy) gets a fresh writer-id + checkpoint:
+    it replays from scratch but idempotent MERGE keeps state correct
+    (reference: DeltaWorker.configure generation, :140-150)."""
+    spec = ChangelogSpec(n_events=800, n_convs=20, seed=24, n_files=2)
+    raw, cfg = _mk(spark, tmp_path, spec)
+    Pipeline(spark, cfg).run_batch()
+    cfg2 = PipelineConfig(
+        changelog_path=cfg.changelog_path,
+        table_path=cfg.table_path,
+        checkpoint_dir=cfg.checkpoint_dir,
+        generation=2,
+    )
+    assert cfg2.writer_id != cfg.writer_id
+    Pipeline(spark, cfg2).run_batch()
+    table = LakeTable.load(spark, cfg.table_path)
+    assert_pdf_equal(table.read().toPandas(), oracle_apply(raw), ["conv_id", "turn_idx"])
