@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema +
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine: ``delta_spark`` — a PySpark-native CDC/incremental-ingest
+engine (see SURVEY.md §2 and delta_spark/__init__.py). Queries cover
+the CDC operator surface (scan/filter, LWW dedup, MERGE emulation,
+delete apply, metrics, sessionization), relational breadth, and the
+training-data-pipeline library (dedup, similarity search, text
+analysis, multimodal stubs).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from delta_spark.oracles import ALL_ORACLES  # noqa: E402
+from delta_spark.queries import ALL_QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the CDC MERGE-upsert emulation (target state before a
+    cutoff + batch after it, last writer wins, errors delete) over the
+    sf0.001 events table."""
+    from delta_spark.queries import merge_upsert
+
+    return merge_upsert(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    training-data ops). Each callable takes (spark, sf_dir)."""
+    return dict(ALL_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL mirror for every SQL-expressible query.
+    Omitted keys (approximate ANN, synthesized-changelog E2E, pandas-UDF
+    media stub) get the driver's rows-only check."""
+    return dict(ALL_ORACLES)

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. The headline is the CDC replay
+(events/sec appears as "cdc_events_per_sec"); the rest are the
+operator-surface queries from __spark_entry__. Every query is forced
+through a noop sink so the full plan executes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+
+BENCH_QUERIES = [
+    "changelog_scan_filter",
+    "lww_latest_state",
+    "merge_upsert",
+    "delete_apply",
+    "metrics_by_op",
+    "sessionization",
+    "hourly_rollup",
+    "q1_pricing_summary",
+    "top_orders_per_customer",
+    "region_customer_rollup",
+    "order_priority_revenue",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash16",
+    "lang_id",
+    "token_count",
+    "ann_cosine_topk",
+    "embedding_neardup_pairs",
+    "media_features",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("delta_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_cdc_replay(spark, n_events: int, num_buckets: int, work_dir: str) -> dict:
+    """Generate a deterministic changelog and replay it into the lake
+    table in one batch; report events/sec of the apply itself
+    (generation excluded)."""
+    from delta_spark.changelog import ChangelogSpec, generate_and_write
+    from delta_spark.pipeline import Pipeline, PipelineConfig
+
+    spec = ChangelogSpec(
+        n_events=n_events,
+        n_convs=max(200, n_events // 100),
+        seed=42,
+        n_files=max(8, CPUS),
+        include_ddl=False,
+    )
+    log_dir = os.path.join(work_dir, "log")
+    df = generate_and_write(log_dir, spec)
+    cfg = PipelineConfig(
+        changelog_path=log_dir,
+        table_path=os.path.join(work_dir, "tbl"),
+        checkpoint_dir=os.path.join(work_dir, "ck"),
+        generation=1,
+        num_buckets=num_buckets,
+    )
+    t0 = time.time()
+    st = Pipeline(spark, cfg).run_batch()
+    wall = time.time() - t0
+    return {"events": len(df), "sec": wall, "events_per_sec": len(df) / wall,
+            "rows_in": st.rows_in}
+
+
+def main() -> None:
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    from delta_spark.queries import ALL_QUERIES
+
+    timings: dict[str, float] = {}
+
+    # headline: CDC apply throughput
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", str(int(4_000_000 * SF))))
+    with tempfile.TemporaryDirectory(prefix="bench_cdc_") as wd:
+        cdc = run_cdc_replay(spark, n_events, num_buckets=max(2 * CPUS, 32), work_dir=wd)
+    timings["cdc_replay"] = round(cdc["sec"], 3)
+
+    for name in BENCH_QUERIES:
+        fn = ALL_QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF,
+                "cpus": CPUS,
+                "cdc_events": cdc["events"],
+                "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

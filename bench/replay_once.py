@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Run ONE CDC replay at a given parallelism in a fresh JVM; print a
+JSON line. Used by scaling.py (the sandbox stand-in for N vs 4N
+executors — BASELINE.md scaling protocol)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--events", type=int, default=400_000)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--log-dir", default=None, help="pre-generated changelog dir")
+    ap.add_argument("--mode", choices=["batch", "stream"], default="batch")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName(f"cdc_replay_{args.cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(args.cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from delta_spark.changelog import ChangelogSpec, generate_and_write
+    from delta_spark.pipeline import Pipeline, PipelineConfig
+
+    with tempfile.TemporaryDirectory(prefix=f"scale_{args.cpus}_") as wd:
+        log_dir = args.log_dir
+        n_events = args.events
+        if log_dir is None:
+            log_dir = os.path.join(wd, "log")
+            spec = ChangelogSpec(
+                n_events=n_events,
+                n_convs=max(200, n_events // 100),
+                seed=42,
+                n_files=64,
+            )
+            df = generate_and_write(log_dir, spec)
+            n_events = len(df)
+        cfg = PipelineConfig(
+            changelog_path=log_dir,
+            table_path=os.path.join(wd, "tbl"),
+            checkpoint_dir=os.path.join(wd, "ck"),
+            generation=1,
+            num_buckets=args.buckets,
+        )
+        p = Pipeline(spark, cfg)
+        t0 = time.time()
+        if args.mode == "batch":
+            st = p.run_batch()
+            rows = st.rows_in
+        else:
+            p.cfg.max_files_per_trigger = 16
+            p.run_stream_to_completion()
+            rows = sum(s.rows_in for s in p.stats)
+        wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "cpus": args.cpus,
+                "mode": args.mode,
+                "events": rows,
+                "sec": round(wall, 3),
+                "events_per_sec": round(rows / wall, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -56,33 +56,33 @@ def synth_media_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
-def _fake_decode(kind: str, payload: bytes) -> dict:
-    """STUB decode — deterministic pseudo-metadata from the payload.
-    A real deployment replaces this with PIL.Image.open /
-    soundfile.read / pyav frame iteration; everything around it
-    (Arrow batching, schema, partitioning) is production-shaped.
-    """
-    import hashlib
-
-    n = len(payload or b"")
-    sha = hashlib.sha256(payload or b"").hexdigest()[:16]
-    seed = int(sha[:8], 16)
-    if kind == "image":
-        return {"width": 64 + seed % 1920, "height": 64 + (seed >> 8) % 1080,
-                "duration_s": None, "n_frames": 1}
-    if kind == "audio":
-        return {"width": None, "height": None,
-                "duration_s": round((n + 1) / 16000.0, 4), "n_frames": None}
-    return {"width": 64 + seed % 1280, "height": 64 + (seed >> 8) % 720,
-            "duration_s": round((n + 1) / 24.0, 4), "n_frames": n % 600 + 1}
-
-
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, Arrow batches
-    out, one Python process per partition — never per-row Python."""
+    out, one Python process per partition — never per-row Python.
+
+    The closure is fully self-contained (no references to this module)
+    so cloudpickle ships it by value and executors never need
+    ``delta_spark`` importable on their PYTHONPATH."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        def _fake_decode(kind: str, payload: bytes) -> dict:
+            # STUB decode — deterministic pseudo-metadata from the
+            # payload. A real deployment swaps in PIL.Image.open /
+            # soundfile.read / pyav frame iteration; the Arrow
+            # batching, schema, and partitioning around it are real.
+            n = len(payload or b"")
+            sha = hashlib.sha256(payload or b"").hexdigest()[:16]
+            seed = int(sha[:8], 16)
+            if kind == "image":
+                return {"width": 64 + seed % 1920, "height": 64 + (seed >> 8) % 1080,
+                        "duration_s": None, "n_frames": 1}
+            if kind == "audio":
+                return {"width": None, "height": None,
+                        "duration_s": round((n + 1) / 16000.0, 4), "n_frames": None}
+            return {"width": 64 + seed % 1280, "height": 64 + (seed >> 8) % 720,
+                    "duration_s": round((n + 1) / 24.0, 4), "n_frames": n % 600 + 1}
 
         for pdf in batches:
             metas = [

@@ -1,0 +1,269 @@
+"""DuckDB oracle SQL for every SQL-expressible query in queries.py.
+
+Each statement is written to reproduce the Spark result BIT-FOR-BIT:
+identical tokenization regexes, md5-based hashes, exact DECIMAL
+summation before any float cast, identical rounding, identical
+tie-breaks. Keys absent here get the driver's weaker rows-only check
+(approximate ANN, the synthesized-changelog E2E, the pandas-UDF media
+stub).
+"""
+
+from __future__ import annotations
+
+from .functions.text import STOPWORDS, TOKEN_PATTERN
+
+CUTOFF = "2024-01-16 00:00:00"
+
+# ---------------------------------------------------- shared fragments
+
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def _md5long(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+_SHINGLES = rf"""
+toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
+  WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(w, ' ') AS s FROM toks WHERE len(w) < 3
+)
+"""
+
+_MINHASH_SIGS = f"""
+WITH {_SHINGLES},
+sigs AS (
+  SELECT doc_id,
+         min({_md5long("'0|' || s")}) AS mh0,
+         min({_md5long("'1|' || s")}) AS mh1,
+         min({_md5long("'2|' || s")}) AS mh2,
+         min({_md5long("'3|' || s")}) AS mh3
+  FROM sh GROUP BY doc_id
+)
+"""
+
+
+def _stop_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _lang_score(lang: str) -> str:
+    return (
+        f"len(list_filter(w, x -> list_contains({_stop_list(lang)}, x)))"
+        f" / greatest(len(w), 1)"
+    )
+
+
+_COSINE_PAIR = """
+    round(CAST(sum(CAST(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+      / (sqrt(CAST(sum(CAST(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE))
+       * sqrt(CAST(sum(CAST(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE))), 4)
+"""
+
+_REV = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,6))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(30,12))"
+)
+
+ALL_ORACLES: dict[str, str] = {
+    # ------------------------------------------------- CDC surface
+    "changelog_scan_filter": """
+        SELECT event_id, user_id, event_type, value, ts
+        FROM events WHERE event_type <> 'error' AND value > 100
+    """,
+    "lww_latest_state": """
+        SELECT user_id, event_id, event_type, value, ts FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    """,
+    "merge_upsert": f"""
+        WITH t AS (
+          SELECT user_id, event_id, event_type, value, ts FROM events
+          WHERE ts < TIMESTAMP '{CUTOFF}'
+          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+        b AS (
+          SELECT user_id, event_id, event_type, value, ts FROM events
+          WHERE ts >= TIMESTAMP '{CUTOFF}'
+          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        SELECT * FROM t WHERE user_id NOT IN (SELECT user_id FROM b)
+        UNION ALL
+        SELECT * FROM b WHERE event_type <> 'error'
+    """,
+    "delete_apply": """
+        WITH s AS (
+          SELECT user_id, event_id, event_type, value, ts FROM events
+          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+        SELECT * FROM s WHERE NOT EXISTS (
+          SELECT 1 FROM events e WHERE e.user_id = s.user_id AND e.event_type = 'error')
+    """,
+    "metrics_by_op": """
+        SELECT event_type,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+               min(event_id) AS min_seq,
+               max(event_id) AS max_seq
+        FROM events GROUP BY event_type
+    """,
+    "seq_dedup_union": """
+        SELECT event_type, count(*) AS n FROM (
+          SELECT DISTINCT event_id, event_type FROM (
+            SELECT event_id, event_type FROM events
+            UNION ALL
+            SELECT event_id, event_type FROM events))
+        GROUP BY event_type
+    """,
+    "sessionization": """
+        WITH g AS (
+          SELECT user_id,
+                 floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events)
+        SELECT user_id, count(*) AS n_events,
+               sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions
+        FROM g GROUP BY user_id
+    """,
+    "hourly_rollup": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    # ------------------------------------------------- relational
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+               round(CAST(sum({_REV}) AS DOUBLE), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem WHERE l_quantity < 45
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        FROM orders
+        QUALIFY rk <= 3
+    """,
+    "region_customer_rollup": """
+        SELECT r_name, count(*) AS n_customers,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "order_priority_revenue": f"""
+        SELECT o_orderpriority,
+               count(DISTINCT o_orderkey) AS n_orders,
+               round(CAST(sum({_REV}) AS DOUBLE), 2) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
+    # ------------------------------------------------- documents
+    "dedup_exact": r"""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "minhash_signatures": _MINHASH_SIGS + "SELECT * FROM sigs",
+    "minhash_lsh_pairs": _MINHASH_SIGS + """
+        , e AS (
+          SELECT doc_id, 0 AS band, mh0::VARCHAR || ':' || mh1::VARCHAR AS bh FROM sigs
+          UNION ALL
+          SELECT doc_id, 1 AS band, mh2::VARCHAR || ':' || mh3::VARCHAR AS bh FROM sigs)
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM e l JOIN e r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    """,
+    "ngram_jaccard_dups": f"""
+        WITH {_SHINGLES},
+        shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(i / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(i / (sa.n_sh + sb.n_sh - i), 4) >= 0.4
+    """,
+    "simhash16": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        tok AS (SELECT DISTINCT doc_id, t FROM toks, unnest(w) AS u(t)),
+        h AS (SELECT doc_id, {_md5long("t")} AS h FROM tok),
+        votes AS (SELECT doc_id,
+          {", ".join(f"sum(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS b{b}" for b in range(16))}
+          FROM h GROUP BY doc_id)
+        SELECT doc_id,
+          ({" + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))})::BIGINT AS simhash
+        FROM votes
+    """,
+    "lang_id": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        s AS (SELECT doc_id,
+              {", ".join(f"{_lang_score(lang)} AS {lang}" for lang in sorted(STOPWORDS))}
+              FROM toks),
+        u AS ({" UNION ALL ".join(f"SELECT doc_id, '{lang}' AS lang, {lang} AS score FROM s" for lang in sorted(STOPWORDS))}),
+        best AS (
+          SELECT doc_id, lang FROM u WHERE score > 0
+          QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) = 1)
+        SELECT s.doc_id, coalesce(best.lang, 'und') AS lang_pred
+        FROM s LEFT JOIN best USING (doc_id)
+    """,
+    "text_quality": rf"""
+        WITH f AS (
+          SELECT doc_id,
+                 len({_TOKS}) AS n_tokens,
+                 len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                   / greatest(length(text), 1) AS praw,
+                 len(list_filter({_TOKS}, x -> list_contains({_stop_list("en")}, x)))
+                   / greatest(len({_TOKS}), 1) AS sraw
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               round(praw, 4) AS punct_ratio,
+               round(sraw, 4) AS stopword_ratio,
+               round(least(n_tokens / 100.0, 1.0) * 0.3
+                     + least(sraw * 4.0, 1.0) * 0.4
+                     + (1.0 - least(praw * 5.0, 1.0)) * 0.3, 4) AS quality
+        FROM f
+    """,
+    "token_count": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
+        FROM documents
+    """,
+    "doc_fingerprint": r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_chars_norm
+        FROM documents
+    """,
+    # ------------------------------------------------- embeddings
+    "ann_cosine_topk": f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        s AS (
+          SELECT e.vec_id, {_COSINE_PAIR.replace("va[i]", "e.embedding[i]").replace("vb[i]", "q.qv[i]")} AS sim
+          FROM embeddings e, q, unnest(generate_series(1, len(e.embedding))) AS t(i)
+          WHERE e.vec_id <> 0
+          GROUP BY e.vec_id)
+        SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """,
+    "embedding_neardup_pairs": f"""
+        WITH p AS (
+          SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.embedding AS va, b.embedding AS vb
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id),
+        s AS (
+          SELECT label, id_a, id_b, {_COSINE_PAIR} AS sim
+          FROM p, unnest(generate_series(1, len(va))) AS t(i)
+          GROUP BY label, id_a, id_b)
+        SELECT label, id_a, id_b, sim FROM s WHERE sim >= 0.25
+    """,
+}

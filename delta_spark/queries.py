@@ -1,0 +1,393 @@
+"""Operator query surface for the driver contract (__spark_entry__.py).
+
+Each function takes (spark, sf_dir) and returns a DataFrame; the
+matching DuckDB oracle SQL lives in ``oracles.py``. Column aliases are
+kept identical on both sides (the driver hash-compares values after
+sorting columns by name).
+
+Determinism notes:
+  * every float that comes out of arithmetic is either produced by
+    exact DECIMAL summation then cast+rounded, or rounded after
+    deterministic scalar ops — so Spark and DuckDB agree bit-for-bit
+  * all content hashing is md5-based (portable across engines)
+  * every top-k has a total-order tie-break
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import lww_collapse
+from .functions import neardup, similarity, text as tx
+
+CUTOFF = "2024-01-16 00:00:00"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, scale: int = 6):
+    # decimal(18,6): wide enough for the data, narrow enough that a
+    # product of two stays within 38 digits in BOTH Spark and DuckDB
+    # (no precision-loss rounding on either side)
+    return F.col(c).cast(f"decimal(18,{scale})") if isinstance(c, str) else c.cast(
+        f"decimal(18,{scale})"
+    )
+
+
+# ===================================================== CDC surface
+# (events doubles as the changelog stand-in: event_id = seq,
+#  user_id = key, event_type = op — FIXTURES.md §3)
+
+
+def changelog_scan_filter(spark, sf_dir):
+    """S1/F1/F3: scan + predicate + projection (pushdown-checked)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter((F.col("event_type") != "error") & (F.col("value") > 100)).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+
+
+def lww_latest_state(spark, sf_dir):
+    """Q4: last-writer-wins per key via the engine's algebraic
+    collapse (map-side combinable aggregate, not a window)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    return lww_collapse(ev, ["user_id"], "event_id")
+
+
+def merge_upsert(spark, sf_dir):
+    """K2: MERGE emulation — target = state before CUTOFF, batch =
+    events after; batch wins per key, 'error' acts as DELETE."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    target = lww_collapse(ev.filter(F.col("ts") < CUTOFF), ["user_id"], "event_id")
+    batch = lww_collapse(ev.filter(F.col("ts") >= CUTOFF), ["user_id"], "event_id")
+    kept = target.join(batch.select("user_id"), "user_id", "left_anti")
+    return kept.unionByName(batch.filter(F.col("event_type") != "error"))
+
+
+def delete_apply(spark, sf_dir):
+    """K2-delete: keys with any 'error' event dropped from the latest
+    state (anti-join = NOT EXISTS)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    state = lww_collapse(ev, ["user_id"], "event_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    return state.join(errors, "user_id", "left_anti")
+
+
+def metrics_by_op(spark, sf_dir):
+    """M1/M2: per-op counters + bytes/latency-style aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(_dec("value")).cast("double"), 4).alias("sum_value"),
+        F.min("event_id").alias("min_seq"),
+        F.max("event_id").alias("max_seq"),
+    )
+
+
+def seq_dedup_union(spark, sf_dir):
+    """Q1/replay-dedup: doubled input (simulated at-least-once
+    delivery) collapses back to exactly-once counts."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    doubled = ev.unionAll(ev)
+    return doubled.distinct().groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def sessionization(spark, sf_dir):
+    """Per-key event-time sessions (gap > 30 min starts a new one)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; go via session-UTC timestamp to epoch
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return marked.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("new_s").alias("n_sessions")
+    )
+
+
+def hourly_rollup(spark, sf_dir):
+    """Windowed rollup: tumbling 1 h event-time buckets per op."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(_dec("value")).cast("double"), 4).alias("sum_value"),
+    )
+
+
+# ===================================================== relational breadth
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide aggregate with exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.filter(F.col("l_quantity") < 45)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc.cast("decimal(30,12)")).cast("double"), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def top_orders_per_customer(spark, sf_dir):
+    """Window top-k per group with deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def region_customer_rollup(spark, sf_dir):
+    """Broadcast star join: fact × two small dims (dims broadcast,
+    no shuffle of customer)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(_dec("c_acctbal")).cast("double"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def order_priority_revenue(spark, sf_dir):
+    """Fact-fact join + aggregate (shuffle join on orderkey)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum(rev.cast("decimal(30,12)")).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+# ===================================================== documents
+
+
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return neardup.exact_dedup_groups(d, "doc_id", "text")
+
+
+def minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return neardup.minhash_signatures(d, "doc_id", "text", num_hashes=4, k=3)
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sigs = neardup.minhash_signatures(d, "doc_id", "text", num_hashes=4, k=3)
+    return neardup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=2)
+
+
+def ngram_jaccard_dups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return neardup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.4)
+
+
+def simhash16(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return neardup.simhash(d, "doc_id", "text", bits=16)
+
+
+def lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.lang_id("text").alias("lang_pred"))
+
+
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    f = tx.quality_features("text")
+    return d.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        F.round(f["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(f["stopword_ratio"], 4).alias("stopword_ratio"),
+        tx.quality_score("text").alias("quality"),
+    )
+
+
+def token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.token_count("text").alias("n_tokens"))
+
+
+def doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.fingerprint("text").alias("fp"),
+        F.length(tx.normalized("text")).alias("n_chars_norm"),
+    )
+
+
+# ===================================================== embeddings
+
+
+def _decimal_cosine(va, vb):
+    """Order-independent cosine: per-element double products rounded
+    to 12 decimal places (DECIMAL cast) and summed exactly, so Spark
+    and the oracle agree bit-for-bit regardless of aggregation order.
+    The accumulator re-casts each step because Spark decimal addition
+    widens (28,12)+(28,12) → (29,12); the cast is lossless at these
+    magnitudes (|elements| ≤ ~1, ≤ few thousand dims)."""
+    DEC = "decimal(28,12)"
+    prod = F.zip_with(va, vb, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC))
+    sq = lambda v: F.transform(v, lambda x: (x.cast("double") * x.cast("double")).cast(DEC))  # noqa: E731
+    fold = lambda arr: F.aggregate(arr, F.lit(0).cast(DEC), lambda a, b: (a + b).cast(DEC))  # noqa: E731
+    dot, na, nb = fold(prod), fold(sq(va)), fold(sq(vb))
+    return F.round(
+        dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))), 4
+    )
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact top-10 vs the vec_id=0 query vector."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", _decimal_cosine(F.col("embedding"), F.col("qv")).alias("sim")
+        )
+    )
+    return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(10)
+
+
+def embedding_neardup_pairs(spark, sf_dir):
+    """Near-dup pairs within a label cell (IVF-style blocking bounds
+    the quadratic join to cell size)."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("label").alias("p"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("label").alias("p"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, ["p"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", _decimal_cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= 0.25)
+        .select(F.col("p").alias("label"), "id_a", "id_b", "sim")
+    )
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH buckets (scale
+    path; rows-only check — approximation has no SQL oracle)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return similarity.lsh_topk(
+        e.filter(F.col("vec_id") != 0), qv, "vec_id", "embedding", k=10, n_planes=6
+    )
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-cell search using label as the cell (rows-only)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return similarity.ivf_topk(
+        e.filter(F.col("vec_id") != 0), qv, "label", "vec_id", "embedding", k=10, n_probe=2
+    )
+
+
+# ===================================================== engine E2E (rows-only)
+
+
+def cdc_replay_transcripts(spark, sf_dir):
+    """Full-engine E2E: deterministic changelog → batch apply →
+    final transcript state (rows-only: the changelog is synthesized,
+    not one of the oracle's views)."""
+    import tempfile
+
+    from .changelog import ChangelogSpec, generate_and_write
+    from .lake import LakeTable
+    from .pipeline import Pipeline, PipelineConfig
+
+    d = tempfile.mkdtemp(prefix="cdc_replay_")
+    generate_and_write(
+        f"{d}/log", ChangelogSpec(n_events=1200, n_convs=24, seed=5, n_files=2)
+    )
+    cfg = PipelineConfig(
+        changelog_path=f"{d}/log",
+        table_path=f"{d}/tbl",
+        checkpoint_dir=f"{d}/ck",
+        generation=1,
+        num_buckets=8,
+    )
+    Pipeline(spark, cfg).run_batch()
+    return LakeTable.load(spark, cfg.table_path).read()
+
+
+def media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → mapInPandas
+    feature extraction (decode stubbed; rows-only)."""
+    from .functions import media
+
+    d = _t(spark, sf_dir, "documents")
+    m = media.synth_media_from_text(d, "doc_id", "text")
+    return media.extract_features(m)
+
+
+ALL_QUERIES = {
+    "changelog_scan_filter": changelog_scan_filter,
+    "lww_latest_state": lww_latest_state,
+    "merge_upsert": merge_upsert,
+    "delete_apply": delete_apply,
+    "metrics_by_op": metrics_by_op,
+    "seq_dedup_union": seq_dedup_union,
+    "sessionization": sessionization,
+    "hourly_rollup": hourly_rollup,
+    "q1_pricing_summary": q1_pricing_summary,
+    "top_orders_per_customer": top_orders_per_customer,
+    "region_customer_rollup": region_customer_rollup,
+    "order_priority_revenue": order_priority_revenue,
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "ngram_jaccard_dups": ngram_jaccard_dups,
+    "simhash16": simhash16,
+    "lang_id": lang_id,
+    "text_quality": text_quality,
+    "token_count": token_count,
+    "doc_fingerprint": doc_fingerprint,
+    "ann_cosine_topk": ann_cosine_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "cdc_replay_transcripts": cdc_replay_transcripts,
+    "media_features": media_features,
+}

@@ -15,21 +15,26 @@ DataFrame→DataFrame functions over the whole micro-batch:
 
 from __future__ import annotations
 
-import unicodedata
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-@F.pandas_udf(T.StringType())
-def nfc_normalize(s: pd.Series) -> pd.Series:
+def make_nfc_normalize():
     """Unicode NFC normalization — not expressible in built-in Spark
     SQL functions, so it runs as an Arrow-batched pandas UDF (the
     reference's row-at-a-time Transformation.transformValue becomes a
-    columnar batch op)."""
-    return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+    columnar batch op). Built inside a factory so cloudpickle ships the
+    closure by value (executors don't need delta_spark importable)."""
+
+    @F.pandas_udf(T.StringType())
+    def nfc_normalize(s: pd.Series) -> pd.Series:
+        import unicodedata as _ud
+
+        return s.map(lambda x: _ud.normalize("NFC", x) if x is not None else None)
+
+    return nfc_normalize
 
 
 def normalize_text_expr(col: str):
@@ -59,7 +64,7 @@ class NormalizeText(Directive):
             F.when(F.col(self.col).isNotNull(), normalize_text_expr(self.col)),
         )
         if self.nfc:
-            out = out.withColumn(self.col, nfc_normalize(F.col(self.col)))
+            out = out.withColumn(self.col, make_nfc_normalize()(F.col(self.col)))
         return out
 
 
