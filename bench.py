@@ -40,27 +40,21 @@ BENCH_QUERIES = [
     "simhash16",
     "lang_id",
     "token_count",
-    "ann_cosine_topk",
-    "embedding_neardup_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "media_features",
 ]
+# ann_cosine_topk / embedding_neardup_pairs are correctness queries
+# (exact DECIMAL-summed cosine for the DuckDB oracle) — deliberately
+# not benched: the decimal lambda math is ~10x the cost of the double
+# path the LSH/IVF variants use, and the bench should measure the
+# scale path.
 
 
 def build_spark(cpus: int):
-    from pyspark.sql import SparkSession
+    from delta_spark.session import build_session
 
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("delta_spark_bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    return build_session(cpus=cpus, app_name="delta_spark_bench")
 
 
 def run_cdc_replay(spark, n_events: int, num_buckets: int, work_dir: str) -> dict:

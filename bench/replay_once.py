@@ -24,20 +24,9 @@ def main() -> None:
     ap.add_argument("--mode", choices=["batch", "stream"], default="batch")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    from delta_spark.session import build_session
 
-    spark = (
-        SparkSession.builder.master(f"local[{args.cpus}]")
-        .appName(f"cdc_replay_{args.cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(args.cpus, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = build_session(cpus=args.cpus, app_name=f"cdc_replay_{args.cpus}")
 
     from delta_spark.changelog import ChangelogSpec, generate_and_write
     from delta_spark.pipeline import Pipeline, PipelineConfig

@@ -25,10 +25,11 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from .dedup import dedup_by_seq, drop_seen, lww_collapse, lww_collapse_salted
+from ._obs import observe_get
+from .dedup import drop_seen, lww_collapse_salted
 from .lake import LakeTable
 from .schema import DDL_OPS, DML_OPS
 
@@ -107,87 +108,94 @@ def apply_batch(
     # rests on the seq-guarded MERGE, not on dropping.
     if assume_ordered:
         batch = drop_seen(batch, table.last_committed_seq(writer_id))
-    batch = dedup_by_seq(batch)
+    # duplicate-seq replays need no explicit dedup pass: they tie in
+    # the merge's argmax-by-seq with identical payloads (one shuffle
+    # saved; lineage rows_in counts raw delivered rows)
 
     if transforms:
         batch = transforms(batch)
 
-    batch = batch.cache()
-    try:
-        # one aggregation pass for metrics + DDL detection (tiny result)
-        agg = (
-            batch.groupBy("op")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(F.octet_length("text")).alias("bytes"),
-                F.max("seq").alias("mx"),
-                F.min("ingest_ts").alias("oldest"),
-            )
-            .collect()
-        )
-        stats.op_counts = {r["op"]: r["n"] for r in agg}
-        stats.rows_in = sum(r["n"] for r in agg)
-        stats.bytes_in = sum(r["bytes"] or 0 for r in agg)
-        stats.max_seq = max((r["mx"] for r in agg), default=-1) if agg else -1
-        oldest = min((r["oldest"] for r in agg if r["oldest"] is not None), default=None)
-        if oldest is not None:
-            stats.latency_s = max(0.0, time.time() - oldest.timestamp())
-        if stats.rows_in == 0:
-            stats.wall_ms = int((time.time() - t0) * 1000)
-            return stats
-
-        # DDL boundaries: DDL rows are rare control events — collecting
-        # them to the driver is the Spark analog of the reference's
-        # in-order single-event DDL apply (DeltaWorker.java:481-487)
-        ddl_rows = sorted(
-            batch.filter(F.col("op").isin(list(DDL_OPS)))
+    # DDL boundaries: DDL rows are rare control events — collecting
+    # them to the driver is the Spark analog of the reference's
+    # in-order single-event DDL apply (DeltaWorker.java:481-487).
+    # Column pruning makes this scan read only (op, seq, ddl).
+    # Dedup by seq here: at-least-once delivery replays DDL rows too,
+    # and a duplicated boundary would create a degenerate empty segment.
+    ddl_rows = sorted(
+        {
+            r["seq"]: r
+            for r in batch.filter(F.col("op").isin(list(DDL_OPS)))
             .select("seq", "ddl")
-            .collect(),
-            key=lambda r: r["seq"],
-        )
-        dml = batch.filter(F.col("op").isin(list(DML_OPS)))
+            .collect()
+        }.values(),
+        key=lambda r: r["seq"],
+    )
+    dml = batch.filter(F.col("op").isin(list(DML_OPS)))
 
-        segments: list[tuple[int, int, dict | None]] = []
-        lo = -(1 << 62)
-        for r in ddl_rows:
-            segments.append((lo, r["seq"], json.loads(r["ddl"])))
-            lo = r["seq"]
-        segments.append((lo, 1 << 62, None))
+    segments: list[tuple[int, int, dict | None]] = []
+    lo = -(1 << 62)
+    for r in ddl_rows:
+        segments.append((lo, r["seq"], json.loads(r["ddl"])))
+        lo = r["seq"]
+    segments.append((lo, 1 << 62, None))
+    for d in ddl_rows:
+        op = json.loads(d["ddl"])["op"]
+        stats.op_counts[op] = stats.op_counts.get(op, 0) + 1
 
-        collapse = (
-            (lambda df: lww_collapse_salted(df, table.key_cols, "seq", salt_buckets))
-            if salt_buckets
-            else (lambda df: lww_collapse(df, table.key_cols, "seq"))
-        )
+    # No pre-collapse and no cache: the merge's single argmax-by-seq
+    # aggregation handles duplicate keys, duplicate-seq replays, and
+    # the target in one shuffle, and per-segment metrics are collected
+    # via observe() DURING that same job. The salted two-phase
+    # pre-collapse remains as an opt-in for pathologically hot keys
+    # (one key overwhelming a reducer even after map-side combine).
+    pre = (
+        (lambda df: lww_collapse_salted(df, table.key_cols, "seq", salt_buckets))
+        if salt_buckets
+        else (lambda df: df)
+    )
 
-        for i, (s_lo, s_hi, ddl_after) in enumerate(segments):
-            sub_id = f"{batch_id}.{i}" if len(segments) > 1 else batch_id
-            if not table.is_applied(writer_id, sub_id):
-                sub = dml.filter((F.col("seq") > s_lo) & (F.col("seq") < s_hi))
-                sub = _rewrite_to_current(sub, table)
-                collapsed = collapse(sub)
-                res = table.merge(
-                    collapsed,
-                    writer_id,
-                    sub_id,
-                    summary={"max-seq": int(min(stats.max_seq, s_hi - 1))},
-                )
-                if res:
-                    stats.upserts += res["upserts"]
-                    stats.deletes += res["deletes"]
-                    stats.buckets = sorted(set(stats.buckets) | set(res["buckets"]))
-            stats.sub_batches += 1
-            if ddl_after is not None:
-                if table.apply_ddl(ddl_after):
-                    stats.ddls_applied += 1
+    for i, (s_lo, s_hi, ddl_after) in enumerate(segments):
+        sub_id = f"{batch_id}.{i}" if len(segments) > 1 else batch_id
+        if not table.is_applied(writer_id, sub_id):
+            obs = Observation()
+            sub = dml.filter((F.col("seq") > s_lo) & (F.col("seq") < s_hi)).observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.count_if(F.col("op") == op).alias(op)
+                    for op in DML_OPS
+                ],
+                F.sum(F.octet_length("text")).alias("bytes"),
+                F.max("seq").alias("max_seq"),
+                F.min(F.unix_timestamp(F.col("ingest_ts").cast("timestamp"))).alias(
+                    "oldest"
+                ),
+            )
+            res = table.merge(pre(_rewrite_to_current(sub, table)), writer_id, sub_id)
+            if res is not None:
+                stats.upserts += res["upserts"]
+                stats.deletes += res["deletes"]
+                stats.buckets = sorted(set(stats.buckets) | set(res["buckets"]))
+                m = observe_get(obs)
+                if m is not None:
+                    stats.rows_in += m["n"]
+                    for op in DML_OPS:
+                        if m[op]:
+                            stats.op_counts[op] = stats.op_counts.get(op, 0) + m[op]
+                    stats.bytes_in += m["bytes"] or 0
+                    stats.max_seq = max(stats.max_seq, m["max_seq"] or -1)
+                    if m["oldest"] is not None:
+                        stats.latency_s = max(0.0, time.time() - m["oldest"])
+        stats.sub_batches += 1
+        if ddl_after is not None:
+            if table.apply_ddl(ddl_after):
+                stats.ddls_applied += 1
 
-        stats.applied = True
-        stats.wall_ms = int((time.time() - t0) * 1000)
-        if lineage:
-            write_lineage(table, stats)
-        return stats
-    finally:
-        batch.unpersist()
+    stats.applied = True
+    stats.wall_ms = int((time.time() - t0) * 1000)
+    if lineage:
+        write_lineage(table, stats)
+    return stats
 
 
 def write_lineage(table: LakeTable, stats: ApplyStats) -> None:

@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .._obs import observe_get
+from ..dedup import lww_collapse
 from ..schema import can_widen
 
 _TYPES = {
@@ -190,7 +192,12 @@ class LakeTable:
         return [s["summary"] for s in self.metadata["snapshots"]]
 
     def is_applied(self, writer_id: str, batch_id: str) -> bool:
-        """Exactly-once check: has (writer-id, batch-id) committed?"""
+        """Exactly-once check: has (writer-id, batch-id) committed?
+        Markers of expired snapshots live on in ``applied_markers``
+        (production would prune markers older than the streaming
+        checkpoint horizon — a replay can never reach further back)."""
+        if str(batch_id) in self.metadata.get("applied_markers", {}).get(writer_id, []):
+            return True
         return any(
             s["summary"].get("writer-id") == writer_id
             and s["summary"].get("batch-id") == str(batch_id)
@@ -218,7 +225,10 @@ class LakeTable:
         )
 
     def read(
-        self, buckets: list[int] | None = None, include_system: bool = False
+        self,
+        buckets: list[int] | None = None,
+        include_system: bool = False,
+        snapshot_id: int | None = None,
     ) -> DataFrame:
         """Read the current snapshot (optionally pruned to buckets),
         aligned to the current schema. Files written under older schema
@@ -228,8 +238,17 @@ class LakeTable:
         System columns ``_seq`` (version guard) and ``_deleted``
         (tombstone) are stored in every data file; default reads hide
         tombstoned rows and drop the system columns (the MoR-style
-        read of an Iceberg equality-delete table)."""
-        snap = self.current_snapshot
+        read of an Iceberg equality-delete table).
+
+        ``snapshot_id`` time-travels to an earlier (unexpired)
+        snapshot — data files are immutable, so any retained snapshot
+        is fully reconstructable (Iceberg VERSION AS OF)."""
+        if snapshot_id is not None:
+            snap = next(
+                s for s in self.metadata["snapshots"] if s["id"] == snapshot_id
+            )
+        else:
+            snap = self.current_snapshot
         cur = self.fields
         if snap is None or not snap["files"]:
             empty = self._schema_with_system() if include_system else self.schema
@@ -299,11 +318,19 @@ class LakeTable:
         sv = self.metadata["schema_version"]
         for p in sorted(glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet"))):
             bucket = int(p.split("_bucket=")[1].split(os.sep)[0])
+            try:  # row counts from parquet footers (local metadata read;
+                # on a real cluster this comes from task commit messages)
+                import pyarrow.parquet as pq
+
+                rows = pq.ParquetFile(p).metadata.num_rows
+            except Exception:
+                rows = None
             entries.append(
                 {
                     "path": os.path.relpath(p, self.path),
                     "bucket": bucket,
                     "schema_version": sv,
+                    "rows": rows,
                 }
             )
         return entries
@@ -342,9 +369,11 @@ class LakeTable:
     ) -> dict | None:
         """Copy-on-write MERGE keyed on ``key_cols``, guarded by seq.
 
-        ``batch`` must be collapsed to ONE row per key (last writer
-        wins upstream) and carry the current-schema payload columns
-        plus ``op_col`` and ``seq_col``. Semantics = Iceberg/SQL MERGE
+        ``batch`` carries the current-schema payload columns plus
+        ``op_col`` and ``seq_col``; it does NOT need to be
+        pre-collapsed — the merge's own argmax-by-seq collapses
+        duplicate keys, duplicate-seq replays, and target rows in one
+        aggregation (one shuffle). Semantics = Iceberg/SQL MERGE
         with a version guard (the standard CDC-upsert shape):
           WHEN MATCHED AND src.seq > tgt._seq AND op=DELETE → DELETE
           WHEN MATCHED AND src.seq > tgt._seq              → UPDATE *
@@ -362,16 +391,25 @@ class LakeTable:
         algebraic LWW collapse (partial-agg map-side combine) →
         rewrite ONLY affected buckets. The big unaffected remainder of
         the table is untouched metadata; the shuffle is bounded by the
-        affected buckets + batch. Returns commit stats, or None if
-        (writer-id, batch-id) was already applied (idempotent replay —
-        reference contract EventConsumer.java:39-76).
+        affected buckets + batch. Batch-side counts and max-seq are
+        collected with ``observe`` DURING the write job — the whole
+        merge is ONE pass over the batch when the table is empty, two
+        (distinct-buckets probe + write) when it isn't. Returns commit
+        stats, or None if (writer-id, batch-id) was already applied
+        (idempotent replay — reference contract EventConsumer.java:39-76).
         """
+        from pyspark.sql import Observation
+
         if self.is_applied(writer_id, batch_id):
             return None
         payload = [f["name"] for f in self.fields]
         keys = self.key_cols
-        batch = batch.withColumn("_bucket", self.bucket_expr()).cache()
-        try:
+        batch = batch.withColumn("_bucket", self.bucket_expr())
+        cur = self.current_snapshot
+        has_files = bool(cur and cur["files"])
+        if has_files:
+            # cheap probe: column pruning means this reads only the
+            # bucket-key column from the batch source
             affected = sorted(
                 r[0] for r in batch.select("_bucket").distinct().collect()
             )
@@ -380,48 +418,55 @@ class LakeTable:
             target = self.read(buckets=affected, include_system=True).withColumn(
                 "_bucket", self.bucket_expr()
             )
-            batch_sys = batch.select(
-                *payload,
-                F.col(seq_col).cast("long").alias("_seq"),
-                (F.col(op_col) == delete_op).alias("_deleted"),
-                F.col("_bucket"),
-            )
-            n_batch = batch.count()
-            n_del = batch.filter(F.col(op_col) == delete_op).count()
-            combined = target.unionByName(batch_sys)
-            # argmax-by-_seq per key: map-side partial combine collapses
-            # hot keys before the shuffle (see dedup.lww_collapse)
-            others = [c for c in combined.columns if c not in keys]
-            new_data = (
-                combined.groupBy(*keys)
-                .agg(F.max_by(F.struct(*others), F.col("_seq")).alias("_r"))
-                .select(*keys, *[F.col(f"_r.{c}").alias(c) for c in others])
-            )
-            files_new = self._write_data(new_data, f"snap-{uuid.uuid4().hex[:12]}")
-            cur = self.current_snapshot
-            kept = [
-                f for f in (cur["files"] if cur else []) if f["bucket"] not in set(affected)
-            ]
-            self._commit_snapshot(
-                kept + files_new,
-                {
-                    "operation": "merge",
-                    "writer-id": writer_id,
-                    "batch-id": str(batch_id),
-                    "upserts": n_batch - n_del,
-                    "deletes": n_del,
-                    "rewritten-buckets": len(affected),
-                    **(summary or {}),
-                },
-            )
-            return {
-                "buckets": affected,
-                "files": len(files_new),
+            kept = [f for f in cur["files"] if f["bucket"] not in set(affected)]
+        else:
+            affected = None  # derived from written files post-hoc
+            target = None
+            kept = list(cur["files"]) if cur else []
+
+        obs = Observation()
+        batch_sys = batch.select(
+            *payload,
+            F.col(seq_col).cast("long").alias("_seq"),
+            (F.col(op_col) == delete_op).alias("_deleted"),
+            F.col("_bucket"),
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("_deleted")).alias("dels"),
+            F.max("_seq").alias("max_seq"),
+        )
+        combined = target.unionByName(batch_sys) if target is not None else batch_sys
+        # argmax-by-_seq per key in ONE aggregation (map-side partial
+        # combine collapses hot keys before the shuffle)
+        new_data = lww_collapse(combined, keys, "_seq")
+        files_new = self._write_data(new_data, f"snap-{uuid.uuid4().hex[:12]}")
+        m = observe_get(obs) or {"n": 0, "dels": 0, "max_seq": None}
+        n_batch, n_del = m["n"], m["dels"] or 0
+        if affected is None:
+            affected = sorted({f["bucket"] for f in files_new})
+        if n_batch == 0 and not files_new:
+            return {"buckets": [], "files": 0, "upserts": 0, "deletes": 0}
+        self._commit_snapshot(
+            kept + files_new,
+            {
+                "operation": "merge",
+                "writer-id": writer_id,
+                "batch-id": str(batch_id),
                 "upserts": n_batch - n_del,
                 "deletes": n_del,
-            }
-        finally:
-            batch.unpersist()
+                "rewritten-buckets": len(affected),
+                "max-seq": int(m["max_seq"]) if m["max_seq"] is not None else -1,
+                **(summary or {}),
+            },
+        )
+        return {
+            "buckets": affected,
+            "files": len(files_new),
+            "upserts": n_batch - n_del,
+            "deletes": n_del,
+            "max_seq": int(m["max_seq"]) if m["max_seq"] is not None else -1,
+        }
 
     # ------------------------------------------------------ DDL
 
@@ -468,3 +513,66 @@ class LakeTable:
         meta["schemas"] = {**meta["schemas"], str(sv): fields}
         self._write_metadata(meta, expected_version=self.metadata["version"])
         return True
+
+    # ------------------------------------------------ maintenance
+
+    def expire_snapshots(self, keep_last: int = 5, delete_files: bool = True) -> int:
+        """Expire all but the newest ``keep_last`` snapshots and delete
+        data files no retained snapshot references (Iceberg
+        expire_snapshots). Exactly-once markers of expired snapshots
+        are folded into ``applied_markers`` so replay detection
+        survives expiry. A per-micro-batch streaming sink MUST run this
+        periodically or metadata grows without bound."""
+        snaps = self.metadata["snapshots"]
+        if len(snaps) <= keep_last:
+            return 0
+        snaps_sorted = sorted(snaps, key=lambda s: s["id"])
+        expired, retained = snaps_sorted[:-keep_last], snaps_sorted[-keep_last:]
+        markers = {k: list(v) for k, v in self.metadata.get("applied_markers", {}).items()}
+        for s in expired:
+            w, b = s["summary"].get("writer-id"), s["summary"].get("batch-id")
+            if w and b:
+                markers.setdefault(w, [])
+                if b not in markers[w]:
+                    markers[w].append(b)
+        live = {f["path"] for s in retained for f in s["files"]}
+        dead = {
+            f["path"] for s in expired for f in s["files"] if f["path"] not in live
+        }
+        meta = dict(self.metadata)
+        meta["snapshots"] = retained
+        meta["applied_markers"] = markers
+        self._write_metadata(meta, expected_version=self.metadata["version"])
+        if delete_files:
+            for rel in dead:
+                try:
+                    os.remove(os.path.join(self.path, rel))
+                except FileNotFoundError:
+                    pass
+        return len(expired)
+
+    def compact(self, max_files_per_bucket: int = 4) -> int:
+        """Rewrite buckets whose file count exceeds the threshold into
+        one file set (bin-packing compaction). Data is unchanged; the
+        commit carries no writer/batch marker (maintenance, not apply).
+        Small files accumulate one-per-bucket-per-micro-batch in a
+        streaming sink — compaction keeps read amplification flat."""
+        cur = self.current_snapshot
+        if cur is None:
+            return 0
+        by_bucket: dict[int, int] = {}
+        for f in cur["files"]:
+            by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
+        crowded = sorted(b for b, n in by_bucket.items() if n > max_files_per_bucket)
+        if not crowded:
+            return 0
+        data = self.read(buckets=crowded, include_system=True).withColumn(
+            "_bucket", self.bucket_expr()
+        )
+        files_new = self._write_data(data, f"compact-{uuid.uuid4().hex[:12]}")
+        kept = [f for f in cur["files"] if f["bucket"] not in set(crowded)]
+        self._commit_snapshot(
+            kept + files_new,
+            {"operation": "compact", "compacted-buckets": len(crowded)},
+        )
+        return len(crowded)

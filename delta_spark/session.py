@@ -1,0 +1,49 @@
+"""SparkSession builder with the engine's recommended local-mode
+config. On a real cluster most of these come from spark-submit conf;
+the ones that matter for the CDC replay shape:
+
+  * shuffle partitions ≈ cores (a micro-batch's collapse shuffle has no
+    business creating 200 tiny partitions locally)
+  * files.maxPartitionBytes small enough that the changelog scan
+    parallelizes (default 128m coalesces a few-hundred-MB replay into
+    ~2 map tasks — measured 2x end-to-end cost)
+  * AQE on (runtime coalescing + skew splitting)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    cpus: int | None = None,
+    app_name: str = "delta_spark",
+    driver_mem: str | None = None,
+    max_partition_bytes: str | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            max_partition_bytes
+            or os.environ.get("BENCH_MAX_PARTITION_BYTES", "16m"),
+        )
+        .config("spark.driver.memory", driver_mem or os.environ.get("BENCH_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    s = b.getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    return s

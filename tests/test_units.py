@@ -1,0 +1,183 @@
+"""Unit tests: dedup algebra, transforms, assessment, media stubs,
+similarity (reference analog: operator-level unit layer, SURVEY.md §5)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_spark import assess
+from delta_spark.dedup import (
+    dedup_by_seq,
+    lww_collapse,
+    lww_collapse_salted,
+    lww_collapse_window,
+)
+from delta_spark.schema import TRANSCRIPT_SCHEMA
+from delta_spark.transform import (
+    CastColumn,
+    NormalizeText,
+    RenameColumn,
+    SetValue,
+    chain,
+)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        (1, "k1", 1, "a"),
+        (2, "k1", 1, "b"),
+        (5, "k1", 1, "e"),
+        (3, "k2", 1, "c"),
+        (3, "k2", 1, "c"),  # duplicate seq
+        (4, "k2", 2, "d"),
+    ]
+    return spark.createDataFrame(rows, "seq long, conv_id string, turn_idx int, text string")
+
+
+def test_lww_variants_agree(ev):
+    keys = ["conv_id", "turn_idx"]
+    cols = ["conv_id", "turn_idx", "seq", "text"]
+    a = lww_collapse(ev, keys).select(cols).orderBy(*keys).collect()
+    b = lww_collapse_salted(ev, keys, salt_buckets=4).select(cols).orderBy(*keys).collect()
+    c = lww_collapse_window(ev, keys).select(cols).orderBy(*keys).collect()
+    assert a == b == c
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in a}
+    assert got == {("k1", 1): "e", ("k2", 1): "c", ("k2", 2): "d"}
+
+
+def test_dedup_by_seq(ev):
+    assert dedup_by_seq(ev).count() == 5
+
+
+def test_lww_plan_is_partial_aggregate(ev):
+    plan = lww_collapse(ev, ["conv_id", "turn_idx"])._jdf.queryExecution().executedPlan().toString()
+    # aggregate path → map-side partial combine before the exchange
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_transform_chain(spark):
+    df = spark.createDataFrame(
+        [("  Hello\t\tWorld \n", 1)], "text string, v int"
+    )
+    fn = chain(
+        [
+            NormalizeText("text"),
+            RenameColumn("v", "version"),
+            CastColumn("version", "bigint"),
+            SetValue("source", "cdc"),
+        ]
+    )
+    row = fn(df).collect()[0]
+    assert row["text"] == "Hello World"
+    assert row["version"] == 1 and isinstance(row["version"], int)
+    assert row["source"] == "cdc"
+    assert fn(df).schema["version"].dataType.simpleString() == "bigint"
+
+
+def test_nfc_normalize(spark):
+    fn = chain([NormalizeText("text", nfc=True)])
+    # e + combining acute (NFD) -> é (NFC)
+    df = spark.createDataFrame([("étude",)], "text string")
+    assert fn(df).collect()[0]["text"] == "étude"
+
+
+def test_assess_source_only():
+    a = assess.assess_table(TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"])
+    assert a.ok and all(c.support == "YES" for c in a.columns)
+
+
+def test_assess_missing_pk_and_unselected():
+    a = assess.assess_table(TRANSCRIPT_SCHEMA, ["conv_id", "nope"])
+    assert not a.ok and any("nope" in p for p in a.problems)
+    b = assess.assess_table(
+        TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], selected_columns=["conv_id", "text"]
+    )
+    assert any("turn_idx" in p for p in b.problems)
+
+
+def test_assess_against_target(spark, tmp_path):
+    from delta_spark.lake import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"]
+    )
+    src = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("extra", T.StringType(), True),  # needs ADD_COLUMN
+            T.StructField("ts", T.StringType(), True),     # string vs timestamp: NO
+        ]
+    )
+    a = assess.assess_table(src, ["conv_id", "turn_idx"], target=t)
+    by_name = {c.name: c for c in a.columns}
+    assert by_name["extra"].support == "PARTIAL"
+    assert by_name["ts"].support == "NO"
+    assert by_name["text"].support == "YES"
+    assert not a.ok
+
+
+def test_unsupported_type():
+    src = T.StructType([T.StructField("m", T.MapType(T.StringType(), T.StringType()))])
+    a = assess.assess_table(src, [])
+    assert a.columns[0].support == "NO"
+
+
+def test_media_pipeline(spark):
+    from delta_spark.functions import media
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i} " * (i + 1)) for i in range(9)], "doc_id long, text string"
+    )
+    m = media.synth_media_from_text(docs, "doc_id", "text")
+    feats = media.extract_features(m).toPandas()
+    assert len(feats) == 9
+    assert set(feats["kind"]) == {"image", "audio", "video"}
+    img = feats[feats["kind"] == "image"]
+    assert img["width"].notna().all() and img["duration_s"].isna().all()
+    aud = feats[feats["kind"] == "audio"]
+    assert aud["duration_s"].notna().all() and aud["width"].isna().all()
+    # deterministic: re-run equals
+    feats2 = media.extract_features(m).toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        feats2.sort_values("media_id").reset_index(drop=True),
+    )
+    plan = media.extract_features(m)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_frame_sample_plan(spark):
+    from delta_spark.functions import media
+
+    docs = spark.createDataFrame(
+        [(i, "x" * 100) for i in range(30)], "doc_id long, text string"
+    )
+    m = media.synth_media_from_text(docs, "doc_id", "text")
+    plan = media.frame_sample_plan(m, every_n=10).toPandas()
+    assert (plan["frame_indices"].map(len) >= 1).all()
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    """LSH top-k must share most results with brute force on clustered
+    vectors (sanity of the approximate path)."""
+    import numpy as np
+
+    from delta_spark.functions import similarity
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(4, 16))
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = base[c] + rng.normal(scale=0.15, size=16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    bf = [r["vec_id"] for r in similarity.brute_force_topk(df.filter("vec_id<>0"), q, k=10).collect()]
+    ap = [r["vec_id"] for r in similarity.lsh_topk(df.filter("vec_id<>0"), q, k=10, n_planes=4).collect()]
+    assert len(set(bf) & set(ap)) >= 5
