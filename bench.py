@@ -87,11 +87,24 @@ def run_cdc_replay(spark, n_events: int, num_buckets: int, work_dir: str) -> dic
             "rows_in": st.rows_in}
 
 
+def warmup(spark) -> None:
+    """First-touch costs (codegen JIT, parquet footer cache, Python
+    worker spawn) don't belong in per-query steady-state numbers."""
+    from pyspark.sql import functions as F
+
+    for t in ("events", "lineitem", "orders", "customer", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    df = spark.range(1000).toDF("x")
+    df.mapInPandas(lambda it: it, "x long").count()  # spawn py workers
+    df.groupBy((F.col("x") % 10)).agg(F.max(F.struct("x"))).count()
+
+
 def main() -> None:
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     from delta_spark.queries import ALL_QUERIES
 
+    warmup(spark)
     timings: dict[str, float] = {}
 
     # headline: CDC apply throughput
