@@ -26,12 +26,17 @@ def main() -> None:
 
     from delta_spark.session import build_session
 
-    spark = build_session(cpus=args.cpus, app_name=f"cdc_replay_{args.cpus}")
+    extra = {}
+    if os.environ.get("SCALE_LOCAL_DIR"):
+        extra["spark.local.dir"] = os.environ["SCALE_LOCAL_DIR"]
+    spark = build_session(cpus=args.cpus, app_name=f"cdc_replay_{args.cpus}", extra=extra)
 
     from delta_spark.changelog import ChangelogSpec, generate_and_write
     from delta_spark.pipeline import Pipeline, PipelineConfig
 
-    with tempfile.TemporaryDirectory(prefix=f"scale_{args.cpus}_") as wd:
+    with tempfile.TemporaryDirectory(
+        prefix=f"scale_{args.cpus}_", dir=os.environ.get("SCALE_WORK_BASE")
+    ) as wd:
         log_dir = args.log_dir
         n_events = args.events
         if log_dir is None:

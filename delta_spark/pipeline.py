@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .apply import ApplyStats, apply_batch
 from .lake import LakeTable
 from .schema import CHANGELOG_SCHEMA, KEY_COLS, TRANSCRIPT_SCHEMA
+from .state import StateStore
 
 
 @dataclass
@@ -66,6 +67,7 @@ class Pipeline:
         self.cfg = cfg
         self.transforms = transforms
         self.stats: list[ApplyStats] = []
+        self.state = StateStore(cfg.table_path, cfg.pipeline_name)
 
     # ---------------------------------------------------- lifecycle
 
@@ -104,17 +106,31 @@ class Pipeline:
     # ---------------------------------------------------- streaming
 
     def _foreach_batch(self, table: LakeTable):
+        name = self.cfg.pipeline_name
+
         def _fn(batch_df: DataFrame, epoch_id: int):
-            st = apply_batch(
-                table.refresh(),
-                batch_df,
-                writer_id=self.cfg.writer_id,
-                batch_id=f"epoch-{epoch_id}",
-                op_blacklist=self.cfg.op_blacklist,
-                salt_buckets=self.cfg.salt_buckets,
-                transforms=self.transforms,
-            )
+            # reference: table SNAPSHOTTING until the initial load lands,
+            # then REPLICATING (DeltaTargetContext.setTableSnapshotting /
+            # setTableReplicating, DeltaTargetContext.java:94-112)
+            if table.refresh().current_snapshot is None:
+                self.state.set_snapshotting(name)
+            try:
+                st = apply_batch(
+                    table,
+                    batch_df,
+                    writer_id=self.cfg.writer_id,
+                    batch_id=f"epoch-{epoch_id}",
+                    op_blacklist=self.cfg.op_blacklist,
+                    salt_buckets=self.cfg.salt_buckets,
+                    transforms=self.transforms,
+                )
+            except Exception as e:
+                self.state.set_table_failing(name)
+                self.state.set_failing(repr(e))
+                raise
             self.stats.append(st)
+            self.state.set_replicating(name)
+            self.state.set_ok()
 
         return _fn
 
