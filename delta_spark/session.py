@@ -38,6 +38,11 @@ def build_session(
             or os.environ.get("BENCH_MAX_PARTITION_BYTES", "16m"),
         )
         .config("spark.driver.memory", driver_mem or os.environ.get("BENCH_DRIVER_MEM", "48g"))
+        # G1 (the JVM default) collapses under this workload's
+        # allocation pattern on the sandbox VM: measured 6x slower
+        # end-to-end than ParallelGC on an identical replay (and wildly
+        # erratic). Throughput GC is the right choice for batch anyway.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
