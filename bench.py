@@ -99,6 +99,33 @@ def warmup(spark) -> None:
     df.groupBy((F.col("x") % 10)).agg(F.max(F.struct("x"))).count()
 
 
+def run_cdc_stream(spark, n_events: int, work_dir: str) -> dict:
+    """Streaming tail: micro-batched apply through foreachBatch with
+    checkpointing (maxFilesPerTrigger-bounded admission)."""
+    from delta_spark.changelog import ChangelogSpec, generate_and_write
+    from delta_spark.pipeline import Pipeline, PipelineConfig
+
+    spec = ChangelogSpec(
+        n_events=n_events, n_convs=max(200, n_events // 100), seed=43, n_files=16
+    )
+    log_dir = os.path.join(work_dir, "log")
+    df = generate_and_write(log_dir, spec)
+    cfg = PipelineConfig(
+        changelog_path=log_dir,
+        table_path=os.path.join(work_dir, "tbl"),
+        checkpoint_dir=os.path.join(work_dir, "ck"),
+        generation=1,
+        num_buckets=max(2 * CPUS, 32),
+        max_files_per_trigger=4,
+    )
+    p = Pipeline(spark, cfg)
+    t0 = time.time()
+    p.run_stream_to_completion()
+    wall = time.time() - t0
+    return {"events": len(df), "sec": wall, "events_per_sec": len(df) / wall,
+            "batches": len(p.stats)}
+
+
 def main() -> None:
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -107,11 +134,15 @@ def main() -> None:
     warmup(spark)
     timings: dict[str, float] = {}
 
-    # headline: CDC apply throughput
+    # headline: CDC apply throughput (batch backfill + streaming tail)
     n_events = int(os.environ.get("BENCH_CDC_EVENTS", str(int(4_000_000 * SF))))
-    with tempfile.TemporaryDirectory(prefix="bench_cdc_") as wd:
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(prefix="bench_cdc_", dir=base) as wd:
         cdc = run_cdc_replay(spark, n_events, num_buckets=max(2 * CPUS, 32), work_dir=wd)
     timings["cdc_replay"] = round(cdc["sec"], 3)
+    with tempfile.TemporaryDirectory(prefix="bench_cdcs_", dir=base) as wd:
+        cdc_s = run_cdc_stream(spark, max(n_events // 4, 10_000), work_dir=wd)
+    timings["cdc_replay_stream"] = round(cdc_s["sec"], 3)
 
     for name in BENCH_QUERIES:
         fn = ALL_QUERIES[name]
@@ -131,6 +162,8 @@ def main() -> None:
                 "cpus": CPUS,
                 "cdc_events": cdc["events"],
                 "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
+                "cdc_stream_events_per_sec": round(cdc_s["events_per_sec"], 1),
+                "cdc_stream_batches": cdc_s["batches"],
             }
         )
     )

@@ -44,6 +44,8 @@ class PipelineConfig:
     salt_buckets: int = 0                  # >0 enables two-phase LWW
     op_blacklist: tuple = ()               # e.g. ("DELETE",)
     max_files_per_trigger: int | None = None
+    expire_every: int = 50                 # snapshots; 0 disables
+    expire_keep_last: int = 10
     transforms = None
 
     def __post_init__(self):
@@ -131,6 +133,13 @@ class Pipeline:
             self.stats.append(st)
             self.state.set_replicating(name)
             self.state.set_ok()
+            # periodic metadata maintenance: a per-micro-batch sink
+            # accumulates snapshots without bound otherwise
+            if (
+                self.cfg.expire_every
+                and len(table.metadata["snapshots"]) > self.cfg.expire_every
+            ):
+                table.expire_snapshots(keep_last=self.cfg.expire_keep_last)
 
         return _fn
 

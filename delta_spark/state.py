@@ -51,10 +51,11 @@ class StateStore:
             tables[changes.pop("table")] = changes.pop("table_state")
         new["tables"] = tables
         new.update(changes)
-        # save-on-change only (reference :107-121)
-        if {k: v for k, v in new.items() if k != "updated_ms"} != {
-            k: v for k, v in st.items() if k != "updated_ms"
-        }:
+        # save-on-change only (reference :107-121); first touch always
+        # persists so the state is observable
+        if not os.path.exists(self.path) or {
+            k: v for k, v in new.items() if k != "updated_ms"
+        } != {k: v for k, v in st.items() if k != "updated_ms"}:
             self._save(new)
 
     def set_snapshotting(self, table: str) -> None:
