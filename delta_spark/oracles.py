@@ -131,6 +131,14 @@ ALL_ORACLES: dict[str, str] = {
                round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    "skew_salted_agg": """
+        SELECT user_id, count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        FROM events GROUP BY user_id
+    """,
+    "watermark_dedup_stream": """
+        SELECT event_id, user_id, event_type FROM events
+    """,
     # ------------------------------------------------- relational
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,

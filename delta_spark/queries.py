@@ -128,6 +128,59 @@ def hourly_rollup(spark, sf_dir):
     )
 
 
+def skew_salted_agg(spark, sf_dir):
+    """Hot-key salting: two-phase aggregate over (key, salt) then key.
+    Counts/sums are algebraic so the phases compose exactly — the
+    oracle is the plain one-phase GROUP BY (north-rule skew handling,
+    checked for value equality)."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    phase1 = salted.groupBy("user_id", "_salt").agg(
+        F.count("*").alias("pn"), F.sum(_dec("value")).alias("pv")
+    )
+    return phase1.groupBy("user_id").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv").cast("double"), 4).alias("sum_value"),
+    )
+
+
+def watermark_dedup_stream(spark, sf_dir):
+    """Q2/replay-dedup in STREAMING form: a doubled stream (simulated
+    at-least-once redelivery) through withWatermark + dropDuplicates
+    lands exactly-once in the sink. Runs a real micro-batch query on a
+    memory sink; the oracle is the distinct projection."""
+    import uuid
+
+    from delta_spark.schema import CHANGELOG_SCHEMA  # noqa: F401 (docs)
+
+    schema = _t(spark, sf_dir, "events").schema
+
+    def _src():  # file stream source requires a directory + glob
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    doubled = _src().unionAll(_src())
+    deduped = (
+        doubled.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> TZ for watermark
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # ===================================================== relational breadth
 
 
@@ -371,6 +424,8 @@ ALL_QUERIES = {
     "seq_dedup_union": seq_dedup_union,
     "sessionization": sessionization,
     "hourly_rollup": hourly_rollup,
+    "skew_salted_agg": skew_salted_agg,
+    "watermark_dedup_stream": watermark_dedup_stream,
     "q1_pricing_summary": q1_pricing_summary,
     "top_orders_per_customer": top_orders_per_customer,
     "region_customer_rollup": region_customer_rollup,
