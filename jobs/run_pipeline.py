@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the CDC pipeline.
+
+Cluster usage (the north-rule deployment shape):
+
+    zip -r delta_spark.zip delta_spark
+    spark-submit --py-files delta_spark.zip jobs/run_pipeline.py \
+        --changelog s3://…/changelog --table s3://…/transcripts \
+        --checkpoint s3://…/ck --mode stream --buckets 4096
+
+Local smoke:
+
+    python jobs/run_pipeline.py --changelog /dev/shm/log \
+        --table /tmp/tbl --checkpoint /tmp/ck --mode batch
+
+The session is created WITHOUT a hardcoded master so spark-submit's
+--master/--deploy-mode and executor conf apply; local runs fall back to
+local[*].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--changelog", required=True)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--mode", choices=["batch", "stream", "stream-continuous"], default="stream")
+    ap.add_argument("--pipeline-name", default="transcripts")
+    ap.add_argument("--generation", type=int, default=None)
+    ap.add_argument("--instance-id", type=int, default=0)
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--salt-buckets", type=int, default=0)
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--blacklist", default="", help="comma-separated ops to drop")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName(f"delta_spark-{args.pipeline_name}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from delta_spark.pipeline import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig(
+        changelog_path=args.changelog,
+        table_path=args.table,
+        checkpoint_dir=args.checkpoint,
+        pipeline_name=args.pipeline_name,
+        generation=args.generation,
+        instance_id=args.instance_id,
+        num_buckets=args.buckets,
+        salt_buckets=args.salt_buckets,
+        op_blacklist=tuple(x for x in args.blacklist.split(",") if x),
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    p = Pipeline(spark, cfg)
+    if args.mode == "batch":
+        st = p.run_batch()
+        print(json.dumps({"rows_in": st.rows_in, "upserts": st.upserts,
+                          "deletes": st.deletes, "ddls": st.ddls_applied,
+                          "wall_ms": st.wall_ms}))
+    elif args.mode == "stream":
+        p.run_stream_to_completion(timeout=24 * 3600)
+        print(json.dumps({"batches": len(p.stats),
+                          "rows_in": sum(s.rows_in for s in p.stats)}))
+    else:  # stream-continuous: tail forever (restart-on-failure outer loop
+        # is the scheduler's job, reference RetryConfig semantics)
+        q = p.run_stream(available_now=False)
+        q.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()
