@@ -93,16 +93,29 @@ def main() -> None:
     work_base = tempfile.mkdtemp(prefix="scaling_", dir=base_root)
     try:
         sys.path.insert(0, REPO)
-        from delta_spark.changelog import ChangelogSpec, generate_and_write
-
         log_dir = os.path.join(work_base, "log")
-        df = generate_and_write(
-            log_dir,
-            ChangelogSpec(
-                n_events=events, n_convs=max(200, events // 100), seed=42, n_files=64
-            ),
+        # generate with the Spark-native scale-free generator in its own
+        # short-lived JVM (the pandas golden generator is for oracle
+        # tests; at bench scale it is driver-bound)
+        subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from delta_spark.session import build_session
+from delta_spark.changelog import spark_generate
+spark = build_session(cpus=8, app_name="scale_gen",
+                      extra={{"spark.local.dir": {work_base!r} + "/gen_tmp"}})
+spark_generate(spark, {events}, {log_dir!r}, n_files=64)
+""",
+            ],
+            check=True,
+            capture_output=True,
+            text=True,
         )
-        total = len(df)
+        total = events
 
         runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
         for i in range(repeats):  # interleaved to cancel host drift

@@ -355,3 +355,77 @@ def oracle_apply(df: pd.DataFrame) -> pd.DataFrame:
     return final.sort_values(
         [c for c in ("conv_id", "turn_idx") if c in final.columns]
     ).reset_index(drop=True)
+
+
+def spark_generate(
+    spark,
+    n_events: int,
+    path: str,
+    n_convs: int | None = None,
+    n_files: int = 64,
+    seed: int = 42,
+    hot_frac_pct: int = 20,
+    update_pct: int = 30,
+    delete_pct: int = 1,
+    text_chars: int = 160,
+) -> int:
+    """Scale-free BENCH changelog generator: pure Spark expressions over
+    ``range(n)`` — parallel, no driver-side data, works at 10^10 rows.
+
+    Unlike ``generate_changelog`` (the golden-oracle generator), ops are
+    hash-assigned without per-key lifecycle ordering: fine for
+    throughput benchmarking (the LWW/tombstone merge is insensitive to
+    op sequences) but NOT for golden-state comparison. ``seq`` is the
+    row id, unique and dense.
+    """
+    from pyspark.sql import functions as F
+
+    n_convs = n_convs or max(200, n_events // 100)
+    filler = " lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    filler = filler * max(1, text_chars // len(filler) + 1)
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool"))
+    tools = F.array(F.lit(""), F.lit("search"), F.lit("python"), F.lit("browser"))
+
+    df = (
+        spark.range(1, n_events + 1, numPartitions=n_files)
+        .withColumn("seq", F.col("id"))
+        .withColumn("h", F.pmod(F.xxhash64(F.col("id") + F.lit(seed)), F.lit(1_000_000)))
+        .withColumn(
+            "conv",
+            F.when(F.col("h") % 1000 < hot_frac_pct * 10, F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(F.col("id") * 7 + F.lit(seed)), F.lit(n_convs))
+            ),
+        )
+        .withColumn("turn", F.pmod(F.xxhash64(F.col("id") * 13), F.lit(400)).cast("int"))
+        .withColumn(
+            "op",
+            F.when(F.col("h") % 100 < delete_pct, F.lit("DELETE"))
+            .when(F.col("h") % 100 < delete_pct + update_pct, F.lit("UPDATE"))
+            .otherwise(F.lit("INSERT")),
+        )
+        .withColumn("is_dml", F.lit(True))
+        .select(
+            F.col("seq"),
+            F.col("op"),
+            F.concat(F.lit("c"), F.col("conv")).alias("conv_id"),
+            F.col("turn").alias("turn_idx"),
+            F.element_at(roles, (F.pmod(F.col("conv") + F.col("turn"), F.lit(4)) + 1).cast("int")).alias("role"),
+            F.when(
+                F.col("op") != "DELETE",
+                F.concat(
+                    F.lit("conv="), F.col("conv"), F.lit(" turn="), F.col("turn"),
+                    F.lit(" s"), F.col("seq"), F.lit(filler),
+                ),
+            ).alias("text"),
+            F.element_at(tools, (F.col("h") % 4 + 1).cast("int")).alias("tool"),
+            (F.lit("2025-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=F.col("conv") * 60 + F.col("turn"))).alias("ts"),
+            F.lit(None).cast("string").alias("prev_text"),
+            F.lit(False).alias("is_snapshot"),
+            (F.lit("2025-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=F.col("seq") / 10)).alias("ingest_ts"),
+            F.lit(None).cast("string").alias("ddl"),
+        )
+    )
+    df.write.mode("overwrite").parquet(path)
+    return n_events
