@@ -88,3 +88,24 @@ def test_oracle_apply_basic():
     )
     assert merged.empty
     assert len(final) == len(last) - len(deleted)
+
+
+def test_spark_generate_bench_source(spark, tmp_path):
+    """Scale-free Spark-native bench generator: row count, op mix,
+    hot-key share, dense unique seq."""
+    from delta_spark.changelog import spark_generate
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "slog")
+    n = spark_generate(spark, 50_000, path, n_files=4, seed=42)
+    df = spark.read.parquet(path)
+    assert df.count() == n == 50_000
+    assert df.select("seq").distinct().count() == n
+    mix = {r["op"]: r["count"] for r in df.groupBy("op").count().collect()}
+    assert 0.25 < mix["UPDATE"] / n < 0.35
+    assert 0.005 < mix["DELETE"] / n < 0.02
+    hot = df.filter(F.col("conv_id") == "c0").count() / n
+    assert 0.15 < hot < 0.25
+    # DELETE rows carry no image; others do
+    assert df.filter("op='DELETE' and text is not null").count() == 0
+    assert df.filter("op<>'DELETE' and text is null").count() == 0
