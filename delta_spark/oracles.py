@@ -122,7 +122,7 @@ ALL_ORACLES: dict[str, str] = {
                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
           FROM events)
         SELECT user_id, count(*) AS n_events,
-               sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions
+               sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions
         FROM g GROUP BY user_id
     """,
     "hourly_rollup": """

@@ -25,6 +25,10 @@ CUTOFF = "2024-01-16 00:00:00"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver owns the session; timestamps only hash-match the
+    # DuckDB oracle (naive UTC) under a UTC session zone, so pin it
+    # (runtime-settable, idempotent)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
