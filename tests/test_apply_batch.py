@@ -134,3 +134,55 @@ def test_bucket_pruning_incremental(spark, tmp_path):
         table.read().filter("text = 'patched'").count()
     )
     assert patched == len(inc.drop_duplicates(["conv_id", "turn_idx"]))
+
+
+def test_rename_key_column_remaps(spark, tmp_path):
+    """RENAME of a KEY column: later events still address the original
+    name; the id-based rewrite remaps them and the merge key follows
+    (FIXTURES replay_ddl: 'renamed key remapped'; reference analog:
+    TransformationUtil.transformDDLEvent PK remap)."""
+    import pandas as pd
+
+    from delta_spark.apply import apply_batch
+    from delta_spark.changelog import ChangelogSpec, generate_changelog, write_changelog
+
+    spec = ChangelogSpec(
+        n_events=800,
+        n_convs=15,
+        seed=44,
+        include_ddl=True,
+        ddls=[{"op": "RENAME_COLUMN", "column": "conv_id", "new_name": "conversation_id"}],
+    )
+    raw = generate_changelog(spec)
+    log_dir = str(tmp_path / "log")
+    write_changelog(raw, log_dir, 2)
+    cfg = PipelineConfig(
+        changelog_path=log_dir,
+        table_path=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        generation=1,
+    )
+    p = Pipeline(spark, cfg)
+    st = p.run_batch()
+    assert st.ddls_applied == 1
+    table = LakeTable.load(spark, cfg.table_path)
+    assert table.key_cols == ["conversation_id", "turn_idx"]
+    assert table.bucket_col == "conversation_id"
+    expected = oracle_apply(raw).rename(columns={"conv_id": "conversation_id"})
+    actual = table.read().toPandas()[list(expected.columns)]
+    assert_pdf_equal(actual, expected, ["conversation_id", "turn_idx"])
+    # a post-rename incremental batch (still original names) lands on
+    # the SAME keys, not new ones
+    inc = raw[(raw["op"] == "INSERT")].drop_duplicates(["conv_id", "turn_idx"]).head(3).copy()
+    inc["seq"] = raw["seq"].max() + 1 + pd.RangeIndex(len(inc))
+    inc["op"] = "UPDATE"
+    inc["text"] = "renamed-key-patch"
+    write_changelog(inc, str(tmp_path / "inc"), 1)
+    from delta_spark.schema import CHANGELOG_SCHEMA
+
+    inc_df = spark.read.schema(CHANGELOG_SCHEMA).parquet(str(tmp_path / "inc"))
+    before = table.read().count()
+    apply_batch(table, inc_df, writer_id=cfg.writer_id, batch_id="inc")
+    after = table.read()
+    assert after.count() == before  # updates, no inserts
+    assert after.filter("text = 'renamed-key-patch'").count() == 3
