@@ -121,14 +121,18 @@ def apply_batch(
     # Column pruning makes this scan read only (op, seq, ddl).
     # Dedup by seq here: at-least-once delivery replays DDL rows too,
     # and a duplicated boundary would create a degenerate empty segment.
-    ddl_rows = sorted(
-        {
-            r["seq"]: r
-            for r in batch.filter(F.col("op").isin(list(DDL_OPS)))
-            .select("seq", "ddl")
-            .collect()
-        }.values(),
-        key=lambda r: r["seq"],
+    ddl_rows = (
+        sorted(
+            {
+                r["seq"]: r
+                for r in batch.filter(F.col("op").isin(list(DDL_OPS)))
+                .select("seq", "ddl")
+                .collect()
+            }.values(),
+            key=lambda r: r["seq"],
+        )
+        if "ddl" in batch.columns
+        else []
     )
     dml = batch.filter(F.col("op").isin(list(DML_OPS)))
 
@@ -158,18 +162,40 @@ def apply_batch(
         sub_id = f"{batch_id}.{i}" if len(segments) > 1 else batch_id
         if not table.is_applied(writer_id, sub_id):
             obs = Observation()
-            sub = dml.filter((F.col("seq") > s_lo) & (F.col("seq") < s_hi)).observe(
-                obs,
+            # bytes/latency metrics only when the batch carries the
+            # columns (a transform may rename `text`, and the engine
+            # API accepts any table shape — guard, don't assume)
+            have = set(dml.columns)
+            metrics = [
                 F.count(F.lit(1)).alias("n"),
-                *[
-                    F.count_if(F.col("op") == op).alias(op)
-                    for op in DML_OPS
-                ],
-                F.sum(F.octet_length("text")).alias("bytes"),
+                *[F.count_if(F.col("op") == op).alias(op) for op in DML_OPS],
                 F.max("seq").alias("max_seq"),
-                F.min(F.unix_timestamp(F.col("ingest_ts").cast("timestamp"))).alias(
-                    "oldest"
-                ),
+            ]
+            byte_cols = [
+                f.name
+                for f in dml.schema.fields
+                if f.name in have
+                and f.name not in ("op",)
+                and f.dataType.simpleString() in ("string", "binary")
+                and f.name in {fl["name"] for fl in table.fields}
+            ]
+            if byte_cols:
+                metrics.append(
+                    F.sum(
+                        sum(
+                            (F.coalesce(F.octet_length(c), F.lit(0)) for c in byte_cols),
+                            F.lit(0),
+                        )
+                    ).alias("bytes")
+                )
+            if "ingest_ts" in have:
+                metrics.append(
+                    F.min(
+                        F.unix_timestamp(F.col("ingest_ts").cast("timestamp"))
+                    ).alias("oldest")
+                )
+            sub = dml.filter((F.col("seq") > s_lo) & (F.col("seq") < s_hi)).observe(
+                obs, *metrics
             )
             res = table.merge(pre(_rewrite_to_current(sub, table)), writer_id, sub_id)
             if res is not None:
@@ -182,9 +208,9 @@ def apply_batch(
                     for op in DML_OPS:
                         if m[op]:
                             stats.op_counts[op] = stats.op_counts.get(op, 0) + m[op]
-                    stats.bytes_in += m["bytes"] or 0
+                    stats.bytes_in += m.get("bytes") or 0
                     stats.max_seq = max(stats.max_seq, m["max_seq"] or -1)
-                    if m["oldest"] is not None:
+                    if m.get("oldest") is not None:
                         stats.latency_s = max(0.0, time.time() - m["oldest"])
         stats.sub_batches += 1
         if ddl_after is not None:

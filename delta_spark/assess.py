@@ -49,7 +49,7 @@ def _compat(src: str, dst: str) -> str:
     if src == dst:
         return YES
     if (src, dst) in WIDENINGS:
-        return PARTIAL  # lossless widening applied on write
+        return PARTIAL  # widening cast applied on write (bigint->double lossy >2^53)
     return NO
 
 

@@ -116,29 +116,48 @@ class LakeTable:
         versions = glob.glob(os.path.join(path, "metadata", "v*.json"))
         if not versions:
             raise FileNotFoundError(f"no lake table at {path}")
-        latest = max(versions, key=lambda p: int(os.path.basename(p)[1:-5]))
-        with open(latest) as f:
-            return json.load(f)
+        # newest first; tolerate a trailing unparseable version file
+        # (cannot happen under the link()-atomic commit below, but a
+        # pre-crash writer or torn copy must never brick the table)
+        versions.sort(key=lambda p: int(os.path.basename(p)[1:-5]), reverse=True)
+        for i, p in enumerate(versions):
+            try:
+                with open(p) as f:
+                    return json.load(f)
+            except (json.JSONDecodeError, OSError):
+                if i == 0:
+                    continue
+                raise
+        raise FileNotFoundError(f"no readable metadata at {path}")
 
     def refresh(self) -> "LakeTable":
         self.metadata = self._read_metadata(self.path)
         return self
 
     def _write_metadata(self, meta: dict, expected_version: int | None) -> None:
-        """Optimistic-concurrency atomic commit: claim the next version
-        file with O_EXCL; a losing concurrent writer gets
-        CommitConflict and must refresh + retry (Iceberg's protocol)."""
+        """Optimistic-concurrency atomic commit: write the full document
+        to a temp file, fsync, then CLAIM the version with os.link —
+        link() is atomic and fails with FileExistsError when a
+        concurrent writer won (CommitConflict → refresh + retry,
+        Iceberg's protocol). A crash anywhere leaves either no v-file
+        or a complete one, never a truncated latest version (the temp
+        name doesn't match the v*.json metadata glob)."""
         new_version = 0 if expected_version is None else expected_version + 1
         meta = dict(meta, version=new_version)
         target = os.path.join(self.path, "metadata", f"v{new_version}.json")
-        try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        except FileExistsError as e:
-            raise CommitConflict(f"version {new_version} already committed") from e
-        with os.fdopen(fd, "w") as f:
+        tmp = os.path.join(
+            self.path, "metadata", f".v{new_version}-{uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(tmp, "w") as f:
             json.dump(meta, f)
             f.flush()
             os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {new_version} already committed") from e
+        finally:
+            os.unlink(tmp)
         self.metadata = meta
 
     # ------------------------------------------------------ schema
@@ -242,14 +261,20 @@ class LakeTable:
 
         ``snapshot_id`` time-travels to an earlier (unexpired)
         snapshot — data files are immutable, so any retained snapshot
-        is fully reconstructable (Iceberg VERSION AS OF)."""
+        is fully reconstructable, and rows align to the SCHEMA IN
+        EFFECT AT THAT SNAPSHOT (Iceberg VERSION AS OF: each snapshot
+        records its schema id; pre-rename history reads under the old
+        names)."""
         if snapshot_id is not None:
             snap = next(
                 s for s in self.metadata["snapshots"] if s["id"] == snapshot_id
             )
+            cur = self.metadata["schemas"][
+                str(snap.get("schema_version", self.metadata["schema_version"]))
+            ]
         else:
             snap = self.current_snapshot
-        cur = self.fields
+            cur = self.fields
         if snap is None or not snap["files"]:
             empty = self._schema_with_system() if include_system else self.schema
             return self.spark.createDataFrame([], empty)
@@ -294,6 +319,7 @@ class LakeTable:
             "id": sid,
             "parent": meta["current_snapshot_id"],
             "timestamp_ms": int(time.time() * 1000),
+            "schema_version": meta["schema_version"],
             "summary": summary,
             "files": files,
         }

@@ -46,7 +46,7 @@ class PipelineConfig:
     max_files_per_trigger: int | None = None
     expire_every: int = 50                 # snapshots; 0 disables
     expire_keep_last: int = 10
-    transforms = None
+    transforms: object = None              # Callable[[DataFrame], DataFrame]
 
     def __post_init__(self):
         if self.generation is None:
@@ -67,7 +67,7 @@ class Pipeline:
     def __init__(self, spark: SparkSession, cfg: PipelineConfig, transforms=None):
         self.spark = spark
         self.cfg = cfg
-        self.transforms = transforms
+        self.transforms = transforms if transforms is not None else cfg.transforms
         self.stats: list[ApplyStats] = []
         self.state = StateStore(cfg.table_path, cfg.pipeline_name)
 

@@ -60,21 +60,17 @@ CHANGELOG_SCHEMA = T.StructType(
 
 PAYLOAD_COLS = [f.name for f in TRANSCRIPT_FIELDS]
 
-# widening lattice for DDL_WIDEN_COLUMN — only loss-free widenings are
-# legal (reference standardizes types at assessment time,
-# delta-api/.../assessment/TableRegistry.java:64-70)
-_WIDEN_ORDER = {
-    "int": 0,
-    "bigint": 1,
-    "float": 0,
-    "double": 1,
-}
+# widening lattice for DDL_WIDEN_COLUMN (reference standardizes types
+# at assessment time, delta-api/.../assessment/TableRegistry.java:64-70).
+# int->bigint / int->double / float->double are loss-free. bigint->double
+# is the ONE standard-SQL widening kept despite precision loss above
+# 2^53 — assess_table labels it PARTIAL, not YES. int->float (lossy
+# above 2^24) is deliberately NOT legal.
 WIDENINGS = {
     ("int", "bigint"),
     ("int", "double"),
     ("float", "double"),
-    ("int", "float"),
-    ("bigint", "double"),  # lossy >2^53 but standard SQL widening
+    ("bigint", "double"),  # lossy >2^53; flagged PARTIAL at assessment
 }
 
 

@@ -186,3 +186,29 @@ def test_rename_key_column_remaps(spark, tmp_path):
     after = table.read()
     assert after.count() == before  # updates, no inserts
     assert after.filter("text = 'renamed-key-patch'").count() == 3
+
+
+def test_apply_generic_table_without_text_columns(spark, tmp_path):
+    """The engine API is table-shape generic: a batch/table without the
+    transcript's `text`/`ingest_ts` columns applies cleanly and the
+    byte/latency metrics are simply omitted (not AnalysisException)."""
+    from pyspark.sql import types as T
+
+    from delta_spark.apply import apply_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("val", T.IntegerType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, ["id"], "id", 4)
+    batch = spark.createDataFrame(
+        [(1, 10, "INSERT", 1), (2, 20, "INSERT", 2), (1, 11, "UPDATE", 3)],
+        "id int, val int, op string, seq long",
+    )
+    st = apply_batch(t, batch, writer_id="w1", batch_id="b0")
+    assert st.applied and st.rows_in == 3
+    assert st.bytes_in == 0 and st.latency_s is None
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got == {1: 11, 2: 20}

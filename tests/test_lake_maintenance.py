@@ -91,3 +91,55 @@ def test_compact_reduces_files(spark, tmp_path):
     )
     assert t.merge(df, "w1", "post") is not None
     assert t.read().filter("text = 'post-compact'").count() == 1
+
+
+def test_metadata_commit_is_atomic_and_tolerant(spark, tmp_path):
+    """A torn (truncated) latest metadata version must not brick the
+    table: _read_metadata falls back to the newest parseable version
+    (the link()-atomic commit makes torn files impossible going
+    forward, but a copied/half-synced table must still load)."""
+    import os
+
+    t = _mk_table(spark, str(tmp_path / "t"), n_batches=2)
+    good_version = t.metadata["version"]
+    torn = os.path.join(str(tmp_path / "t"), "metadata", f"v{good_version + 1}.json")
+    with open(torn, "w") as f:
+        f.write('{"version": ')  # truncated mid-write
+    t2 = LakeTable.load(spark, str(tmp_path / "t"))
+    assert t2.metadata["version"] == good_version
+    assert t2.read().count() == 100
+    os.remove(torn)
+
+
+def test_commit_conflict_on_concurrent_writers(spark, tmp_path):
+    """Two writers racing for the same next version: exactly one wins,
+    the loser gets CommitConflict (optimistic concurrency)."""
+    import pytest
+
+    from delta_spark.lake.table import CommitConflict
+
+    t = _mk_table(spark, str(tmp_path / "t"), n_batches=1)
+    loser = LakeTable.load(spark, str(tmp_path / "t"))
+    meta = dict(t.metadata)
+    t._write_metadata(meta, expected_version=t.metadata["version"])
+    with pytest.raises(CommitConflict):
+        loser._write_metadata(dict(loser.metadata), expected_version=loser.metadata["version"])
+
+
+def test_time_travel_uses_snapshot_schema(spark, tmp_path):
+    """VERSION-AS-OF reads align to the schema in effect AT that
+    snapshot: pre-rename history reads under the old column name
+    (Iceberg semantics — snapshots record their schema id)."""
+    t = _mk_table(spark, str(tmp_path / "t"), n_batches=1)
+    old_snap = t.current_snapshot["id"]
+    t.apply_ddl({"op": "RENAME_COLUMN", "column": "tool", "new_name": "tool_name"})
+    df = spark.createDataFrame(
+        [("c1", 777, "user", "post-rename", "", None, "INSERT", 10**6)],
+        "conv_id string, turn_idx int, role string, text string, tool_name string, "
+        "ts timestamp, op string, seq long",
+    )
+    t.merge(df, "w1", "post-rename")
+    assert "tool_name" in t.read().columns  # current reads: new name
+    old = t.read(snapshot_id=old_snap)
+    assert "tool" in old.columns and "tool_name" not in old.columns
+    assert old.count() == 50
