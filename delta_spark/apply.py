@@ -83,6 +83,7 @@ def apply_batch(
     transforms=None,
     lineage: bool = True,
     assume_ordered: bool = False,
+    merge_mode: str = "cow",
 ) -> ApplyStats:
     """Apply one micro-batch of changelog rows to ``table``.
 
@@ -115,113 +116,159 @@ def apply_batch(
     if transforms:
         batch = transforms(batch)
 
-    # DDL boundaries: DDL rows are rare control events — collecting
-    # them to the driver is the Spark analog of the reference's
-    # in-order single-event DDL apply (DeltaWorker.java:481-487).
-    # Column pruning makes this scan read only (op, seq, ddl).
-    # Dedup by seq here: at-least-once delivery replays DDL rows too,
-    # and a duplicated boundary would create a degenerate empty segment.
-    ddl_rows = (
-        sorted(
-            {
-                r["seq"]: r
-                for r in batch.filter(F.col("op").isin(list(DDL_OPS)))
-                .select("seq", "ddl")
-                .collect()
-            }.values(),
-            key=lambda r: r["seq"],
-        )
-        if "ddl" in batch.columns
-        else []
-    )
-    dml = batch.filter(F.col("op").isin(list(DML_OPS)))
-
-    segments: list[tuple[int, int, dict | None]] = []
-    lo = -(1 << 62)
-    for r in ddl_rows:
-        segments.append((lo, r["seq"], json.loads(r["ddl"])))
-        lo = r["seq"]
-    segments.append((lo, 1 << 62, None))
-    for d in ddl_rows:
-        op = json.loads(d["ddl"])["op"]
-        stats.op_counts[op] = stats.op_counts.get(op, 0) + 1
-
-    # No pre-collapse and no cache: the merge's single argmax-by-seq
-    # aggregation handles duplicate keys, duplicate-seq replays, and
-    # the target in one shuffle, and per-segment metrics are collected
-    # via observe() DURING that same job. The salted two-phase
-    # pre-collapse remains as an opt-in for pathologically hot keys
-    # (one key overwhelming a reducer even after map-side combine).
+    # The salted two-phase pre-collapse remains as an opt-in for
+    # pathologically hot keys (one key overwhelming a reducer even
+    # after map-side combine); otherwise the merge's single
+    # argmax-by-seq aggregation handles duplicate keys, duplicate-seq
+    # replays, and the target in one shuffle.
     pre = (
         (lambda df: lww_collapse_salted(df, table.key_cols, "seq", salt_buckets))
         if salt_buckets
         else (lambda df: df)
     )
 
+    def apply_segment(dml, s_lo, s_hi, sub_id, precommit=None):
+        """Observe-metered merge of the DML events in (s_lo, s_hi).
+        Returns the merge result: None when (writer, sub_id) already
+        committed, {'aborted': True} when ``precommit`` vetoed."""
+        if table.is_applied(writer_id, sub_id):
+            return None
+        obs = Observation()
+        # bytes/latency metrics only when the batch carries the
+        # columns (a transform may rename `text`, and the engine
+        # API accepts any table shape — guard, don't assume)
+        have = set(dml.columns)
+        metrics = [
+            F.count(F.lit(1)).alias("n"),
+            *[F.count_if(F.col("op") == op).alias(op) for op in DML_OPS],
+            F.max("seq").alias("max_seq"),
+        ]
+        byte_cols = [
+            f.name
+            for f in dml.schema.fields
+            if f.name in have
+            and f.name not in ("op",)
+            and f.dataType.simpleString() in ("string", "binary")
+            and f.name in {fl["name"] for fl in table.fields}
+        ]
+        if byte_cols:
+            metrics.append(
+                F.sum(
+                    sum(
+                        (F.coalesce(F.octet_length(c), F.lit(0)) for c in byte_cols),
+                        F.lit(0),
+                    )
+                ).alias("bytes")
+            )
+        if "ingest_ts" in have:
+            metrics.append(
+                F.min(F.unix_timestamp(F.col("ingest_ts").cast("timestamp"))).alias(
+                    "oldest"
+                )
+            )
+        sub = dml.filter((F.col("seq") > s_lo) & (F.col("seq") < s_hi)).observe(
+            obs, *metrics
+        )
+        res = table.merge(
+            pre(_rewrite_to_current(sub, table)),
+            writer_id,
+            sub_id,
+            mode=merge_mode,
+            precommit=precommit,
+        )
+        if res is not None and not res.get("aborted"):
+            stats.upserts += res["upserts"]
+            stats.deletes += res["deletes"]
+            stats.buckets = sorted(set(stats.buckets) | set(res["buckets"]))
+            m = observe_get(obs)
+            if m is not None:
+                stats.rows_in += m["n"]
+                for op in DML_OPS:
+                    if m[op]:
+                        stats.op_counts[op] = stats.op_counts.get(op, 0) + m[op]
+                stats.bytes_in += m.get("bytes") or 0
+                stats.max_seq = max(stats.max_seq, m["max_seq"] or -1)
+                if m.get("oldest") is not None:
+                    stats.latency_s = max(0.0, time.time() - m["oldest"])
+        return res
+
+    def finish():
+        stats.applied = True
+        stats.wall_ms = int((time.time() - t0) * 1000)
+        if lineage:
+            write_lineage(table, stats)
+        return stats
+
+    LO, HI = -(1 << 62), 1 << 62
+    has_ddl_col = "ddl" in batch.columns
+
+    # FAST PATH — one Spark job per micro-batch. DDL rows are rare
+    # control events, so apply the whole batch optimistically as a
+    # single segment and verify "no DDL" via observe() inside the SAME
+    # job; abort pre-commit and fall back to the segmented path only
+    # when DDL rows actually exist. This is what makes the streaming
+    # trickle cheap: no separate driver-side DDL probe pass.
+    if has_ddl_col:
+        obs_ddl = Observation()
+        probed = batch.observe(
+            obs_ddl, F.count_if(F.col("op").isin(list(DDL_OPS))).alias("n_ddl")
+        )
+
+        def no_ddl() -> bool:
+            m = observe_get(obs_ddl)
+            # unreadable observation (e.g. statically-empty plan) →
+            # conservatively take the slow path
+            return m is not None and (m["n_ddl"] or 0) == 0
+
+        res = apply_segment(
+            probed.filter(F.col("op").isin(list(DML_OPS))), LO, HI, batch_id,
+            precommit=no_ddl,
+        )
+        if res is None or not res.get("aborted"):
+            stats.sub_batches = 1
+            return finish()
+        stats.op_counts.clear()  # aborted fast path recorded nothing
+    else:
+        apply_segment(batch.filter(F.col("op").isin(list(DML_OPS))), LO, HI, batch_id)
+        stats.sub_batches = 1
+        return finish()
+
+    # SLOW PATH — the batch interleaves DDL. Collect the (rare) DDL
+    # boundary rows to the driver — the Spark analog of the reference's
+    # in-order single-event DDL apply (DeltaWorker.java:481-487);
+    # column pruning makes this scan read only (op, seq, ddl). Dedup by
+    # seq: at-least-once delivery replays DDL rows too, and a duplicated
+    # boundary would create a degenerate empty segment.
+    ddl_rows = sorted(
+        {
+            r["seq"]: r
+            for r in batch.filter(F.col("op").isin(list(DDL_OPS)))
+            .select("seq", "ddl")
+            .collect()
+        }.values(),
+        key=lambda r: r["seq"],
+    )
+    dml = batch.filter(F.col("op").isin(list(DML_OPS)))
+
+    segments: list[tuple[int, int, dict | None]] = []
+    lo = LO
+    for r in ddl_rows:
+        segments.append((lo, r["seq"], json.loads(r["ddl"])))
+        lo = r["seq"]
+    segments.append((lo, HI, None))
+    for d in ddl_rows:
+        op = json.loads(d["ddl"])["op"]
+        stats.op_counts[op] = stats.op_counts.get(op, 0) + 1
+
     for i, (s_lo, s_hi, ddl_after) in enumerate(segments):
         sub_id = f"{batch_id}.{i}" if len(segments) > 1 else batch_id
-        if not table.is_applied(writer_id, sub_id):
-            obs = Observation()
-            # bytes/latency metrics only when the batch carries the
-            # columns (a transform may rename `text`, and the engine
-            # API accepts any table shape — guard, don't assume)
-            have = set(dml.columns)
-            metrics = [
-                F.count(F.lit(1)).alias("n"),
-                *[F.count_if(F.col("op") == op).alias(op) for op in DML_OPS],
-                F.max("seq").alias("max_seq"),
-            ]
-            byte_cols = [
-                f.name
-                for f in dml.schema.fields
-                if f.name in have
-                and f.name not in ("op",)
-                and f.dataType.simpleString() in ("string", "binary")
-                and f.name in {fl["name"] for fl in table.fields}
-            ]
-            if byte_cols:
-                metrics.append(
-                    F.sum(
-                        sum(
-                            (F.coalesce(F.octet_length(c), F.lit(0)) for c in byte_cols),
-                            F.lit(0),
-                        )
-                    ).alias("bytes")
-                )
-            if "ingest_ts" in have:
-                metrics.append(
-                    F.min(
-                        F.unix_timestamp(F.col("ingest_ts").cast("timestamp"))
-                    ).alias("oldest")
-                )
-            sub = dml.filter((F.col("seq") > s_lo) & (F.col("seq") < s_hi)).observe(
-                obs, *metrics
-            )
-            res = table.merge(pre(_rewrite_to_current(sub, table)), writer_id, sub_id)
-            if res is not None:
-                stats.upserts += res["upserts"]
-                stats.deletes += res["deletes"]
-                stats.buckets = sorted(set(stats.buckets) | set(res["buckets"]))
-                m = observe_get(obs)
-                if m is not None:
-                    stats.rows_in += m["n"]
-                    for op in DML_OPS:
-                        if m[op]:
-                            stats.op_counts[op] = stats.op_counts.get(op, 0) + m[op]
-                    stats.bytes_in += m.get("bytes") or 0
-                    stats.max_seq = max(stats.max_seq, m["max_seq"] or -1)
-                    if m.get("oldest") is not None:
-                        stats.latency_s = max(0.0, time.time() - m["oldest"])
+        apply_segment(dml, s_lo, s_hi, sub_id)
         stats.sub_batches += 1
         if ddl_after is not None:
             if table.apply_ddl(ddl_after):
                 stats.ddls_applied += 1
 
-    stats.applied = True
-    stats.wall_ms = int((time.time() - t0) * 1000)
-    if lineage:
-        write_lineage(table, stats)
-    return stats
+    return finish()
 
 
 def write_lineage(table: LakeTable, stats: ApplyStats) -> None:

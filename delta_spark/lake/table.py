@@ -16,6 +16,18 @@ Scale design (100 TB / 1000 executors):
     reads and rewrites ONLY buckets containing batch keys, and both
     sides of the anti-join arrive bucket-partitioned, so the join
     shuffles only the (small) batch, never the whole table.
+  * two MERGE modes (Iceberg's copy-on-write vs merge-on-read):
+      - ``cow``: union(affected target buckets, batch) → argmax-by-seq
+        → rewrite those buckets. Right for backfills where the batch
+        is comparable to the table.
+      - ``mor``: append the batch as per-bucket DELTA files without
+        touching the target at all; reads fold base+delta with the
+        same argmax-by-seq; ``compact()`` absorbs deltas into base.
+        Right for a streaming trickle — a 1-row update costs one tiny
+        file, not a bucket rewrite (at 100 TB / 4096 buckets a CoW
+        trickle would rewrite ~25 GB per touched bucket per batch).
+      - ``auto``: cow while the table is empty (snapshot load), mor
+        after.
   * metadata embeds the file manifest in one JSON document — right for
     up to ~10^5 files; beyond that Iceberg-style split manifests are
     the drop-in evolution (noted, not built).
@@ -286,7 +298,9 @@ class LakeTable:
                 empty = self._schema_with_system() if include_system else self.schema
                 return self.spark.createDataFrame([], empty)
         by_sv: dict[int, list[str]] = {}
+        has_delta = False
         for f in files:
+            has_delta = has_delta or f.get("kind") == "delta"
             by_sv.setdefault(f["schema_version"], []).append(
                 os.path.join(self.path, f["path"])
             )
@@ -306,6 +320,14 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if has_delta:
+            # merge-on-read fold: delta files may carry several
+            # versions of a key (and duplicates of base rows) — one
+            # argmax-by-_seq aggregation restores one-row-per-key.
+            # Base-only reads skip this entirely (CoW invariant).
+            by_id = {f["id"]: f["name"] for f in cur}
+            keys = [by_id[i] for i in self.metadata["key_ids"]]
+            out = lww_collapse(out, keys, "_seq")
         if not include_system:
             out = out.filter(~F.col("_deleted")).drop("_seq", "_deleted")
         return out
@@ -327,11 +349,20 @@ class LakeTable:
         meta["current_snapshot_id"] = sid
         self._write_metadata(meta, expected_version=self.metadata["version"])
 
-    def _write_data(self, df: DataFrame, snap_tag: str) -> list[dict]:
+    def _write_data(
+        self, df: DataFrame, snap_tag: str, kind: str = "base",
+        read_footers: bool | None = None,
+    ) -> list[dict]:
         """Write df (which must carry ``_bucket``) as one parquet
         directory per bucket under data/<snap_tag>/; returns manifest
         entries. repartition by _bucket keeps each output file inside a
-        single bucket; partitionBy splits hash-colliding buckets."""
+        single bucket; partitionBy splits hash-colliding buckets.
+
+        ``read_footers`` controls the per-file row-count stat (parquet
+        footer read). Defaults on for base files, OFF for delta files —
+        the streaming hot path must not pay a serial driver-side file
+        open per bucket per micro-batch (on a real cluster counts come
+        from task commit messages)."""
         out_dir = os.path.join(self.path, "data", snap_tag)
         n_parts = max(1, df.sparkSession.sparkContext.defaultParallelism)
         (
@@ -340,23 +371,34 @@ class LakeTable:
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
-        entries = []
-        sv = self.metadata["schema_version"]
-        for p in sorted(glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet"))):
-            bucket = int(p.split("_bucket=")[1].split(os.sep)[0])
-            try:  # row counts from parquet footers (local metadata read;
-                # on a real cluster this comes from task commit messages)
-                import pyarrow.parquet as pq
+        if read_footers is None:
+            read_footers = kind == "base"
+        paths = sorted(glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet")))
+        rows_of: dict[str, int | None] = dict.fromkeys(paths)
+        if read_footers and paths:
+            from concurrent.futures import ThreadPoolExecutor
 
-                rows = pq.ParquetFile(p).metadata.num_rows
-            except Exception:
-                rows = None
+            import pyarrow.parquet as pq
+
+            def _rows(p):
+                try:
+                    return p, pq.ParquetFile(p).metadata.num_rows
+                except Exception:
+                    return p, None
+
+            with ThreadPoolExecutor(min(16, len(paths))) as ex:
+                rows_of.update(ex.map(_rows, paths))
+        sv = self.metadata["schema_version"]
+        entries = []
+        for p in paths:
+            bucket = int(p.split("_bucket=")[1].split(os.sep)[0])
             entries.append(
                 {
                     "path": os.path.relpath(p, self.path),
                     "bucket": bucket,
                     "schema_version": sv,
-                    "rows": rows,
+                    "rows": rows_of[p],
+                    "kind": kind,
                 }
             )
         return entries
@@ -392,6 +434,8 @@ class LakeTable:
         seq_col: str = "seq",
         delete_op: str = "DELETE",
         summary: dict | None = None,
+        mode: str = "cow",
+        precommit=None,
     ) -> dict | None:
         """Copy-on-write MERGE keyed on ``key_cols``, guarded by seq.
 
@@ -433,6 +477,13 @@ class LakeTable:
         batch = batch.withColumn("_bucket", self.bucket_expr())
         cur = self.current_snapshot
         has_files = bool(cur and cur["files"])
+        if mode == "auto":
+            mode = "mor" if has_files else "cow"
+        if mode == "mor":
+            return self._merge_mor(
+                batch, writer_id, batch_id, payload, op_col, seq_col, delete_op,
+                summary, precommit,
+            )
         if has_files:
             # cheap probe: column pruning means this reads only the
             # bucket-key column from the batch source
@@ -466,7 +517,11 @@ class LakeTable:
         # argmax-by-_seq per key in ONE aggregation (map-side partial
         # combine collapses hot keys before the shuffle)
         new_data = lww_collapse(combined, keys, "_seq")
-        files_new = self._write_data(new_data, f"snap-{uuid.uuid4().hex[:12]}")
+        snap_tag = f"snap-{uuid.uuid4().hex[:12]}"
+        files_new = self._write_data(new_data, snap_tag)
+        if precommit is not None and not precommit():
+            self._discard_uncommitted(snap_tag)
+            return {"aborted": True}
         m = observe_get(obs) or {"n": 0, "dels": 0, "max_seq": None}
         n_batch, n_del = m["n"], m["dels"] or 0
         if affected is None:
@@ -493,6 +548,88 @@ class LakeTable:
             "deletes": n_del,
             "max_seq": int(m["max_seq"]) if m["max_seq"] is not None else -1,
         }
+
+    def _discard_uncommitted(self, snap_tag: str) -> None:
+        """Remove data files written for a commit that was aborted
+        before the metadata claim — nothing references them."""
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "data", snap_tag), ignore_errors=True)
+
+    def _merge_mor(
+        self, batch, writer_id, batch_id, payload, op_col, seq_col, delete_op,
+        summary, precommit=None,
+    ) -> dict:
+        """Merge-on-read apply: append the batch's rows (with ``_seq``
+        version guard + ``_deleted`` tombstones) as per-bucket DELTA
+        files. The target is never read or rewritten — the whole apply
+        is ONE job over the batch (repartition by bucket + write), so a
+        micro-batch costs O(batch), not O(touched buckets of table).
+        Read-time argmax-by-_seq folds deltas against base (same
+        semantics as the CoW path — out-of-order events across
+        micro-batches can never regress a row, DELETEs tombstone);
+        ``compact()`` absorbs deltas into base. This is Iceberg's
+        merge-on-read with equality deletes, rebuilt on the same
+        manifest machinery (idempotency contract unchanged:
+        EventConsumer.java:39-76)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        batch_sys = batch.select(
+            *payload,
+            F.col(seq_col).cast("long").alias("_seq"),
+            (F.col(op_col) == delete_op).alias("_deleted"),
+            F.col("_bucket"),
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("_deleted")).alias("dels"),
+            F.max("_seq").alias("max_seq"),
+        )
+        snap_tag = f"delta-{uuid.uuid4().hex[:12]}"
+        files_new = self._write_data(batch_sys, snap_tag, kind="delta")
+        if precommit is not None and not precommit():
+            self._discard_uncommitted(snap_tag)
+            return {"aborted": True}
+        m = observe_get(obs) or {"n": 0, "dels": 0, "max_seq": None}
+        n_batch, n_del = m["n"], m["dels"] or 0
+        if n_batch == 0 and not files_new:
+            return {"buckets": [], "files": 0, "upserts": 0, "deletes": 0}
+        affected = sorted({f["bucket"] for f in files_new})
+        cur = self.current_snapshot
+        kept = list(cur["files"]) if cur else []
+        self._commit_snapshot(
+            kept + files_new,
+            {
+                "operation": "merge-mor",
+                "writer-id": writer_id,
+                "batch-id": str(batch_id),
+                "upserts": n_batch - n_del,
+                "deletes": n_del,
+                "delta-files": len(files_new),
+                "max-seq": int(m["max_seq"]) if m["max_seq"] is not None else -1,
+                **(summary or {}),
+            },
+        )
+        return {
+            "buckets": affected,
+            "files": len(files_new),
+            "upserts": n_batch - n_del,
+            "deletes": n_del,
+            "max_seq": int(m["max_seq"]) if m["max_seq"] is not None else -1,
+        }
+
+    def delta_file_pressure(self) -> int:
+        """Max per-bucket delta-file count in the current snapshot —
+        the pipeline's cheap (in-memory) compaction trigger."""
+        cur = self.current_snapshot
+        if not cur:
+            return 0
+        counts: dict[int, int] = {}
+        for f in cur["files"]:
+            if f.get("kind") == "delta":
+                counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        return max(counts.values(), default=0)
 
     # ------------------------------------------------------ DDL
 

@@ -44,6 +44,12 @@ class PipelineConfig:
     salt_buckets: int = 0                  # >0 enables two-phase LWW
     op_blacklist: tuple = ()               # e.g. ("DELETE",)
     max_files_per_trigger: int | None = None
+    max_bytes_per_trigger: str | None = None  # e.g. "64m" — size micro-
+    # batches by BYTES so throughput doesn't depend on source file sizing
+    merge_mode: str = "auto"               # cow | mor | auto (cow while
+    # empty — snapshot load — then merge-on-read for the streaming trickle)
+    compact_pressure: int = 8              # max delta files per bucket
+    # before the sink folds them into base (0 disables auto-compaction)
     expire_every: int = 50                 # snapshots; 0 disables
     expire_keep_last: int = 10
     transforms: object = None              # Callable[[DataFrame], DataFrame]
@@ -101,6 +107,7 @@ class Pipeline:
             op_blacklist=self.cfg.op_blacklist,
             salt_buckets=self.cfg.salt_buckets,
             transforms=self.transforms,
+            merge_mode=self.cfg.merge_mode,
         )
         self.stats.append(st)
         return st
@@ -125,6 +132,7 @@ class Pipeline:
                     op_blacklist=self.cfg.op_blacklist,
                     salt_buckets=self.cfg.salt_buckets,
                     transforms=self.transforms,
+                    merge_mode=self.cfg.merge_mode,
                 )
             except Exception as e:
                 self.state.set_table_failing(name)
@@ -133,6 +141,14 @@ class Pipeline:
             self.stats.append(st)
             self.state.set_replicating(name)
             self.state.set_ok()
+            # merge-on-read maintenance: fold delta files into base
+            # when any bucket's delta count crosses the threshold
+            # (keeps read amplification flat under a steady trickle)
+            if (
+                self.cfg.compact_pressure
+                and table.delta_file_pressure() >= self.cfg.compact_pressure
+            ):
+                table.compact(max_files_per_bucket=1)
             # periodic metadata maintenance: a per-micro-batch sink
             # accumulates snapshots without bound otherwise
             if (
@@ -159,6 +175,8 @@ class Pipeline:
         )
         if self.cfg.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.cfg.max_files_per_trigger)
+        if self.cfg.max_bytes_per_trigger:
+            reader = reader.option("maxBytesPerTrigger", self.cfg.max_bytes_per_trigger)
         stream = reader.parquet(self.cfg.changelog_path)
         writer = (
             stream.writeStream.foreachBatch(self._foreach_batch(table))

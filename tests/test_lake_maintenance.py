@@ -143,3 +143,74 @@ def test_time_travel_uses_snapshot_schema(spark, tmp_path):
     old = t.read(snapshot_id=old_snap)
     assert "tool" in old.columns and "tool_name" not in old.columns
     assert old.count() == 50
+
+
+def test_mor_update_does_not_rewrite_base(spark, tmp_path):
+    """Merge-on-read: a 1-row update appends ONE tiny delta file; the
+    bucket's base file is untouched (no CoW rewrite amplification —
+    at 100 TB a steady trickle must not rewrite 25 GB buckets)."""
+    t = _mk_table(spark, str(tmp_path / "t"), n_batches=1)
+    base_paths = {f["path"] for f in t.current_snapshot["files"]}
+    df = spark.createDataFrame(
+        [("c1", 1, "user", "mor-patch", "", None, "UPDATE", 10**6)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long",
+    )
+    res = t.merge(df, "w1", "mor-1", mode="mor")
+    assert res["files"] == 1
+    after = {f["path"]: f for f in t.current_snapshot["files"]}
+    assert base_paths <= set(after)  # every base file still referenced
+    deltas = [f for f in after.values() if f.get("kind") == "delta"]
+    assert len(deltas) == 1
+    # read folds base + delta: exactly one row per key, update visible
+    assert t.read().filter("text = 'mor-patch'").count() == 1
+    assert t.read().count() == 50  # update, not insert
+    assert t.delta_file_pressure() == 1
+
+
+def test_mor_tombstone_blocks_stale_update(spark, tmp_path):
+    """DELETE lands as a delta tombstone; a LATER-ARRIVING but
+    LOWER-SEQ update for the same key must not resurrect it (the
+    cross-micro-batch reorder guard, now across base/delta files)."""
+    t = _mk_table(spark, str(tmp_path / "t"), n_batches=1)
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long"
+    )
+    t.merge(
+        spark.createDataFrame([("c1", 1, None, None, None, None, "DELETE", 10**6)], ddl),
+        "w1", "del", mode="mor",
+    )
+    assert t.read().filter("conv_id = 'c1' and turn_idx = 1").count() == 0
+    # stale update (seq below the tombstone) arrives in a later batch
+    t.merge(
+        spark.createDataFrame([("c1", 1, "user", "zombie", "", None, "UPDATE", 500)], ddl),
+        "w1", "stale", mode="mor",
+    )
+    assert t.read().filter("conv_id = 'c1' and turn_idx = 1").count() == 0
+    # ... and survives compaction
+    t.compact(max_files_per_bucket=1)
+    assert t.read().filter("conv_id = 'c1' and turn_idx = 1").count() == 0
+    assert t.delta_file_pressure() == 0
+
+
+def test_mor_compact_folds_deltas_exactly(spark, tmp_path):
+    """Several MoR batches then compact: delta files absorbed into
+    base, final state identical before/after."""
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long"
+    )
+    t = _mk_table(spark, str(tmp_path / "t"), n_batches=1)
+    for b in range(4):
+        rows = [(f"c{i % 10}", i, "user", f"mor b{b} r{i}", "", None,
+                 "UPDATE" if i % 2 else "INSERT", 1000 * (b + 1) + i) for i in range(20)]
+        t.merge(spark.createDataFrame(rows, ddl), "w1", f"mor-{b}", mode="mor")
+    before = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()}
+    assert t.delta_file_pressure() >= 1
+    n = t.compact(max_files_per_bucket=1)
+    assert n > 0 and t.delta_file_pressure() == 0
+    after = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()}
+    assert before == after
+    # newest update won inside the fold
+    assert after[("c1", 1)] == "mor b3 r1"
