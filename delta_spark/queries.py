@@ -150,9 +150,15 @@ def skew_salted_agg(spark, sf_dir):
 
 def watermark_dedup_stream(spark, sf_dir):
     """Q2/replay-dedup in STREAMING form: a doubled stream (simulated
-    at-least-once redelivery) through withWatermark + dropDuplicates
-    lands exactly-once in the sink. Runs a real micro-batch query on a
-    memory sink; the oracle is the distinct projection."""
+    at-least-once redelivery) through withWatermark +
+    dropDuplicatesWithinWatermark lands exactly-once in the sink.
+    WithinWatermark is the scale-critical choice: it EVICTS dedup state
+    once the key's event time falls behind the watermark, so state is
+    bounded by the watermark window — plain dropDuplicates on a
+    non-event-time key grows state with every distinct key forever
+    (state-bound asserted in tests/test_streaming.py). Runs a real
+    micro-batch query on a memory sink; the oracle is the distinct
+    projection."""
     import uuid
 
     from delta_spark.schema import CHANGELOG_SCHEMA  # noqa: F401 (docs)
@@ -170,7 +176,7 @@ def watermark_dedup_stream(spark, sf_dir):
     deduped = (
         doubled.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> TZ for watermark
         .withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
     name = f"wm_{uuid.uuid4().hex[:8]}"

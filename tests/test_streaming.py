@@ -131,3 +131,69 @@ def test_generation_fencing(spark, tmp_path):
     Pipeline(spark, cfg2).run_batch()
     table = LakeTable.load(spark, cfg.table_path)
     assert_pdf_equal(table.read().toPandas(), oracle_apply(raw), ["conv_id", "turn_idx"])
+
+
+def test_watermark_dedup_state_is_bounded(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must EVICT dedup state as event
+    time advances past the watermark — state stays ~one window wide,
+    it does not grow with every distinct key seen (the scale-killer
+    the north rule's 'sequence-number watermarking' must avoid at
+    10^10 events). Asserted via stateOperators numRowsTotal across
+    micro-batches."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    rows_per_file, n_files = 500, 6
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    arrow_schema = pa.schema(
+        [pa.field("event_id", pa.int64()), pa.field("ts", pa.timestamp("us"))]
+    )
+    for i in range(n_files):
+        ids = range(i * rows_per_file, (i + 1) * rows_per_file)
+        df = pd.DataFrame(
+            {
+                "event_id": list(ids) + list(ids)[:50],  # in-file dups
+                "ts": [base + pd.Timedelta(hours=i)] * (rows_per_file + 50),
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(df, schema=arrow_schema, preserve_index=False),
+            src / f"part-{i:03d}.parquet",
+        )
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_bound")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # exactly-once: every distinct id landed once
+    assert spark.table("wm_bound").count() == rows_per_file * n_files
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (json.loads(x.json) for x in q.recentProgress)
+        if p.get("stateOperators")
+    ]
+    assert len(totals) >= n_files - 1
+    # bounded: state holds ~one watermark window (one file's keys), not
+    # the cumulative key set; give 3x slack for trigger overlap
+    assert max(totals) <= 3 * (rows_per_file + 50), totals
+    assert max(totals) < rows_per_file * n_files / 2
