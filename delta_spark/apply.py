@@ -52,7 +52,9 @@ class ApplyStats:
     wall_ms: int = 0
 
 
-def _rewrite_to_current(batch: DataFrame, table: LakeTable) -> DataFrame:
+def _rewrite_to_current(
+    batch: DataFrame, table: LakeTable, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Events arrive addressing original (schema v0) column names; remap
     them to current names by column id and align types/additions —
     the rename-map rewrite (reference analog: rename bookkeeping in
@@ -63,6 +65,8 @@ def _rewrite_to_current(batch: DataFrame, table: LakeTable) -> DataFrame:
     cur_to_orig = {v: k for k, v in orig_to_cur.items()}
     cols = [F.col("seq"), F.col("op")]
     batch_cols = set(batch.columns)
+    table_names = {f["name"] for f in table.fields}
+    cols += [F.col(c) for c in keep if c in batch_cols and c not in table_names]
     for f in table.fields:
         t = f["type"]
         src = cur_to_orig.get(f["name"], f["name"])
@@ -84,6 +88,7 @@ def apply_batch(
     lineage: bool = True,
     assume_ordered: bool = False,
     merge_mode: str = "cow",
+    sort_key_col: str | None = None,
 ) -> ApplyStats:
     """Apply one micro-batch of changelog rows to ``table``.
 
@@ -121,8 +126,13 @@ def apply_batch(
     # after map-side combine); otherwise the merge's single
     # argmax-by-seq aggregation handles duplicate keys, duplicate-seq
     # replays, and the target in one shuffle.
+    _sort_cols = (sort_key_col,) if sort_key_col else ()
     pre = (
-        (lambda df: lww_collapse_salted(df, table.key_cols, "seq", salt_buckets))
+        (
+            lambda df: lww_collapse_salted(
+                df, table.key_cols, "seq", salt_buckets, sort_cols=_sort_cols
+            )
+        )
         if salt_buckets
         else (lambda df: df)
     )
@@ -169,12 +179,14 @@ def apply_batch(
         sub = dml.filter((F.col("seq") > s_lo) & (F.col("seq") < s_hi)).observe(
             obs, *metrics
         )
+        keep = (sort_key_col,) if sort_key_col else ()
         res = table.merge(
-            pre(_rewrite_to_current(sub, table)),
+            pre(_rewrite_to_current(sub, table, keep=keep)),
             writer_id,
             sub_id,
             mode=merge_mode,
             precommit=precommit,
+            sort_col=sort_key_col,
         )
         if res is not None and not res.get("aborted"):
             stats.upserts += res["upserts"]

@@ -61,6 +61,9 @@ class ChangelogSpec:
     delete_frac: float = 0.01
     hot_frac: float = 0.20          # share of stream events on 1 conv
     dup_frac: float = 0.02          # duplicate-seq injection rate
+    tie_frac: float = 0.0           # equal-seq COMPETING revisions rate
+    # (UN_ORDERED source: same seq, different payload + ingest_ts —
+    # resolved by the target's sort-key tiebreak, SortKey.java:26-41)
     shuffle_window: int = 64        # out-of-order bound (rows)
     seed: int = 42
     text_chars: int = 160
@@ -272,7 +275,33 @@ def generate_changelog(spec: ChangelogSpec) -> pd.DataFrame:
 
     out = pd.DataFrame({name: arr[take] for name, arr in cols.items()})
     out["turn_idx"] = out["turn_idx"].astype("Int32")
-    return out.reset_index(drop=True)
+    out = out.reset_index(drop=True)
+
+    # ---------------- equal-seq competing revisions (UN_ORDERED source)
+    if spec.tie_frac:
+        rng4 = np.random.default_rng(spec.seed + 3)
+        elig = out.index[
+            out["op"].isin([DML_INSERT, DML_UPDATE]) & ~out["is_snapshot"]
+        ].to_numpy()
+        n_tie = min(int(len(out) * spec.tie_frac), elig.size)
+        if n_tie:
+            pick = rng4.choice(elig, size=n_tie, replace=False)
+            ties = out.loc[pick].copy()
+            # half the revisions WIN the tie (later source ts), half lose
+            win = np.arange(n_tie) % 2 == 0
+            bump = np.where(win, 50_000, -50_000).astype("timedelta64[us]")
+            ties["ingest_ts"] = ties["ingest_ts"].to_numpy() + bump
+            ties["text"] = ties["text"].astype(object) + " rev-tie"
+            # interleave each revision near its sibling in replay order
+            okey = np.concatenate(
+                [
+                    np.arange(len(out), dtype="float64"),
+                    pick + rng4.uniform(1, spec.shuffle_window, n_tie),
+                ]
+            )
+            out = pd.concat([out, ties], ignore_index=True)
+            out = out.iloc[np.argsort(okey, kind="stable")].reset_index(drop=True)
+    return out
 
 
 def write_changelog(df: pd.DataFrame, path: str, n_files: int = 8) -> list[str]:
@@ -325,13 +354,21 @@ def generate_and_write(path: str, spec: ChangelogSpec | None = None) -> pd.DataF
 # -------------------------------------------------------------- oracle
 
 
-def oracle_apply(df: pd.DataFrame) -> pd.DataFrame:
+def oracle_apply(df: pd.DataFrame, sort_col: str | None = None) -> pd.DataFrame:
     """Reference replay in pandas: dedup by seq, apply in seq order,
     last writer wins per (conv_id, turn_idx), DELETE removes, DDL
-    applied to the final frame. This is the golden oracle for the E2E
-    tests (reference analog: FileEventConsumer golden compare,
+    applied to the final frame. With ``sort_col`` (UN_ORDERED source),
+    equal-seq revisions resolve by that column — highest wins. This is
+    the golden oracle for the E2E tests (reference analog:
+    FileEventConsumer golden compare,
     delta-test/.../FileEventConsumer.java:90-117)."""
-    ev = df.drop_duplicates("seq", keep="first").sort_values("seq", kind="stable")
+    if sort_col is not None:
+        ev = (
+            df.drop_duplicates(["seq", sort_col], keep="first")
+            .sort_values(["seq", sort_col], kind="stable")
+        )
+    else:
+        ev = df.drop_duplicates("seq", keep="first").sort_values("seq", kind="stable")
     ddl_rows = ev[ev["ddl"].notna()]
     dml = ev[ev["ddl"].isna()]
     last = dml.groupby(KEY_COLS, sort=False, dropna=False).tail(1)

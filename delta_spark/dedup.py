@@ -40,8 +40,14 @@ def dedup_by_seq(batch: DataFrame) -> DataFrame:
     return batch.dropDuplicates(["seq"])
 
 
-def lww_collapse(batch: DataFrame, key_cols: list[str], seq_col: str = "seq") -> DataFrame:
-    """Last-writer-wins: one row per key, the one with max seq.
+def lww_collapse(
+    batch: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    sort_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Last-writer-wins: one row per key, the one with max
+    (seq, *sort_cols) lexicographically.
 
     groupBy + max(struct(seq, ...)) rather than a row_number window:
     the aggregate gets a map-side partial combine (each input partition
@@ -50,22 +56,36 @@ def lww_collapse(batch: DataFrame, key_cols: list[str], seq_col: str = "seq") ->
     seq-FIRST struct makes plain Max implement argmax-by-seq (struct
     comparison is field-ordered); measured ~3x faster than
     max_by(struct, seq), which plans as ObjectHashAggregate instead of
-    codegen'd HashAggregate. Seq ties only occur for replayed
-    duplicates, whose remaining fields are identical.
+    codegen'd HashAggregate.
+
+    ``sort_cols`` are the UN_ORDERED-source tiebreak (reference: a
+    source that cannot produce a total order sets sourceTimestampMillis
+    / sortKeys and the TARGET orders by them — SourceProperties.java:
+    29-51, SortKey.java:26-41, DMLEvent.java:37-55): they sit right
+    after seq in the struct, so equal-seq events resolve by source
+    timestamp instead of arbitrarily. Without sort_cols, seq ties only
+    occur for replayed duplicates, whose remaining fields are identical.
     """
-    others = [c for c in batch.columns if c not in key_cols and c != seq_col]
+    lead = [seq_col, *[c for c in sort_cols if c != seq_col]]
+    others = [c for c in batch.columns if c not in key_cols and c not in lead]
     packed = batch.groupBy(*key_cols).agg(
-        F.max(F.struct(F.col(seq_col), *[F.col(c) for c in others])).alias("_r")
+        F.max(F.struct(*[F.col(c) for c in lead], *[F.col(c) for c in others])).alias(
+            "_r"
+        )
     )
     return packed.select(
         *key_cols,
-        F.col(f"_r.{seq_col}").alias(seq_col),
+        *[F.col(f"_r.{c}").alias(c) for c in lead],
         *[F.col(f"_r.{c}").alias(c) for c in others],
     )
 
 
 def lww_collapse_salted(
-    batch: DataFrame, key_cols: list[str], seq_col: str = "seq", salt_buckets: int = 16
+    batch: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    salt_buckets: int = 16,
+    sort_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Two-phase LWW for pathologically hot keys: collapse per
     (key, salt) first — spreading one hot key over ``salt_buckets``
@@ -79,8 +99,8 @@ def lww_collapse_salted(
     salted = batch.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt_buckets))
     )
-    phase1 = lww_collapse(salted, [*key_cols, "_salt"], seq_col).drop("_salt")
-    return lww_collapse(phase1, key_cols, seq_col)
+    phase1 = lww_collapse(salted, [*key_cols, "_salt"], seq_col, sort_cols).drop("_salt")
+    return lww_collapse(phase1, key_cols, seq_col, sort_cols)
 
 
 def lww_collapse_window(batch: DataFrame, key_cols: list[str], seq_col: str = "seq") -> DataFrame:

@@ -251,9 +251,23 @@ class LakeTable:
             [
                 *self.schema.fields,
                 T.StructField("_seq", T.LongType(), True),
+                T.StructField("_sort", T.LongType(), True),
                 T.StructField("_deleted", T.BooleanType(), True),
             ]
         )
+
+    @staticmethod
+    def _sort_expr(df: DataFrame, sort_col: str | None):
+        """UN_ORDERED-source tiebreak as a long: timestamps become
+        epoch-micros; null sort keys lose to any present one."""
+        if sort_col is None:
+            return F.lit(0).cast("long")
+        dt = {f.name: f.dataType.simpleString() for f in df.schema.fields}.get(
+            sort_col, ""
+        )
+        c = F.col(sort_col)
+        v = F.unix_micros(c.cast("timestamp")) if dt.startswith("timestamp") else c.cast("long")
+        return F.coalesce(v, F.lit(-(1 << 62)))
 
     def read(
         self,
@@ -315,7 +329,12 @@ class LakeTable:
                     cols.append(F.col(old_fields[f["id"]]["name"]).cast(t).alias(f["name"]))
                 else:
                     cols.append(F.lit(None).cast(t).alias(f["name"]))
-            cols += [F.col("_seq"), F.col("_deleted")]
+            cols.append(F.col("_seq"))
+            # pre-sort-column files read as _sort=0 (format evolution)
+            cols.append(
+                F.col("_sort") if "_sort" in df.columns else F.lit(0).cast("long").alias("_sort")
+            )
+            cols.append(F.col("_deleted"))
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
@@ -327,9 +346,9 @@ class LakeTable:
             # Base-only reads skip this entirely (CoW invariant).
             by_id = {f["id"]: f["name"] for f in cur}
             keys = [by_id[i] for i in self.metadata["key_ids"]]
-            out = lww_collapse(out, keys, "_seq")
+            out = lww_collapse(out, keys, "_seq", sort_cols=("_sort",))
         if not include_system:
-            out = out.filter(~F.col("_deleted")).drop("_seq", "_deleted")
+            out = out.filter(~F.col("_deleted")).drop("_seq", "_sort", "_deleted")
         return out
 
     # ------------------------------------------------------ write
@@ -410,6 +429,8 @@ class LakeTable:
         cols = set(df.columns)
         if "_seq" not in cols:
             df = df.withColumn("_seq", F.lit(0).cast("long"))
+        if "_sort" not in cols:
+            df = df.withColumn("_sort", F.lit(0).cast("long"))
         if "_deleted" not in cols:
             df = df.withColumn("_deleted", F.lit(False))
         tagged = df.withColumn("_bucket", self.bucket_expr())
@@ -436,6 +457,7 @@ class LakeTable:
         summary: dict | None = None,
         mode: str = "cow",
         precommit=None,
+        sort_col: str | None = None,
     ) -> dict | None:
         """Copy-on-write MERGE keyed on ``key_cols``, guarded by seq.
 
@@ -482,7 +504,7 @@ class LakeTable:
         if mode == "mor":
             return self._merge_mor(
                 batch, writer_id, batch_id, payload, op_col, seq_col, delete_op,
-                summary, precommit,
+                summary, precommit, sort_col,
             )
         if has_files:
             # cheap probe: column pruning means this reads only the
@@ -505,6 +527,7 @@ class LakeTable:
         batch_sys = batch.select(
             *payload,
             F.col(seq_col).cast("long").alias("_seq"),
+            self._sort_expr(batch, sort_col).alias("_sort"),
             (F.col(op_col) == delete_op).alias("_deleted"),
             F.col("_bucket"),
         ).observe(
@@ -514,9 +537,9 @@ class LakeTable:
             F.max("_seq").alias("max_seq"),
         )
         combined = target.unionByName(batch_sys) if target is not None else batch_sys
-        # argmax-by-_seq per key in ONE aggregation (map-side partial
-        # combine collapses hot keys before the shuffle)
-        new_data = lww_collapse(combined, keys, "_seq")
+        # argmax-by-(_seq, _sort) per key in ONE aggregation (map-side
+        # partial combine collapses hot keys before the shuffle)
+        new_data = lww_collapse(combined, keys, "_seq", sort_cols=("_sort",))
         snap_tag = f"snap-{uuid.uuid4().hex[:12]}"
         files_new = self._write_data(new_data, snap_tag)
         if precommit is not None and not precommit():
@@ -558,7 +581,7 @@ class LakeTable:
 
     def _merge_mor(
         self, batch, writer_id, batch_id, payload, op_col, seq_col, delete_op,
-        summary, precommit=None,
+        summary, precommit=None, sort_col=None,
     ) -> dict:
         """Merge-on-read apply: append the batch's rows (with ``_seq``
         version guard + ``_deleted`` tombstones) as per-bucket DELTA
@@ -578,6 +601,7 @@ class LakeTable:
         batch_sys = batch.select(
             *payload,
             F.col(seq_col).cast("long").alias("_seq"),
+            self._sort_expr(batch, sort_col).alias("_sort"),
             (F.col(op_col) == delete_op).alias("_deleted"),
             F.col("_bucket"),
         ).observe(

@@ -99,6 +99,13 @@ ALL_ORACLES: dict[str, str] = {
         SELECT * FROM s WHERE NOT EXISTS (
           SELECT 1 FROM events e WHERE e.user_id = s.user_id AND e.event_type = 'error')
     """,
+    "lww_sortkey_tiebreak": """
+        SELECT user_id, event_id // 8 AS coarse_seq, event_id, event_type, value, ts
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY (event_id // 8) DESC, ts DESC, event_id DESC) = 1
+    """,
     "metrics_by_op": """
         SELECT event_type,
                count(*) AS n,

@@ -48,6 +48,9 @@ class PipelineConfig:
     # batches by BYTES so throughput doesn't depend on source file sizing
     merge_mode: str = "auto"               # cow | mor | auto (cow while
     # empty — snapshot load — then merge-on-read for the streaming trickle)
+    sort_key_col: str | None = None        # UN_ORDERED-source tiebreak:
+    # equal-seq events resolve by this column (e.g. "ingest_ts" — the
+    # reference's sourceTimestampMillis/sortKeys, SortKey.java:26-41)
     compact_pressure: int = 8              # max delta files per bucket
     # before the sink folds them into base (0 disables auto-compaction)
     expire_every: int = 50                 # snapshots; 0 disables
@@ -108,6 +111,7 @@ class Pipeline:
             salt_buckets=self.cfg.salt_buckets,
             transforms=self.transforms,
             merge_mode=self.cfg.merge_mode,
+            sort_key_col=self.cfg.sort_key_col,
         )
         self.stats.append(st)
         return st
@@ -133,6 +137,7 @@ class Pipeline:
                     salt_buckets=self.cfg.salt_buckets,
                     transforms=self.transforms,
                     merge_mode=self.cfg.merge_mode,
+                    sort_key_col=self.cfg.sort_key_col,
                 )
             except Exception as e:
                 self.state.set_table_failing(name)

@@ -105,6 +105,21 @@ def seq_dedup_union(spark, sf_dir):
     return doubled.distinct().groupBy("event_type").agg(F.count("*").alias("n"))
 
 
+def lww_sortkey_tiebreak(spark, sf_dir):
+    """Q3: UN_ORDERED-source ordering — a coarse (non-unique) sequence
+    forces ties; the sort-key tiebreak (source timestamp, then event id)
+    picks the winner, exactly the reference's SortKey semantics
+    (SortKey.java:26-41, SourceProperties.java:29-51)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    ev = ev.withColumn("coarse_seq", (F.col("event_id") / 8).cast("long"))
+    out = lww_collapse(ev, ["user_id"], "coarse_seq", sort_cols=("ts", "event_id"))
+    return out.select(
+        "user_id", "coarse_seq", "event_id", "event_type", "value", "ts"
+    )
+
+
 def sessionization(spark, sf_dir):
     """Per-key event-time sessions (gap > 30 min starts a new one)."""
     ev = _t(spark, sf_dir, "events")
@@ -430,6 +445,7 @@ ALL_QUERIES = {
     "lww_latest_state": lww_latest_state,
     "merge_upsert": merge_upsert,
     "delete_apply": delete_apply,
+    "lww_sortkey_tiebreak": lww_sortkey_tiebreak,
     "metrics_by_op": metrics_by_op,
     "seq_dedup_union": seq_dedup_union,
     "sessionization": sessionization,

@@ -212,3 +212,38 @@ def test_apply_generic_table_without_text_columns(spark, tmp_path):
     assert st.bytes_in == 0 and st.latency_s is None
     got = {r["id"]: r["val"] for r in t.read().collect()}
     assert got == {1: 11, 2: 20}
+
+
+def test_sortkey_tiebreak_unordered_source(spark, tmp_path):
+    """UN_ORDERED source: equal-seq competing revisions resolve by the
+    source timestamp (reference: SortKey.java:26-41 — the target orders
+    by sortKeys when seq ties). Batch AND streaming replays match the
+    tie-aware oracle; without ties the path is inert."""
+    spec = ChangelogSpec(n_events=2500, n_convs=40, seed=31, tie_frac=0.05, n_files=6)
+    log_dir = str(tmp_path / "log")
+    from delta_spark.changelog import generate_changelog, write_changelog
+
+    raw = generate_changelog(spec)
+    assert raw["seq"].duplicated().any()  # fixtures really contain ties
+    # competing revisions: same seq, different text
+    per_seq = raw.groupby("seq")["text"].nunique(dropna=False)
+    assert (per_seq > 1).any()
+    write_changelog(raw, log_dir, spec.n_files)
+
+    cfg = PipelineConfig(
+        changelog_path=log_dir,
+        table_path=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        generation=1,
+        sort_key_col="ingest_ts",
+        max_files_per_trigger=2,
+    )
+    p = Pipeline(spark, cfg)
+    p.run_stream_to_completion()  # streaming: ties may split across batches
+    table = LakeTable.load(spark, cfg.table_path)
+    from delta_spark.changelog import oracle_apply as oa
+
+    expected = oa(raw, sort_col="ingest_ts")
+    assert_pdf_equal(table.read().toPandas(), expected, ["conv_id", "turn_idx"])
+    # sanity: winners include ties resolved AGAINST file order
+    assert expected["text"].astype(str).str.endswith("rev-tie").any()
