@@ -1,0 +1,253 @@
+"""Catalog: named LakeTables under one root, with idempotent
+table-level DDL (CREATE / DROP / TRUNCATE / RENAME TABLE).
+
+Reference semantics rebuilt (Spark-first, not a port):
+  * table-level DDL op set — /root/reference/delta-api/src/main/java/
+    io/cdap/delta/api/DDLOperation.java:30-38 (Type enum; RENAME
+    carries previous + new name :58-65)
+  * idempotent applyDDL contract — EventConsumer.java:39-55
+  * CREATE_TABLE may never be blacklisted — DeltaWorker.java:219,231
+    (enforced by ``expand_blacklist`` in multi.py)
+
+Design notes:
+  * the catalog document (name → table dir + create_seq) commits with
+    the same tmp+fsync+link atomic protocol as LakeTable metadata —
+    optimistic concurrency, never a torn latest version.
+  * DROP leaves the table directory orphaned under ``dropped/`` GC
+    bookkeeping and a RECREATE allocates a FRESH directory: exactly-once
+    markers of the old incarnation can never satisfy the new one
+    (table-level generation fencing), and ``create_seq`` recorded at
+    CREATE time fences replayed pre-drop DML segments out of the new
+    incarnation.
+  * replayed table-level DDL is detected by a per-writer applied-seq
+    marker set (each DDL event's seq is unique); ops are additionally
+    individually re-tolerant (CREATE if-not-exists, DROP if-exists,
+    RENAME old-missing+new-present) so a crash BETWEEN op and marker
+    replays into a no-op, never a double-apply.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from .lake import LakeTable
+from .lake.table import CommitConflict
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str, meta: dict):
+        self.spark = spark
+        self.root = root
+        self.meta = meta
+
+    # ------------------------------------------------------ lifecycle
+
+    @staticmethod
+    def _meta_dir(root: str) -> str:
+        return os.path.join(root, "_catalog")
+
+    @staticmethod
+    def load_or_create(spark: SparkSession, root: str) -> "Catalog":
+        d = Catalog._meta_dir(root)
+        versions = glob.glob(os.path.join(d, "v*.json"))
+        if versions:
+            return Catalog(spark, root, Catalog._read_meta(root))
+        os.makedirs(d, exist_ok=True)
+        cat = Catalog(
+            spark, root,
+            {"version": 0, "tables": {}, "dropped": [], "applied_ddls": {}},
+        )
+        cat._write(cat.meta, expected_version=None)
+        return cat
+
+    @staticmethod
+    def _read_meta(root: str) -> dict:
+        versions = glob.glob(os.path.join(Catalog._meta_dir(root), "v*.json"))
+        if not versions:
+            raise FileNotFoundError(f"no catalog at {root}")
+        versions.sort(key=lambda p: int(os.path.basename(p)[1:-5]), reverse=True)
+        for i, p in enumerate(versions):
+            try:
+                with open(p) as f:
+                    return json.load(f)
+            except (json.JSONDecodeError, OSError):
+                if i == 0:
+                    continue
+                raise
+        raise FileNotFoundError(f"no readable catalog at {root}")
+
+    def refresh(self) -> "Catalog":
+        self.meta = self._read_meta(self.root)
+        return self
+
+    def _write(self, meta: dict, expected_version: int | None) -> None:
+        new_version = 0 if expected_version is None else expected_version + 1
+        meta = dict(meta, version=new_version)
+        d = self._meta_dir(self.root)
+        target = os.path.join(d, f"v{new_version}.json")
+        tmp = os.path.join(d, f".v{new_version}-{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError as e:
+            raise CommitConflict(f"catalog version {new_version} committed") from e
+        finally:
+            os.unlink(tmp)
+        self.meta = meta
+
+    # ------------------------------------------------------ lookup
+
+    def list_tables(self) -> list[str]:
+        return sorted(self.meta["tables"])
+
+    def has_table(self, name: str) -> bool:
+        return name in self.meta["tables"]
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.root, self.meta["tables"][name]["dir"])
+
+    def table(self, name: str) -> LakeTable:
+        return LakeTable.load(self.spark, self.table_path(name))
+
+    def create_seq(self, name: str) -> int:
+        return self.meta["tables"][name].get("create_seq", -1)
+
+    # ------------------------------------------------------ DDL markers
+
+    def ddl_applied(self, writer_id: str, seq: int) -> bool:
+        return int(seq) in set(self.meta["applied_ddls"].get(writer_id, []))
+
+    def mark_ddl(self, writer_id: str, seq: int) -> None:
+        meta = dict(self.meta)
+        marks = {k: list(v) for k, v in meta["applied_ddls"].items()}
+        marks.setdefault(writer_id, [])
+        if int(seq) not in marks[writer_id]:
+            marks[writer_id].append(int(seq))
+        meta["applied_ddls"] = marks
+        self._write(meta, expected_version=self.meta["version"])
+
+    # ------------------------------------------------------ table DDL
+
+    def create_table(
+        self,
+        name: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        bucket_col: str | None = None,
+        num_buckets: int = 16,
+        create_seq: int = -1,
+    ) -> bool:
+        """CREATE TABLE IF NOT EXISTS. A recreate after DROP gets a
+        FRESH directory; ``create_seq`` fences replayed pre-create DML
+        out of the new incarnation."""
+        if self.has_table(name):
+            return False
+        rel = os.path.join("tables", f"{name}-{uuid.uuid4().hex[:8]}")
+        LakeTable.create(
+            self.spark, os.path.join(self.root, rel), schema, key_cols,
+            bucket_col=bucket_col, num_buckets=num_buckets,
+        )
+        meta = dict(self.meta)
+        meta["tables"] = {
+            **meta["tables"],
+            name: {"dir": rel, "create_seq": int(create_seq)},
+        }
+        self._write(meta, expected_version=self.meta["version"])
+        return True
+
+    def drop_table(self, name: str) -> bool:
+        """DROP TABLE IF EXISTS — the mapping is removed; the directory
+        is recorded for GC, never reused."""
+        if not self.has_table(name):
+            return False
+        meta = dict(self.meta)
+        tables = dict(meta["tables"])
+        entry = tables.pop(name)
+        meta["tables"] = tables
+        meta["dropped"] = [*meta["dropped"], entry["dir"]]
+        self._write(meta, expected_version=self.meta["version"])
+        return True
+
+    def truncate_table(self, name: str) -> bool:
+        """TRUNCATE: commit an empty snapshot. Exactly-once markers of
+        earlier batches live on in the retained snapshot history, so a
+        replayed pre-truncate sub-batch stays skipped."""
+        if not self.has_table(name):
+            return False
+        t = self.table(name)
+        cur = t.current_snapshot
+        if cur is None or not cur["files"]:
+            return False  # already empty — replay no-op
+        t._commit_snapshot([], {"operation": "truncate"})
+        return True
+
+    def rename_table(self, old: str, new: str) -> bool:
+        """RENAME TABLE — pure catalog metadata (reference: rename
+        carries prev+new name, DDLOperation.java:58-65)."""
+        if not self.has_table(old):
+            if self.has_table(new):
+                return False  # replayed rename
+            raise ValueError(f"rename: no table {old}")
+        if self.has_table(new):
+            raise ValueError(f"rename: table {new} exists")
+        meta = dict(self.meta)
+        tables = dict(meta["tables"])
+        tables[new] = tables.pop(old)
+        meta["tables"] = tables
+        self._write(meta, expected_version=self.meta["version"])
+        return True
+
+    # ------------------------------------------------------ event apply
+
+    def apply_table_ddl(self, ddl: dict, writer_id: str, seq: int) -> bool:
+        """Apply one table-level DDL event idempotently (exactly-once
+        via the per-writer applied-seq marker; op-first-then-mark order
+        makes a crash in between replay into a no-op)."""
+        from .schema import (
+            DDL_CREATE_TABLE,
+            DDL_DROP_TABLE,
+            DDL_RENAME_TABLE,
+            DDL_TRUNCATE_TABLE,
+        )
+
+        if self.ddl_applied(writer_id, seq):
+            return False
+        op = ddl["op"]
+        if op == DDL_CREATE_TABLE:
+            fields = [
+                T.StructField(c["name"], _type_of(c["type"]), c.get("nullable", True))
+                for c in ddl["columns"]
+            ]
+            self.create_table(
+                ddl["table"],
+                T.StructType(fields),
+                key_cols=ddl["primary_key"],
+                bucket_col=ddl.get("bucket_col"),
+                num_buckets=ddl.get("num_buckets", 16),
+                create_seq=seq,
+            )
+        elif op == DDL_DROP_TABLE:
+            self.drop_table(ddl["table"])
+        elif op == DDL_TRUNCATE_TABLE:
+            self.truncate_table(ddl["table"])
+        elif op == DDL_RENAME_TABLE:
+            self.rename_table(ddl["table"], ddl["new_name"])
+        else:
+            raise ValueError(f"unknown table DDL op {op}")
+        self.mark_ddl(writer_id, seq)
+        return True
+
+
+def _type_of(name: str) -> T.DataType:
+    from .lake.table import _type_of as lake_type_of
+
+    return lake_type_of(name)

@@ -304,12 +304,51 @@ def generate_changelog(spec: ChangelogSpec) -> pd.DataFrame:
     return out
 
 
+def generate_multi_changelog(
+    specs: dict[str, ChangelogSpec], seed: int = 7
+) -> pd.DataFrame:
+    """Interleave per-table changelogs into ONE multi-table changelog
+    with a ``tbl`` column (reference: a pipeline replicates a SET of
+    tables — DeltaWorker.assignTables, DeltaWorker.java:594-620).
+
+    The global ``seq`` preserves each table's event order (monotone in
+    the per-table seq), and rows sharing a per-table seq (replay
+    duplicates / tie revisions) share the global seq too. File order
+    interleaves the tables' replay orders deterministically.
+    """
+    rng = np.random.default_rng(seed)
+    frames = []
+    for name in sorted(specs):
+        df = generate_changelog(specs[name])
+        df.insert(0, "tbl", name)
+        frames.append(df)
+    # global seq: round-robin the tables' per-seq ranks
+    pairs = sorted(
+        {(s, ti) for ti, f in enumerate(frames) for s in f["seq"].unique()},
+        key=lambda p: (p[0], p[1]),
+    )
+    gmap = {p: i + 1 for i, p in enumerate(pairs)}
+    for ti, f in enumerate(frames):
+        f["seq"] = f["seq"].map(lambda s, ti=ti: gmap[(s, ti)]).astype("int64")
+    # file (replay) order: interleave, preserving each table's order
+    keys = np.concatenate(
+        [
+            np.arange(len(f), dtype="float64") * len(frames)
+            + rng.uniform(0, len(frames), len(f))
+            for f in frames
+        ]
+    )
+    out = pd.concat(frames, ignore_index=True)
+    return out.iloc[np.argsort(keys, kind="stable")].reset_index(drop=True)
+
+
 def write_changelog(df: pd.DataFrame, path: str, n_files: int = 8) -> list[str]:
     """Write the changelog as n_files parquet files in replay order.
 
     File names sort lexicographically in replay order so Spark's file
     source (which orders by modification time, then path) tails them
-    like a WAL.
+    like a WAL. A ``tbl`` column (multi-table changelog) is carried
+    through when present.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -320,6 +359,7 @@ def write_changelog(df: pd.DataFrame, path: str, n_files: int = 8) -> list[str]:
     files = []
     arrow_schema = pa.schema(
         [
+            *([pa.field("tbl", pa.string())] if "tbl" in df.columns else []),
             pa.field("seq", pa.int64(), False),
             pa.field("op", pa.string(), False),
             pa.field("conv_id", pa.string()),

@@ -146,6 +146,12 @@ ALL_ORACLES: dict[str, str] = {
     "watermark_dedup_stream": """
         SELECT event_id, user_id, event_type FROM events
     """,
+    "multi_table_replay": """
+        SELECT 't' || (user_id % 3) AS tbl, user_id, event_type, value, ts
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+            AND event_type <> 'error'
+    """,
     # ------------------------------------------------- relational
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,

@@ -402,6 +402,69 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def multi_table_replay(spark, sf_dir):
+    """Full MULTI-TABLE engine E2E with a SQL oracle: the events table
+    reinterpreted as a 3-table changelog (tbl = user_id % 3, key =
+    user_id, seq = event_id, 'error' acts as DELETE), demuxed by two
+    worker instances through table→instance routing into per-table
+    LakeTables (reference: DeltaWorker.assignTables round-robin,
+    DeltaWorker.java:594-620); result = union of the final states."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .catalog import Catalog
+    from .multi import MultiPipelineConfig, MultiTablePipeline
+
+    d = tempfile.mkdtemp(prefix="multi_replay_")
+    ev = _t(spark, sf_dir, "events")
+    log_schema = T.StructType(
+        [
+            T.StructField("tbl", T.StringType(), False),
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    (
+        ev.select(
+            F.concat(F.lit("t"), F.pmod(F.col("user_id"), F.lit(3))).alias("tbl"),
+            F.col("event_id").cast("long").alias("seq"),
+            F.when(F.col("event_type") == "error", F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("op"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        ).write.parquet(f"{d}/log")
+    )
+    cat = Catalog.load_or_create(spark, f"{d}/cat")
+    tschema = T.StructType(log_schema.fields[3:])
+    for i in range(3):
+        cat.create_table(f"t{i}", tschema, ["user_id"], num_buckets=4)
+    for inst in range(2):
+        cfg = MultiPipelineConfig(
+            changelog_path=f"{d}/log",
+            catalog_root=f"{d}/cat",
+            checkpoint_dir=f"{d}/ck",
+            tables=("t0", "t1", "t2"),
+            generation=1,
+            instance_id=inst,
+            num_instances=2,
+            changelog_schema=log_schema,
+        )
+        MultiTablePipeline(spark, cfg).run_batch()
+    out = None
+    for i in range(3):
+        part = cat.refresh().table(f"t{i}").read().withColumn("tbl", F.lit(f"t{i}"))
+        out = part if out is None else out.unionByName(part)
+    return out.select("tbl", "user_id", "event_type", "value", "ts")
+
+
 # ===================================================== engine E2E (rows-only)
 
 
@@ -469,6 +532,7 @@ ALL_QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "multi_table_replay": multi_table_replay,
     "cdc_replay_transcripts": cdc_replay_transcripts,
     "media_features": media_features,
 }

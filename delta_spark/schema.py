@@ -27,6 +27,21 @@ DDL_RENAME_COLUMN = "RENAME_COLUMN"
 DDL_WIDEN_COLUMN = "WIDEN_COLUMN"
 DDL_OPS = (DDL_ADD_COLUMN, DDL_RENAME_COLUMN, DDL_WIDEN_COLUMN)
 
+# table-level DDL (reference DDLOperation.Type also carries
+# CREATE/DROP/TRUNCATE/RENAME TABLE — DDLOperation.java:30-38; handled
+# by the multi-table pipeline against the Catalog)
+DDL_CREATE_TABLE = "CREATE_TABLE"
+DDL_DROP_TABLE = "DROP_TABLE"
+DDL_TRUNCATE_TABLE = "TRUNCATE_TABLE"
+DDL_RENAME_TABLE = "RENAME_TABLE"
+TABLE_DDL_OPS = (
+    DDL_CREATE_TABLE,
+    DDL_DROP_TABLE,
+    DDL_TRUNCATE_TABLE,
+    DDL_RENAME_TABLE,
+)
+ALL_DDL_OPS = (*DDL_OPS, *TABLE_DDL_OPS)
+
 # ------------------------------------------------- applied-table shape
 # BASELINE.json input_hint: conv_id:string, turn_idx:int32, role:string,
 # text:string, tool:string, ts:timestamp. PK = (conv_id, turn_idx).

@@ -1,0 +1,269 @@
+"""Multi-table pipelines + table-level DDL.
+
+Reference analogs:
+  * testMultipleInstances — tables round-robined over instances, each
+    instance applies only its tables
+    (/root/reference/delta-app/src/test/java/io/cdap/delta/app/
+    DeltaPipelineStateStoreBaseTest.java:399-474)
+  * DDLOperation.Type CREATE/DROP/TRUNCATE/RENAME TABLE
+    (delta-api/.../DDLOperation.java:30-38)
+  * CREATE_TABLE never blacklisted (DeltaWorker.java:219,231)
+"""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from delta_spark.catalog import Catalog
+from delta_spark.changelog import (
+    ChangelogSpec,
+    generate_multi_changelog,
+    oracle_apply,
+    write_changelog,
+)
+from delta_spark.multi import (
+    MultiPipelineConfig,
+    MultiTablePipeline,
+    expand_blacklist,
+)
+
+from conftest import assert_pdf_equal
+
+TABLES = ("alpha", "beta", "gamma")
+
+
+def _specs(n=800):
+    return {
+        t: ChangelogSpec(n_events=n, n_convs=12, seed=50 + i, n_files=1)
+        for i, t in enumerate(TABLES)
+    }
+
+
+def _mk_catalog_with_tables(spark, root, tables=TABLES):
+    from delta_spark.schema import KEY_COLS, TRANSCRIPT_SCHEMA
+
+    cat = Catalog.load_or_create(spark, str(root))
+    for t in tables:
+        cat.create_table(t, TRANSCRIPT_SCHEMA, KEY_COLS, "conv_id", 8)
+    return cat
+
+
+def test_expand_blacklist_create_table_immune():
+    bl = expand_blacklist(("DELETE", "CREATE_TABLE"), {"a": ("DROP_TABLE",)}, "a")
+    assert "CREATE_TABLE" not in bl
+    assert "DELETE" in bl and "DROP_TABLE" in bl
+
+
+def test_multi_table_two_instances_golden(spark, tmp_path):
+    """3 tables, 2 instances: each instance applies only its routed
+    tables; the union of both instances' work yields every table's
+    exact oracle state, and no table was touched by both writers."""
+    raw = generate_multi_changelog(_specs())
+    log = str(tmp_path / "log")
+    write_changelog(raw, log, 4)
+    _mk_catalog_with_tables(spark, tmp_path / "cat")
+
+    pipes = []
+    for inst in range(2):
+        cfg = MultiPipelineConfig(
+            changelog_path=log,
+            catalog_root=str(tmp_path / "cat"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            tables=TABLES,
+            generation=1,
+            instance_id=inst,
+            num_instances=2,
+        )
+        p = MultiTablePipeline(spark, cfg)
+        p.run_batch()
+        pipes.append(p)
+    # routing: disjoint, covering
+    t0, t1 = set(pipes[0].my_tables), set(pipes[1].my_tables)
+    assert t0 | t1 == set(TABLES) and not (t0 & t1)
+
+    cat = Catalog.load_or_create(spark, str(tmp_path / "cat"))
+    for t in TABLES:
+        expected = oracle_apply(raw[raw["tbl"] == t])
+        actual = cat.table(t).read().toPandas()
+        assert_pdf_equal(actual, expected, ["conv_id", "turn_idx"])
+        # single writer per table (per-instance writer ids)
+        writers = {
+            s["writer-id"]
+            for s in cat.table(t).snapshot_summaries()
+            if "writer-id" in s
+        }
+        assert len(writers) == 1
+
+
+def test_multi_table_streaming_matches_batch(spark, tmp_path):
+    raw = generate_multi_changelog(_specs(500))
+    log = str(tmp_path / "log")
+    write_changelog(raw, log, 6)
+    _mk_catalog_with_tables(spark, tmp_path / "cat")
+    cfg = MultiPipelineConfig(
+        changelog_path=log,
+        catalog_root=str(tmp_path / "cat"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        tables=TABLES,
+        generation=1,
+        max_files_per_trigger=2,
+    )
+    p = MultiTablePipeline(spark, cfg)
+    p.run_stream_to_completion()
+    assert len(p.stats) >= 2  # several micro-batches
+    cat = p.catalog
+    for t in TABLES:
+        assert_pdf_equal(
+            cat.table(t).read().toPandas(),
+            oracle_apply(raw[raw["tbl"] == t]),
+            ["conv_id", "turn_idx"],
+        )
+
+
+def _ddl_row(tbl, seq, ddl):
+    return {
+        "tbl": tbl, "seq": seq, "op": ddl["op"], "conv_id": None,
+        "turn_idx": None, "is_snapshot": False, "role": None, "text": None,
+        "tool": None, "ts": pd.NaT, "prev_text": None, "ingest_ts": pd.NaT,
+        "ddl": json.dumps(ddl),
+    }
+
+
+def _transcript_columns_ddl(tbl):
+    return {
+        "op": "CREATE_TABLE",
+        "table": tbl,
+        "columns": [
+            {"name": "conv_id", "type": "string", "nullable": False},
+            {"name": "turn_idx", "type": "int", "nullable": False},
+            {"name": "role", "type": "string"},
+            {"name": "text", "type": "string"},
+            {"name": "tool", "type": "string"},
+            {"name": "ts", "type": "timestamp"},
+        ],
+        "primary_key": ["conv_id", "turn_idx"],
+        "bucket_col": "conv_id",
+        "num_buckets": 8,
+    }
+
+
+def test_drop_and_recreate_mid_stream_exactly_once(spark, tmp_path):
+    """A table is DROPped and reCREATEd mid-stream: pre-drop events
+    never leak into the new incarnation (create_seq fencing), post-
+    create events land exactly once, and a full replay under the same
+    writer changes nothing."""
+    raw = generate_multi_changelog({"alpha": ChangelogSpec(n_events=600, n_convs=10, seed=61, n_files=1)})
+    raw["seq"] = raw["seq"] * 10  # leave gaps for injected DDL seqs
+    cut = int(len(raw) * 0.6)
+    drop_seq = int(raw["seq"].iloc[cut]) + 1
+    create_seq = drop_seq + 2
+    ddls = pd.DataFrame(
+        [
+            _ddl_row("alpha", drop_seq, {"op": "DROP_TABLE", "table": "alpha"}),
+            _ddl_row("alpha", create_seq, _transcript_columns_ddl("alpha")),
+        ]
+    )
+    full = pd.concat(
+        [raw.iloc[: cut + 1], ddls, raw.iloc[cut + 1 :]], ignore_index=True
+    )
+    full["turn_idx"] = full["turn_idx"].astype("Int32")
+    log = str(tmp_path / "log")
+    write_changelog(full, log, 3)
+    _mk_catalog_with_tables(spark, tmp_path / "cat", ["alpha"])
+
+    cfg = MultiPipelineConfig(
+        changelog_path=log,
+        catalog_root=str(tmp_path / "cat"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        tables=("alpha",),
+        generation=1,
+        max_files_per_trigger=1,
+    )
+    p = MultiTablePipeline(spark, cfg)
+    p.run_stream_to_completion()
+    cat = p.catalog.refresh()
+    # only post-create events shape the final state
+    expected = oracle_apply(full[(full["seq"] > create_seq) & full["ddl"].isna()])
+    actual = cat.table("alpha").read().toPandas()
+    assert_pdf_equal(actual, expected, ["conv_id", "turn_idx"])
+    # replay everything again (new pipeline object, same writer):
+    # markers + catalog ddl marks keep it a no-op
+    v_before = cat.table("alpha").metadata["version"]
+    p2 = MultiTablePipeline(spark, cfg)
+    p2.run_batch(batch_id="replay-everything")
+    cat2 = p2.catalog.refresh()
+    assert_pdf_equal(
+        cat2.table("alpha").read().toPandas(), expected, ["conv_id", "turn_idx"]
+    )
+
+
+def test_truncate_table_mid_batch(spark, tmp_path):
+    """TRUNCATE wipes prior state; later events rebuild it; replayed
+    pre-truncate sub-batches stay skipped."""
+    raw = generate_multi_changelog({"alpha": ChangelogSpec(n_events=400, n_convs=8, seed=62, n_files=1)})
+    raw["seq"] = raw["seq"] * 10
+    cut = int(len(raw) * 0.5)
+    tseq = int(raw["seq"].iloc[cut]) + 1
+    ddls = pd.DataFrame([_ddl_row("alpha", tseq, {"op": "TRUNCATE_TABLE", "table": "alpha"})])
+    full = pd.concat([raw.iloc[: cut + 1], ddls, raw.iloc[cut + 1 :]], ignore_index=True)
+    full["turn_idx"] = full["turn_idx"].astype("Int32")
+    log = str(tmp_path / "log")
+    write_changelog(full, log, 2)
+    _mk_catalog_with_tables(spark, tmp_path / "cat", ["alpha"])
+    cfg = MultiPipelineConfig(
+        changelog_path=log,
+        catalog_root=str(tmp_path / "cat"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        tables=("alpha",),
+        generation=1,
+    )
+    p = MultiTablePipeline(spark, cfg)
+    p.run_batch()
+    expected = oracle_apply(full[(full["seq"] > tseq) & full["ddl"].isna()])
+    assert_pdf_equal(
+        p.catalog.table("alpha").read().toPandas(), expected, ["conv_id", "turn_idx"]
+    )
+
+
+def test_rename_table_catalog_level(spark, tmp_path):
+    cat = _mk_catalog_with_tables(spark, tmp_path / "cat", ["alpha"])
+    path_before = cat.table_path("alpha")
+    assert cat.rename_table("alpha", "omega")
+    assert cat.list_tables() == ["omega"]
+    assert cat.table_path("omega") == path_before  # pure metadata move
+    # replayed rename is a no-op; conflicting rename raises
+    assert cat.rename_table("alpha", "omega") is False
+    with pytest.raises(ValueError):
+        cat.rename_table("missing", "other")
+
+
+def test_events_for_unknown_table_dropped(spark, tmp_path):
+    """DML addressed to a table that does not exist (never created or
+    already dropped) is ignored, not an error (reference: events for
+    unconfigured tables are dropped)."""
+    raw = generate_multi_changelog(
+        {
+            "alpha": ChangelogSpec(n_events=200, n_convs=5, seed=63, n_files=1),
+            "ghost": ChangelogSpec(n_events=200, n_convs=5, seed=64, n_files=1),
+        }
+    )
+    log = str(tmp_path / "log")
+    write_changelog(raw, log, 2)
+    _mk_catalog_with_tables(spark, tmp_path / "cat", ["alpha"])  # no ghost
+    cfg = MultiPipelineConfig(
+        changelog_path=log,
+        catalog_root=str(tmp_path / "cat"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        tables=("alpha", "ghost"),
+        generation=1,
+    )
+    p = MultiTablePipeline(spark, cfg)
+    p.run_batch()
+    assert_pdf_equal(
+        p.catalog.table("alpha").read().toPandas(),
+        oracle_apply(raw[raw["tbl"] == "alpha"]),
+        ["conv_id", "turn_idx"],
+    )
+    assert not p.catalog.has_table("ghost")
