@@ -32,6 +32,25 @@ from .schema import CHANGELOG_SCHEMA, KEY_COLS, TRANSCRIPT_SCHEMA
 from .state import StateStore
 
 
+class DeltaFailureException(Exception):
+    """Unretryable failure: raising this inside the apply path kills
+    the supervised run immediately instead of backoff-retrying
+    (reference: DeltaFailureException short-circuits the Failsafe
+    policy, DeltaWorker.java:320-323)."""
+
+
+@dataclass
+class RetryConfig:
+    """Reference: delta-proto/.../RetryConfig.java:24-38 (unbounded
+    attempts within max_duration, default delay) + the worker's inner
+    1→120 s exponential recovery backoff (DeltaWorker.java:380-392)."""
+
+    first_delay_seconds: float = 1.0
+    max_delay_seconds: float = 120.0
+    backoff: float = 2.0
+    max_duration_seconds: float | None = None  # None = retry forever
+
+
 @dataclass
 class PipelineConfig:
     changelog_path: str
@@ -196,3 +215,39 @@ class Pipeline:
         q = self.run_stream(available_now=True)
         q.awaitTermination(timeout)
         return q
+
+    def run_supervised(
+        self, retry: RetryConfig | None = None, attempt_timeout: int = 600
+    ) -> int:
+        """Supervised streaming run: on failure, restart the query from
+        its checkpoint with exponential backoff until it completes, the
+        retry budget is exhausted, or the failure is a
+        DeltaFailureException (immediate fail) — the reference's
+        rollback-replay retry loop (DeltaWorker.java:297-403) rebuilt
+        on checkpoint resume + idempotent apply. Returns the number of
+        attempts. Exactly-once is unaffected: every restart replays the
+        failed epoch, whose committed sub-batches hit their markers."""
+        retry = retry or RetryConfig()
+        t0 = time.time()
+        delay = retry.first_delay_seconds
+        attempts = 0
+        while True:
+            attempts += 1
+            try:
+                q = self.run_stream(available_now=True)
+                q.awaitTermination(attempt_timeout)
+                return attempts
+            except Exception as e:
+                # the Python exception surfaces embedded in the Java
+                # StreamingQueryException MESSAGE (str, not repr)
+                if "DeltaFailureException" in str(e):
+                    raise
+                elapsed = time.time() - t0
+                if (
+                    retry.max_duration_seconds is not None
+                    and elapsed + delay > retry.max_duration_seconds
+                ):
+                    raise
+                self.state.set_failing(str(e)[:500])
+                time.sleep(delay)
+                delay = min(delay * retry.backoff, retry.max_delay_seconds)

@@ -71,9 +71,15 @@ def test_stream_kill_resume(spark, tmp_path):
 
 
 def test_stream_failure_injection_then_proceed(spark, tmp_path):
-    """Chaos: the apply path raises until a proceed-file exists. After
-    the file appears and the query restarts, everything lands exactly
-    once."""
+    """Chaos: the apply path raises until a proceed-file exists. The
+    IN-ENGINE supervisor (run_supervised — reference: the Failsafe
+    retry loop, DeltaWorker.java:297-403) restarts from checkpoint with
+    backoff until the proceed file appears; no external scheduler, no
+    manual second pipeline. Everything lands exactly once."""
+    import threading
+
+    from delta_spark.pipeline import RetryConfig
+
     spec = ChangelogSpec(n_events=1500, n_convs=30, seed=23, n_files=4)
     raw, cfg = _mk(spark, tmp_path, spec, max_files_per_trigger=2)
     proceed = tmp_path / "proceed"
@@ -90,15 +96,15 @@ def test_stream_failure_injection_then_proceed(spark, tmp_path):
             return _fn
 
     p1 = ChaosPipeline(spark, cfg)
-    q = p1.run_stream(available_now=True)
-    with pytest.raises(Exception):
-        q.awaitTermination(120)
-        raise RuntimeError("query should have failed")
-    assert len(p1.stats) == 1  # first epoch landed, second blew up
-
-    proceed.touch()
-    p2 = Pipeline(spark, cfg)
-    p2.run_stream_to_completion()
+    timer = threading.Timer(8.0, proceed.touch)
+    timer.start()
+    try:
+        attempts = p1.run_supervised(
+            RetryConfig(first_delay_seconds=1.0, backoff=2.0)
+        )
+    finally:
+        timer.cancel()
+    assert attempts >= 2  # it really failed and retried in-engine
     table = LakeTable.load(spark, cfg.table_path)
     assert_pdf_equal(table.read().toPandas(), oracle_apply(raw), ["conv_id", "turn_idx"])
     # metrics not double-counted: lineage rows_in totals match distinct events
@@ -197,3 +203,45 @@ def test_watermark_dedup_state_is_bounded(spark, tmp_path):
     # the cumulative key set; give 3x slack for trigger overlap
     assert max(totals) <= 3 * (rows_per_file + 50), totals
     assert max(totals) < rows_per_file * n_files / 2
+
+
+def test_supervisor_immediate_fail_and_budget(spark, tmp_path):
+    """DeltaFailureException kills a supervised run on the FIRST
+    attempt (reference: DeltaWorker.java:320-323); an ordinary failure
+    gives up once the retry budget is exhausted."""
+    import time as _time
+
+    from delta_spark.pipeline import DeltaFailureException, RetryConfig
+
+    spec = ChangelogSpec(n_events=300, n_convs=10, seed=25, n_files=2)
+    raw, cfg = _mk(spark, tmp_path, spec)
+
+    class FatalPipeline(Pipeline):
+        def _foreach_batch(self, table):
+            def _fn(df, epoch_id):
+                raise DeltaFailureException("unretryable")
+
+            return _fn
+
+    with pytest.raises(Exception, match="DeltaFailureException"):
+        FatalPipeline(spark, cfg).run_supervised(RetryConfig())
+
+    class AlwaysFailing(Pipeline):
+        def _foreach_batch(self, table):
+            def _fn(df, epoch_id):
+                raise RuntimeError("transient-looking but persistent")
+
+            return _fn
+
+    cfg2 = PipelineConfig(
+        changelog_path=cfg.changelog_path,
+        table_path=str(tmp_path / "t2"),
+        checkpoint_dir=str(tmp_path / "ck2"),
+        generation=3,
+    )
+    t0 = _time.time()
+    with pytest.raises(Exception):
+        AlwaysFailing(spark, cfg2).run_supervised(
+            RetryConfig(first_delay_seconds=0.5, max_duration_seconds=6.0)
+        )
+    assert _time.time() - t0 < 60  # gave up on budget, not hung
