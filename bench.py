@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "sessionization",
     "hourly_rollup",
     "q1_pricing_summary",
+    "q1_pricing_summary_fast",
     "top_orders_per_customer",
     "region_customer_rollup",
     "order_priority_revenue",
@@ -146,8 +147,12 @@ def main() -> None:
         cdc_s = run_cdc_stream(spark, max(n_events // 4, 10_000), work_dir=wd)
     timings["cdc_replay_stream"] = round(cdc_s["sec"], 3)
 
+    from delta_spark import queries as _q
+
     for name in BENCH_QUERIES:
-        fn = ALL_QUERIES[name]
+        # bench-only variants (e.g. the double-typed q1) live in the
+        # queries module but not in the oracle-checked registry
+        fn = ALL_QUERIES.get(name) or getattr(_q, name)
         t0 = time.time()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

@@ -89,6 +89,7 @@ def apply_batch(
     assume_ordered: bool = False,
     merge_mode: str = "cow",
     sort_key_col: str | None = None,
+    column_whitelist: tuple[str, ...] | None = None,
 ) -> ApplyStats:
     """Apply one micro-batch of changelog rows to ``table``.
 
@@ -120,6 +121,25 @@ def apply_batch(
 
     if transforms:
         batch = transforms(batch)
+
+    # F3: per-table column whitelist (reference: SourceTable.getColumns,
+    # SourceTable.java:66-72 — empty/None selects all). Key columns and
+    # control columns always pass; unselected payload columns are
+    # DROPPED here so they reach the target as NULL and the scan never
+    # reads them (column pruning reaches the source).
+    if column_whitelist is not None:
+        keep_always = {"seq", "op", "ddl", "is_snapshot", "ingest_ts"}
+        keep_always.update(table.key_cols)
+        # events may still address keys by their ORIGINAL (pre-rename)
+        # names — keep those too (id-based remap happens later)
+        cur_to_orig = {
+            v: k for k, v in table.original_to_current_names(0).items()
+        }
+        keep_always.update(cur_to_orig.get(k, k) for k in table.key_cols)
+        if sort_key_col:
+            keep_always.add(sort_key_col)
+        allowed = keep_always | set(column_whitelist)
+        batch = batch.select(*[c for c in batch.columns if c in allowed])
 
     # The salted two-phase pre-collapse remains as an opt-in for
     # pathologically hot keys (one key overwhelming a reducer even

@@ -62,10 +62,33 @@ def pairwise_topk_within(
     vec_col: str = "embedding",
     threshold: float = 0.99,
     round_digits: int = 4,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within a coarse partition
     (label/IVF cell): equi-join on the partition column bounds the
-    quadratic blow-up to cell size."""
+    quadratic blow-up to cell size.
+
+    ``max_cell_rows`` caps that bound at scale: cells larger than the
+    cap are EXCLUDED from pairing (a 10M-row cell is 10^14 pairs — it
+    needs sub-blocking, e.g. LSH within the cell, not brute force).
+    Excluded cells are logged, never silently dropped."""
+    if max_cell_rows is not None:
+        sizes = df.groupBy(partition_col).count()
+        big = sizes.filter(F.col("count") > max_cell_rows)
+        n_big = big.count()
+        if n_big:
+            import logging
+
+            logging.getLogger("delta_spark.similarity").warning(
+                "pairwise_topk_within: %d cell(s) exceed max_cell_rows=%d "
+                "and are excluded from pairing (sub-block them instead)",
+                n_big, max_cell_rows,
+            )
+        df = df.join(
+            sizes.filter(F.col("count") <= max_cell_rows).select(partition_col),
+            partition_col,
+            "left_semi",
+        )
     a = df.select(
         F.col(partition_col).alias("p"),
         F.col(id_col).alias("id_a"),

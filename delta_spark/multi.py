@@ -59,6 +59,7 @@ def apply_multi_batch(
     table_col: str = "tbl",
     op_blacklist: tuple = (),
     per_table_blacklists: dict | None = None,
+    per_table_columns: dict | None = None,
     **apply_kw,
 ) -> dict[str, list[ApplyStats]]:
     """Apply one micro-batch of a multi-table changelog: table-level
@@ -118,6 +119,7 @@ def apply_multi_batch(
                         writer_id=writer_id,
                         batch_id=sub_id,
                         op_blacklist=dml_bl,
+                        column_whitelist=(per_table_columns or {}).get(t),
                         **apply_kw,
                     )
                     stats.append(st)
@@ -147,6 +149,9 @@ class MultiPipelineConfig:
     table_col: str = "tbl"
     op_blacklist: tuple = ()
     per_table_blacklists: dict = field(default_factory=dict)
+    per_table_columns: dict = field(default_factory=dict)  # name -> tuple
+    # of selected columns (reference: SourceTable.getColumns); absent
+    # table -> all columns
     max_files_per_trigger: int | None = None
     max_bytes_per_trigger: str | None = None
     merge_mode: str = "auto"
@@ -214,6 +219,7 @@ class MultiTablePipeline:
             table_col=self.cfg.table_col,
             op_blacklist=self.cfg.op_blacklist,
             per_table_blacklists=self.cfg.per_table_blacklists,
+            per_table_columns=self.cfg.per_table_columns,
             merge_mode=self.cfg.merge_mode,
             sort_key_col=self.cfg.sort_key_col,
         )

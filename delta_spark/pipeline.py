@@ -70,6 +70,8 @@ class PipelineConfig:
     sort_key_col: str | None = None        # UN_ORDERED-source tiebreak:
     # equal-seq events resolve by this column (e.g. "ingest_ts" — the
     # reference's sourceTimestampMillis/sortKeys, SortKey.java:26-41)
+    column_whitelist: tuple | None = None  # per-table column selection
+    # (reference: SourceTable.getColumns); None = all columns
     compact_pressure: int = 8              # max delta files per bucket
     # before the sink folds them into base (0 disables auto-compaction)
     expire_every: int = 50                 # snapshots; 0 disables
@@ -131,6 +133,7 @@ class Pipeline:
             transforms=self.transforms,
             merge_mode=self.cfg.merge_mode,
             sort_key_col=self.cfg.sort_key_col,
+            column_whitelist=self.cfg.column_whitelist,
         )
         self.stats.append(st)
         return st
@@ -157,6 +160,7 @@ class Pipeline:
                     transforms=self.transforms,
                     merge_mode=self.cfg.merge_mode,
                     sort_key_col=self.cfg.sort_key_col,
+                    column_whitelist=self.cfg.column_whitelist,
                 )
             except Exception as e:
                 self.state.set_table_failing(name)

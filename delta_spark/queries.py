@@ -225,6 +225,26 @@ def q1_pricing_summary(spark, sf_dir):
     )
 
 
+def q1_pricing_summary_fast(spark, sf_dir):
+    """Production-typed Q1: plain DOUBLE sums — the engine's native
+    speed path. Floating addition is order-dependent, so this variant
+    has no bit-exact external oracle and is BENCH-ONLY (not registered
+    in ALL_QUERIES); ``q1_pricing_summary`` keeps the exact-DECIMAL
+    formulation for the correctness gate."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_quantity") < 45)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
 def top_orders_per_customer(spark, sf_dir):
     """Window top-k per group with deterministic tie-break."""
     o = _t(spark, sf_dir, "orders")

@@ -65,3 +65,17 @@ def test_ngram_jaccard_requires_candidates(spark):
         d, "doc_id", "text", k=3, threshold=0.4, allow_full_scan=True
     )
     out.count()
+
+
+def test_pairwise_cell_cap_excludes_oversized(spark):
+    from delta_spark.functions.similarity import pairwise_topk_within
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sizes = {r["label"]: r["count"] for r in e.groupBy("label").count().collect()}
+    cap = sorted(sizes.values())[len(sizes) // 2]  # median: some cells excluded
+    capped = pairwise_topk_within(e, "label", threshold=0.25, max_cell_rows=cap)
+    uncapped = pairwise_topk_within(e, "label", threshold=0.25)
+    big = {lbl for lbl, n in sizes.items() if n > cap}
+    got_labels = {r["label"] for r in capped.select("label").distinct().collect()}
+    assert not (got_labels & big)  # oversized cells excluded
+    assert capped.count() < uncapped.count()

@@ -4,6 +4,8 @@ the pandas oracle (reference analog: testOneRun golden compare,
 DeltaPipelineStateStoreBaseTest.java:126-173)."""
 
 import json
+
+import pandas as pd
 import os
 
 import pytest
@@ -247,3 +249,21 @@ def test_sortkey_tiebreak_unordered_source(spark, tmp_path):
     assert_pdf_equal(table.read().toPandas(), expected, ["conv_id", "turn_idx"])
     # sanity: winners include ties resolved AGAINST file order
     assert expected["text"].astype(str).str.endswith("rev-tie").any()
+
+
+def test_column_whitelist_enforced_in_apply(spark, tmp_path):
+    """F3: unselected payload columns never reach the target — they
+    land NULL (reference: SourceTable.getColumns, SourceTable.java:
+    66-72); key columns always pass."""
+    spec = ChangelogSpec(n_events=1000, n_convs=20, seed=33)
+    raw, st, table = _run(
+        spark, tmp_path, spec, column_whitelist=("text", "role")
+    )
+    exp = oracle_apply(raw)
+    got = table.read().toPandas()
+    assert got["tool"].isna().all() and got["ts"].isna().all()
+    assert_pdf_equal(
+        got[["conv_id", "turn_idx", "role", "text"]],
+        exp[["conv_id", "turn_idx", "role", "text"]],
+        ["conv_id", "turn_idx"],
+    )

@@ -245,3 +245,31 @@ def test_supervisor_immediate_fail_and_budget(spark, tmp_path):
             RetryConfig(first_delay_seconds=0.5, max_duration_seconds=6.0)
         )
     assert _time.time() - t0 < 60  # gave up on budget, not hung
+
+
+def test_progress_logger_persists_stats(spark, tmp_path):
+    """M3: the ongoing diagnostics listener persists one progress record
+    per micro-batch, queryable as a DataFrame (reference: periodic
+    stats logging, MetricsHandler.java:76-83)."""
+    from delta_spark.progress import attach_progress_logger, read_progress
+
+    stats_dir = str(tmp_path / "stats")
+    lst = attach_progress_logger(spark, stats_dir=stats_dir)
+    try:
+        spec = ChangelogSpec(n_events=1200, n_convs=20, seed=26, n_files=4)
+        raw, cfg = _mk(spark, tmp_path, spec, max_files_per_trigger=2)
+        p = Pipeline(spark, cfg)
+        p.run_stream_to_completion()
+        import time as _t
+
+        deadline = _t.time() + 30  # listener delivery is async
+        while _t.time() < deadline:
+            if os.path.isdir(stats_dir) and any(os.scandir(stats_dir)):
+                break
+            _t.sleep(0.5)
+        prog = read_progress(spark, stats_dir)
+        rows = prog.select("batchId", "numInputRows").collect()
+        assert len(rows) >= len(p.stats)
+        assert sum(r["numInputRows"] for r in rows) >= len(raw)
+    finally:
+        spark.streams.removeListener(lst)
