@@ -17,7 +17,11 @@ transform   vectorized (Arrow/pandas-UDF) column transforms & renames
 dedup       sequence dedup + last-writer-wins collapse (incl. salted)
 lake        minimal snapshot-isolated table format on Parquet
 apply       micro-batch apply: DDL-first ordering, MERGE, lineage
-pipeline    batch + Structured Streaming replay wiring, resume
+pipeline    batch + Structured Streaming replay wiring, resume,
+            supervised retry (run_supervised)
+catalog     named tables + table-level DDL (CREATE/DROP/TRUNCATE/RENAME)
+multi       multi-table pipelines (table→instance routing, demux)
+progress    StreamingQueryListener diagnostics (log + JSONL stats)
 assess      design-time schema-compat assessment
 functions   training-data-pipeline ops (dedup, similarity, text, media)
 """
