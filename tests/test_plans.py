@@ -116,3 +116,67 @@ def test_changelog_ddl_probe_prunes_columns(spark, tmp_path):
     plan = _plan(df)
     read_schema = plan.split("ReadSchema:")[1][:200]
     assert "text" not in read_schema and "prev_text" not in read_schema
+
+
+def test_mor_read_fold_only_when_deltas_present(spark, tmp_path):
+    """Merge-on-read cost model: a base-only read has NO aggregation
+    (CoW invariant — one row per key already); once delta files exist
+    the read plans exactly one argmax fold; after compaction the fold
+    disappears again."""
+    from delta_spark.lake import LakeTable
+    from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        "conv_id", 8,
+    )
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long"
+    )
+    base = spark.createDataFrame(
+        [(f"c{i}", 0, "user", f"r{i}", "", None, "INSERT", i + 1) for i in range(20)],
+        ddl,
+    )
+    t.merge(base, "w", "b0")  # CoW base
+    assert "Aggregate" not in _optimized(t.read())
+    t.merge(
+        spark.createDataFrame([("c1", 0, "user", "upd", "", None, "UPDATE", 100)], ddl),
+        "w", "b1", mode="mor",
+    )
+    folded = _optimized(t.read())
+    assert "Aggregate" in folded  # exactly the argmax fold
+    t.compact(max_files_per_bucket=1)
+    assert "Aggregate" not in _optimized(t.read())
+
+
+def test_mor_merge_never_scans_target(spark, tmp_path):
+    """The MoR apply is O(batch): its write job reads ONLY the batch —
+    no target files appear in the scan (the CoW path reads affected
+    buckets; the MoR path reads none)."""
+    from delta_spark.lake import LakeTable
+    from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        "conv_id", 8,
+    )
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long"
+    )
+    big = spark.createDataFrame(
+        [(f"c{i}", j, "user", f"r{i}", "", None, "INSERT", i * 10 + j + 1)
+         for i in range(30) for j in range(3)],
+        ddl,
+    )
+    t.merge(big, "w", "b0")
+    files_before = {f["path"] for f in t.current_snapshot["files"]}
+    res = t.merge(
+        spark.createDataFrame([("c1", 0, "user", "upd", "", None, "UPDATE", 10**6)], ddl),
+        "w", "b1", mode="mor",
+    )
+    # every pre-existing file still referenced, exactly new delta files added
+    after = {f["path"] for f in t.current_snapshot["files"]}
+    assert files_before <= after
+    assert len(after - files_before) == res["files"] == 1
