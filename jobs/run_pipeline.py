@@ -40,7 +40,16 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--salt-buckets", type=int, default=0)
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--max-bytes-per-trigger", default=None, help='e.g. "128m"')
     ap.add_argument("--blacklist", default="", help="comma-separated ops to drop")
+    ap.add_argument("--sort-key-col", default=None,
+                    help="UN_ORDERED-source tiebreak column (e.g. ingest_ts)")
+    ap.add_argument("--columns", default="",
+                    help="comma-separated column whitelist (empty = all)")
+    ap.add_argument("--retry-max-duration", type=float, default=None,
+                    help="supervised-retry budget in seconds (default: forever)")
+    ap.add_argument("--stats-dir", default=None,
+                    help="persist per-micro-batch progress JSONL here")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -66,7 +75,14 @@ def main() -> None:
         salt_buckets=args.salt_buckets,
         op_blacklist=tuple(x for x in args.blacklist.split(",") if x),
         max_files_per_trigger=args.max_files_per_trigger,
+        max_bytes_per_trigger=args.max_bytes_per_trigger,
+        sort_key_col=args.sort_key_col,
+        column_whitelist=tuple(x for x in args.columns.split(",") if x) or None,
     )
+    if args.stats_dir:
+        from delta_spark.progress import attach_progress_logger
+
+        attach_progress_logger(spark, stats_dir=args.stats_dir)
     p = Pipeline(spark, cfg)
     if args.mode == "batch":
         st = p.run_batch()
@@ -74,13 +90,39 @@ def main() -> None:
                           "deletes": st.deletes, "ddls": st.ddls_applied,
                           "wall_ms": st.wall_ms}))
     elif args.mode == "stream":
-        p.run_stream_to_completion(timeout=24 * 3600)
-        print(json.dumps({"batches": len(p.stats),
+        # in-engine supervised retry (reference RetryConfig semantics:
+        # backoff 1->120 s, optional max duration, DeltaFailureException
+        # fails immediately) — no external scheduler needed
+        from delta_spark.pipeline import RetryConfig
+
+        attempts = p.run_supervised(
+            RetryConfig(max_duration_seconds=args.retry_max_duration),
+            attempt_timeout=24 * 3600,
+        )
+        print(json.dumps({"batches": len(p.stats), "attempts": attempts,
                           "rows_in": sum(s.rows_in for s in p.stats)}))
-    else:  # stream-continuous: tail forever (restart-on-failure outer loop
-        # is the scheduler's job, reference RetryConfig semantics)
-        q = p.run_stream(available_now=False)
-        q.awaitTermination()
+    else:  # stream-continuous: tail forever under the same supervisor
+        from delta_spark.pipeline import RetryConfig
+
+        retry = RetryConfig(max_duration_seconds=args.retry_max_duration)
+        import time as _time
+
+        t0, delay = _time.time(), retry.first_delay_seconds
+        while True:
+            try:
+                q = p.run_stream(available_now=False)
+                q.awaitTermination()
+                break
+            except Exception as e:
+                if "DeltaFailureException" in str(e):
+                    raise
+                if (
+                    retry.max_duration_seconds is not None
+                    and _time.time() - t0 + delay > retry.max_duration_seconds
+                ):
+                    raise
+                _time.sleep(delay)
+                delay = min(delay * retry.backoff, retry.max_delay_seconds)
 
 
 if __name__ == "__main__":

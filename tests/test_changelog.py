@@ -109,3 +109,46 @@ def test_spark_generate_bench_source(spark, tmp_path):
     # DELETE rows carry no image; others do
     assert df.filter("op='DELETE' and text is not null").count() == 0
     assert df.filter("op<>'DELETE' and text is null").count() == 0
+
+
+def test_tie_fixture_invariants():
+    """tie_frac emits equal-seq COMPETING revisions: same key+seq,
+    different payload and ingest_ts; winners and losers both present."""
+    from delta_spark.changelog import ChangelogSpec, generate_changelog
+
+    raw = generate_changelog(ChangelogSpec(n_events=2000, n_convs=30, seed=91, tie_frac=0.05))
+    per_seq = raw.groupby("seq").agg(n_text=("text", lambda s: s.dropna().nunique()))
+    tied = per_seq[per_seq["n_text"] > 1]
+    assert len(tied) > 10
+    # each tie pair shares (conv_id, turn_idx) and differs in ingest_ts
+    sample = raw[raw["seq"].isin(tied.index[:20])]
+    for seq, grp in sample.groupby("seq"):
+        assert grp["conv_id"].nunique() == 1 and grp["turn_idx"].nunique() == 1
+        assert grp["ingest_ts"].nunique() > 1
+    # the revision text marker is present on exactly the injected rows
+    assert raw["text"].astype(str).str.endswith("rev-tie").any()
+
+
+def test_multi_changelog_invariants():
+    """generate_multi_changelog: global seq preserves each table's
+    event order; replay duplicates share the global seq."""
+    from delta_spark.changelog import ChangelogSpec, generate_multi_changelog
+
+    raw = generate_multi_changelog(
+        {t: ChangelogSpec(n_events=500, n_convs=10, seed=92 + i, n_files=1)
+         for i, t in enumerate(["a", "b", "c"])}
+    )
+    assert set(raw["tbl"]) == {"a", "b", "c"}
+    for t in "abc":
+        sub = raw[raw["tbl"] == t].drop_duplicates("seq").sort_values("seq")
+        # per-key lifecycle survives the global renumbering: first event
+        # of every key is an INSERT, any DELETE is that key's last event
+        for (_, _), grp in sub.groupby(["conv_id", "turn_idx"], dropna=True):
+            ops = grp["op"].tolist()
+            assert ops[0] == "INSERT"
+            assert "DELETE" not in ops[:-1]
+    # duplicates (replays) share global seq AND payload
+    dup = raw[raw.duplicated("seq", keep=False) & raw["text"].notna()]
+    grp = dup.groupby("seq").agg(tbl=("tbl", "nunique"))
+    # a global seq never spans two tables
+    assert (grp["tbl"] == 1).all()
