@@ -96,28 +96,24 @@ def warmup(spark) -> None:
     df.groupBy((F.col("x") % 10)).agg(F.max(F.struct("x"))).count()
 
 
-def run_cdc_stream(spark, n_events: int, work_dir: str) -> dict:
-    """Streaming tail: micro-batched apply through foreachBatch with
-    checkpointing (maxFilesPerTrigger-bounded admission). Best of 2
-    full runs (fresh table + checkpoint each) — run 1 additionally pays
+def run_cdc_stream(spark, log_dir: str, n_events: int, work_dir: str) -> dict:
+    """Streaming tail over the SAME changelog the batch replay used —
+    the two headline numbers compare on identical input; the stream
+    pays micro-batch admission (4 batches via maxFilesPerTrigger),
+    checkpointing, and per-epoch commits on top. Best of 2 full runs
+    (fresh table + checkpoint each) — run 1 additionally pays
     first-touch streaming codegen, and host noise only slows runs."""
-    from delta_spark.changelog import ChangelogSpec, generate_and_write
     from delta_spark.pipeline import Pipeline, PipelineConfig
 
-    spec = ChangelogSpec(
-        n_events=n_events, n_convs=max(200, n_events // 100), seed=43, n_files=16
-    )
-    log_dir = os.path.join(work_dir, "log")
-    df = generate_and_write(log_dir, spec)
     walls, batches = [], 0
     for i in range(2):
         cfg = PipelineConfig(
             changelog_path=log_dir,
-            table_path=os.path.join(work_dir, f"tbl{i}"),
-            checkpoint_dir=os.path.join(work_dir, f"ck{i}"),
+            table_path=os.path.join(work_dir, f"stbl{i}"),
+            checkpoint_dir=os.path.join(work_dir, f"sck{i}"),
             generation=1,
             num_buckets=max(2 * CPUS, 32),
-            max_files_per_trigger=4,
+            max_files_per_trigger=max(16, CPUS) // 4,  # 4 micro-batches
         )
         p = Pipeline(spark, cfg)
         t0 = time.time()
@@ -125,7 +121,7 @@ def run_cdc_stream(spark, n_events: int, work_dir: str) -> dict:
         walls.append(time.time() - t0)
         batches = len(p.stats)
     wall = min(walls)
-    return {"events": len(df), "sec": wall, "events_per_sec": len(df) / wall,
+    return {"events": n_events, "sec": wall, "events_per_sec": n_events / wall,
             "batches": batches, "runs": walls}
 
 
@@ -137,15 +133,17 @@ def main() -> None:
     warmup(spark)
     timings: dict[str, float] = {}
 
-    # headline: CDC apply throughput (batch backfill + streaming tail)
+    # headline: CDC apply throughput — batch backfill AND streaming
+    # tail over the SAME generated changelog (identical input)
     n_events = int(os.environ.get("BENCH_CDC_EVENTS", str(int(4_000_000 * SF))))
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     with tempfile.TemporaryDirectory(prefix="bench_cdc_", dir=base) as wd:
         cdc = run_cdc_replay(spark, n_events, num_buckets=max(2 * CPUS, 32), work_dir=wd)
-    timings["cdc_replay"] = round(cdc["sec"], 3)
-    with tempfile.TemporaryDirectory(prefix="bench_cdcs_", dir=base) as wd:
-        cdc_s = run_cdc_stream(spark, max(n_events // 4, 10_000), work_dir=wd)
-    timings["cdc_replay_stream"] = round(cdc_s["sec"], 3)
+        timings["cdc_replay"] = round(cdc["sec"], 3)
+        cdc_s = run_cdc_stream(
+            spark, os.path.join(wd, "log"), cdc["events"], work_dir=wd
+        )
+        timings["cdc_replay_stream"] = round(cdc_s["sec"], 3)
 
     from delta_spark import queries as _q
 

@@ -307,7 +307,10 @@ class LakeTable:
         files = snap["files"]
         if buckets is not None:
             bset = set(buckets)
-            files = [f for f in files if f["bucket"] in bset]
+            # bucket == -1: SPANNING delta file (shuffle-free MoR write,
+            # rows of any bucket) — always included; the argmax fold
+            # dedups rows that were since compacted into base
+            files = [f for f in files if f["bucket"] in bset or f["bucket"] == -1]
             if not files:
                 empty = self._schema_with_system() if include_system else self.schema
                 return self.spark.createDataFrame([], empty)
@@ -420,6 +423,50 @@ class LakeTable:
                     "kind": kind,
                 }
             )
+        return entries
+
+    def _write_data_spanning(self, df: DataFrame, snap_tag: str) -> list[dict]:
+        """Shuffle-free delta write for the streaming hot path: the
+        batch is written AS PARTITIONED BY THE SOURCE (no repartition,
+        no per-bucket split — a micro-batch costs one narrow write of
+        ~its input partition count in files). The ``_bucket`` column is
+        STORED so compaction can find the touched buckets by scanning
+        one column; the manifest marks these files ``bucket = -1``
+        (spanning), and every bucket-pruned read includes them until
+        compact() folds their rows into per-bucket base files."""
+        out_dir = os.path.join(self.path, "data", snap_tag)
+        df.write.mode("errorifexists").parquet(out_dir)
+        sv = self.metadata["schema_version"]
+        paths = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+        # drop empty part files (an input partition with no rows) so
+        # they never inflate the manifest or the compaction pressure;
+        # footer reads are threaded and local (on a real cluster the
+        # row counts come from task commit messages)
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        def _rows(p):
+            try:
+                return p, pq.ParquetFile(p).metadata.num_rows
+            except Exception:
+                return p, None
+
+        entries = []
+        with ThreadPoolExecutor(min(16, max(1, len(paths)))) as ex:
+            for p, rows in ex.map(_rows, paths):
+                if rows == 0:
+                    os.unlink(p)
+                    continue
+                entries.append(
+                    {
+                        "path": os.path.relpath(p, self.path),
+                        "bucket": -1,
+                        "schema_version": sv,
+                        "rows": rows,
+                        "kind": "delta",
+                    }
+                )
         return entries
 
     def overwrite(self, df: DataFrame, writer_id: str, batch_id: str, summary: dict | None = None) -> bool:
@@ -584,10 +631,11 @@ class LakeTable:
         summary, precommit=None, sort_col=None,
     ) -> dict:
         """Merge-on-read apply: append the batch's rows (with ``_seq``
-        version guard + ``_deleted`` tombstones) as per-bucket DELTA
-        files. The target is never read or rewritten — the whole apply
-        is ONE job over the batch (repartition by bucket + write), so a
-        micro-batch costs O(batch), not O(touched buckets of table).
+        version guard + ``_deleted`` tombstones) as SPANNING delta
+        files. The target is never read or rewritten and the write is
+        SHUFFLE-FREE — the whole apply is ONE narrow job over the
+        batch, so a micro-batch costs O(batch), not O(touched buckets
+        of table) and not even a repartition of the batch.
         Read-time argmax-by-_seq folds deltas against base (same
         semantics as the CoW path — out-of-order events across
         micro-batches can never regress a row, DELETEs tombstone);
@@ -611,13 +659,14 @@ class LakeTable:
             F.max("_seq").alias("max_seq"),
         )
         snap_tag = f"delta-{uuid.uuid4().hex[:12]}"
-        files_new = self._write_data(batch_sys, snap_tag, kind="delta")
+        files_new = self._write_data_spanning(batch_sys, snap_tag)
         if precommit is not None and not precommit():
             self._discard_uncommitted(snap_tag)
             return {"aborted": True}
         m = observe_get(obs) or {"n": 0, "dels": 0, "max_seq": None}
         n_batch, n_del = m["n"], m["dels"] or 0
-        if n_batch == 0 and not files_new:
+        if n_batch == 0:
+            self._discard_uncommitted(snap_tag)
             return {"buckets": [], "files": 0, "upserts": 0, "deletes": 0}
         affected = sorted({f["bucket"] for f in files_new})
         cur = self.current_snapshot
@@ -644,16 +693,22 @@ class LakeTable:
         }
 
     def delta_file_pressure(self) -> int:
-        """Max per-bucket delta-file count in the current snapshot —
-        the pipeline's cheap (in-memory) compaction trigger."""
+        """Delta-file read-amplification bound in the current snapshot:
+        max per-bucket delta count plus the spanning-file count (a
+        spanning file weighs on EVERY bucket read). The pipeline's
+        cheap (in-memory) compaction trigger."""
         cur = self.current_snapshot
         if not cur:
             return 0
         counts: dict[int, int] = {}
+        spanning = 0
         for f in cur["files"]:
             if f.get("kind") == "delta":
-                counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
-        return max(counts.values(), default=0)
+                if f["bucket"] == -1:
+                    spanning += 1
+                else:
+                    counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        return max(counts.values(), default=0) + spanning
 
     # ------------------------------------------------------ DDL
 
@@ -739,25 +794,40 @@ class LakeTable:
         return len(expired)
 
     def compact(self, max_files_per_bucket: int = 4) -> int:
-        """Rewrite buckets whose file count exceeds the threshold into
-        one file set (bin-packing compaction). Data is unchanged; the
-        commit carries no writer/batch marker (maintenance, not apply).
-        Small files accumulate one-per-bucket-per-micro-batch in a
-        streaming sink — compaction keeps read amplification flat."""
+        """Rewrite crowded buckets into one file set and ABSORB spanning
+        delta files (their touched buckets found by scanning just the
+        stored ``_bucket`` column — a cheap columnar read). Data is
+        unchanged; the commit carries no writer/batch marker
+        (maintenance, not apply). Small delta files accumulate per
+        micro-batch in a streaming sink — compaction keeps read
+        amplification flat."""
         cur = self.current_snapshot
         if cur is None:
             return 0
+        spanning = [f for f in cur["files"] if f["bucket"] == -1]
         by_bucket: dict[int, int] = {}
         for f in cur["files"]:
-            by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
-        crowded = sorted(b for b, n in by_bucket.items() if n > max_files_per_bucket)
+            if f["bucket"] != -1:
+                by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
+        crowded = {b for b, n in by_bucket.items() if n > max_files_per_bucket}
+        if spanning:
+            sp = self.spark.read.parquet(
+                *[os.path.join(self.path, f["path"]) for f in spanning]
+            )
+            crowded |= {
+                r[0] for r in sp.select("_bucket").distinct().collect()
+            }
         if not crowded:
             return 0
+        crowded = sorted(crowded)
         data = self.read(buckets=crowded, include_system=True).withColumn(
             "_bucket", self.bucket_expr()
         )
         files_new = self._write_data(data, f"compact-{uuid.uuid4().hex[:12]}")
-        kept = [f for f in cur["files"] if f["bucket"] not in set(crowded)]
+        kept = [
+            f for f in cur["files"]
+            if f["bucket"] not in set(crowded) and f["bucket"] != -1
+        ]
         self._commit_snapshot(
             kept + files_new,
             {"operation": "compact", "compacted-buckets": len(crowded)},
