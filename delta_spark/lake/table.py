@@ -433,8 +433,17 @@ class LakeTable:
         STORED so compaction can find the touched buckets by scanning
         one column; the manifest marks these files ``bucket = -1``
         (spanning), and every bucket-pruned read includes them until
-        compact() folds their rows into per-bucket base files."""
+        compact() folds their rows into per-bucket base files.
+
+        File count is throttled to ~1/4 of the input partitions (narrow
+        coalesce — no shuffle): spanning files pressure EVERY bucket
+        read, and the compaction cadence is pressure ÷ files-per-epoch,
+        so fewer, bigger delta files amortize the fold across many
+        micro-batches while keeping write parallelism for big batches."""
         out_dir = os.path.join(self.path, "data", snap_tag)
+        n_in = df.rdd.getNumPartitions()
+        if n_in > 1:
+            df = df.coalesce(max(1, n_in // 4))
         df.write.mode("errorifexists").parquet(out_dir)
         sv = self.metadata["schema_version"]
         paths = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
