@@ -60,6 +60,7 @@ def apply_multi_batch(
     op_blacklist: tuple = (),
     per_table_blacklists: dict | None = None,
     per_table_columns: dict | None = None,
+    per_table_transforms: dict | None = None,
     **apply_kw,
 ) -> dict[str, list[ApplyStats]]:
     """Apply one micro-batch of a multi-table changelog: table-level
@@ -120,6 +121,7 @@ def apply_multi_batch(
                         batch_id=sub_id,
                         op_blacklist=dml_bl,
                         column_whitelist=(per_table_columns or {}).get(t),
+                        transforms=(per_table_transforms or {}).get(t),
                         **apply_kw,
                     )
                     stats.append(st)
@@ -152,6 +154,9 @@ class MultiPipelineConfig:
     per_table_columns: dict = field(default_factory=dict)  # name -> tuple
     # of selected columns (reference: SourceTable.getColumns); absent
     # table -> all columns
+    per_table_transforms: dict = field(default_factory=dict)  # name ->
+    # Callable[[DataFrame], DataFrame] (reference: per-column
+    # transformation directives, Transformation.java:27-58)
     max_files_per_trigger: int | None = None
     max_bytes_per_trigger: str | None = None
     merge_mode: str = "auto"
@@ -220,6 +225,7 @@ class MultiTablePipeline:
             op_blacklist=self.cfg.op_blacklist,
             per_table_blacklists=self.cfg.per_table_blacklists,
             per_table_columns=self.cfg.per_table_columns,
+            per_table_transforms=self.cfg.per_table_transforms,
             merge_mode=self.cfg.merge_mode,
             sort_key_col=self.cfg.sort_key_col,
         )

@@ -267,3 +267,33 @@ def test_events_for_unknown_table_dropped(spark, tmp_path):
         ["conv_id", "turn_idx"],
     )
     assert not p.catalog.has_table("ghost")
+
+
+def test_per_table_transforms_applied(spark, tmp_path):
+    """F4 in the multi-table path: each table gets its own transform
+    chain (reference: per-column Transformation directives)."""
+    from pyspark.sql import functions as F
+
+    raw = generate_multi_changelog(
+        {t: ChangelogSpec(n_events=200, n_convs=5, seed=70 + i, n_files=1)
+         for i, t in enumerate(["alpha", "beta"])}
+    )
+    log = str(tmp_path / "log")
+    write_changelog(raw, log, 1)
+    _mk_catalog_with_tables(spark, tmp_path / "cat", ["alpha", "beta"])
+    cfg = MultiPipelineConfig(
+        changelog_path=log,
+        catalog_root=str(tmp_path / "cat"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        tables=("alpha", "beta"),
+        generation=1,
+        per_table_transforms={
+            "alpha": lambda df: df.withColumn("text", F.upper("text"))
+        },
+    )
+    p = MultiTablePipeline(spark, cfg)
+    p.run_batch()
+    a = p.catalog.table("alpha").read().toPandas()
+    b = p.catalog.table("beta").read().toPandas()
+    assert (a["text"].dropna() == a["text"].dropna().str.upper()).all()
+    assert not (b["text"].dropna() == b["text"].dropna().str.upper()).all()
