@@ -152,6 +152,14 @@ ALL_ORACLES: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
             AND event_type <> 'error'
     """,
+    "table_ddl_replay": """
+        WITH c AS (SELECT 3 * MAX(event_id) // 4 AS cut FROM events)
+        SELECT user_id, event_type, value, ts
+        FROM events, c
+        WHERE event_id > cut
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+            AND event_type <> 'error'
+    """,
     # ------------------------------------------------- relational
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,

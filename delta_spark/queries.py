@@ -495,6 +495,102 @@ def multi_table_replay(spark, sf_dir):
     return out.select("tbl", "user_id", "event_type", "value", "ts")
 
 
+def table_ddl_replay(spark, sf_dir):
+    """Table-level DDL E2E with a SQL oracle: the events table as a
+    single-table changelog (seq = event_id*10 so control seqs never
+    collide) with a TRUNCATE_TABLE spliced in at half of max event_id
+    and a DROP_TABLE + CREATE_TABLE at three quarters; the recreated
+    incarnation's create_seq fences everything before it, so the final
+    state is LWW over events with event_id > 3*max/4 — which DuckDB
+    reproduces from the same cutoff formula. Exercises catalog
+    CREATE/DROP/TRUNCATE + exactly-once DDL markers (reference:
+    DDLOperation.java:30-38; CREATE_TABLE never blacklisted,
+    DeltaWorker.java:219,231)."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .catalog import Catalog
+    from .multi import MultiPipelineConfig, MultiTablePipeline
+
+    d = tempfile.mkdtemp(prefix="tddl_replay_")
+    ev = _t(spark, sf_dir, "events")
+    m = ev.agg(F.max("event_id")).head()[0]  # tiny control-plane read
+    cut_trunc, cut_drop = (m // 2) * 10 + 5, (3 * m // 4) * 10 + 5
+
+    log_schema = T.StructType(
+        [
+            T.StructField("tbl", T.StringType(), False),
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("ddl", T.StringType(), True),
+        ]
+    )
+    dml = ev.select(
+        F.lit("t0").alias("tbl"),
+        (F.col("event_id").cast("long") * 10).alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit(None).cast("string").alias("ddl"),
+    )
+    cols = [
+        {"name": "user_id", "type": "bigint", "nullable": False},
+        {"name": "event_type", "type": "string", "nullable": True},
+        {"name": "value", "type": "double", "nullable": True},
+        {"name": "ts", "type": "timestamp", "nullable": True},
+    ]
+    ddl_rows = [
+        (int(cut_trunc), {"op": "TRUNCATE_TABLE", "table": "t0"}),
+        (int(cut_drop), {"op": "DROP_TABLE", "table": "t0"}),
+        (
+            int(cut_drop) + 1,
+            {
+                "op": "CREATE_TABLE",
+                "table": "t0",
+                "columns": cols,
+                "primary_key": ["user_id"],
+                "bucket_col": "user_id",
+                "num_buckets": 4,
+            },
+        ),
+    ]
+    ctrl = spark.createDataFrame(
+        [("t0", s, ddl["op"], None, None, None, None, _json.dumps(ddl)) for s, ddl in ddl_rows],
+        log_schema,
+    )
+    dml.unionByName(ctrl).write.parquet(f"{d}/log")
+
+    cat = Catalog.load_or_create(spark, f"{d}/cat")
+    cat.create_table(
+        "t0", T.StructType(log_schema.fields[3:7]), ["user_id"], "user_id", 4
+    )
+    cfg = MultiPipelineConfig(
+        changelog_path=f"{d}/log",
+        catalog_root=f"{d}/cat",
+        checkpoint_dir=f"{d}/ck",
+        tables=("t0",),
+        generation=1,
+        changelog_schema=log_schema,
+    )
+    MultiTablePipeline(spark, cfg).run_batch()
+    return (
+        cat.refresh()
+        .table("t0")
+        .read()
+        .select("user_id", "event_type", "value", "ts")
+    )
+
+
 # ===================================================== engine E2E (rows-only)
 
 
@@ -563,6 +659,7 @@ ALL_QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "multi_table_replay": multi_table_replay,
+    "table_ddl_replay": table_ddl_replay,
     "cdc_replay_transcripts": cdc_replay_transcripts,
     "media_features": media_features,
 }
