@@ -26,7 +26,19 @@ def main() -> None:
 
     from delta_spark.session import build_session
 
-    extra = {}
+    # Faithful N-core-executor simulation: local[N] caps TASK slots but
+    # not the JVM itself — ParallelGC/JIT/shuffle threads still use all
+    # host cores, which inflates low-N runs and corrupts the measured
+    # N→4N efficiency (observed: an unpinned "1-core" run outrunning
+    # every 4-core run). Pin the process tree to exactly N cores and
+    # tell the JVM its true allotment so pool sizes match the mask.
+    if os.environ.get("SCALE_PIN", "1") == "1":
+        os.sched_setaffinity(0, set(range(args.cpus)))
+    extra = {
+        "spark.driver.extraJavaOptions": (
+            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={args.cpus}"
+        )
+    }
     if os.environ.get("SCALE_LOCAL_DIR"):
         extra["spark.local.dir"] = os.environ["SCALE_LOCAL_DIR"]
     spark = build_session(cpus=args.cpus, app_name=f"cdc_replay_{args.cpus}", extra=extra)

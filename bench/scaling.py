@@ -94,9 +94,11 @@ def cpu_control(cpus: int) -> float:
             sys.executable,
             "-c",
             f"""
-import time
+import os, time
+os.sched_setaffinity(0, set(range({cpus})))  # same pinning as replay runs
 from pyspark.sql import SparkSession, functions as F
 spark = (SparkSession.builder.master("local[{cpus}]").config("spark.ui.enabled","false")
+  .config("spark.driver.extraJavaOptions","-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus}")
   .config("spark.driver.memory","8g").config("spark.sql.shuffle.partitions","{cpus}").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 spark.range(10**7).select(F.sum(F.hash("id").cast("double"))).collect()
