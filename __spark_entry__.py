@@ -28,12 +28,13 @@ from delta_spark.queries import ALL_QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the CDC MERGE-upsert emulation (target state before a
-    cutoff + batch after it, last writer wins, errors delete) over the
-    sf0.001 events table."""
-    from delta_spark.queries import merge_upsert
+    """Flagship: the full engine path — an input_hint-shaped transcript
+    changelog derived from the sf0.001 events table, replayed through
+    the single-table Pipeline (seq-guarded LWW merge, tombstones,
+    snapshot-isolated commit) and read back."""
+    from delta_spark.queries import transcript_replay_lww
 
-    return merge_upsert(spark, "/root/testdata/sf0.001")
+    return transcript_replay_lww(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -152,6 +152,20 @@ ALL_ORACLES: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
             AND event_type <> 'error'
     """,
+    "transcript_replay_lww": """
+        WITH log AS (
+            SELECT 'c' || user_id AS conv_id,
+                   CAST(event_id % 20 AS INT) AS turn_idx,
+                   event_type AS role, props AS text,
+                   CAST(NULL AS VARCHAR) AS tool, ts,
+                   event_id AS seq,
+                   (event_type = 'error') AS del
+            FROM events)
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM log
+        QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
+            AND NOT del
+    """,
     "table_ddl_replay": """
         WITH c AS (SELECT 3 * MAX(event_id) // 4 AS cut FROM events)
         SELECT user_id, event_type, value, ts

@@ -591,6 +591,56 @@ def table_ddl_replay(spark, sf_dir):
     )
 
 
+def transcript_replay_lww(spark, sf_dir):
+    """Flagship E2E WITH a SQL oracle: the events view mapped
+    deterministically onto the input_hint transcript changelog shape
+    (conv_id = 'c'||user_id, turn_idx = event_id % 20, role =
+    event_type, text = props, seq = event_id, 'error' → DELETE) and
+    replayed through the REAL single-table Pipeline — seq-guarded LWW
+    merge with tombstones into the bucketed snapshot-isolated lake
+    table — returning the final transcript state. DuckDB reproduces it
+    as a windowed LWW over the same mapping, so the whole engine path
+    (scan → collapse → merge → commit → read) is hash-checked."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .lake import LakeTable
+    from .pipeline import Pipeline, PipelineConfig
+
+    d = tempfile.mkdtemp(prefix="transcript_replay_")
+    ev = _t(spark, sf_dir, "events")
+    (
+        ev.select(
+            F.col("event_id").cast("long").alias("seq"),
+            F.when(F.col("event_type") == "error", F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("op"),
+            F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+            F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+            F.col("event_type").alias("role"),
+            F.col("props").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.lit(None).cast("string").alias("prev_text"),
+            F.lit(False).alias("is_snapshot"),
+            F.col("ts").cast("timestamp").alias("ingest_ts"),
+            F.lit(None).cast("string").alias("ddl"),
+        ).write.parquet(f"{d}/log")
+    )
+    cfg = PipelineConfig(
+        changelog_path=f"{d}/log",
+        table_path=f"{d}/tbl",
+        checkpoint_dir=f"{d}/ck",
+        generation=1,
+        num_buckets=8,
+    )
+    Pipeline(spark, cfg).run_batch()
+    return LakeTable.load(spark, cfg.table_path).read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 # ===================================================== engine E2E (rows-only)
 
 
@@ -660,6 +710,7 @@ ALL_QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "multi_table_replay": multi_table_replay,
     "table_ddl_replay": table_ddl_replay,
+    "transcript_replay_lww": transcript_replay_lww,
     "cdc_replay_transcripts": cdc_replay_transcripts,
     "media_features": media_features,
 }
