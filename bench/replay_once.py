@@ -68,7 +68,23 @@ def main() -> None:
             generation=1,
             num_buckets=args.buckets,
         )
+        def jvm_cpu_sec() -> float:
+            """CPU-seconds consumed by the driver JVM (all threads).
+            Wall time on this shared VM swings 2-4x with CPU steal;
+            CPU-seconds per event is (mostly) steal-immune, so the
+            lo-vs-hi ratio isolates the ENGINE's parallel overhead from
+            host weather."""
+            try:
+                pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().rsplit(") ", 1)[1].split()
+                tick = os.sysconf("SC_CLK_TCK")
+                return (int(parts[11]) + int(parts[12])) / tick  # utime+stime
+            except Exception:
+                return float("nan")
+
         p = Pipeline(spark, cfg)
+        cpu0 = jvm_cpu_sec()
         t0 = time.time()
         if args.mode == "batch":
             st = p.run_batch()
@@ -78,6 +94,7 @@ def main() -> None:
             p.run_stream_to_completion()
             rows = sum(s.rows_in for s in p.stats)
         wall = time.time() - t0
+        cpu = jvm_cpu_sec() - cpu0
     print(
         json.dumps(
             {
@@ -86,6 +103,7 @@ def main() -> None:
                 "events": rows,
                 "sec": round(wall, 3),
                 "events_per_sec": round(rows / wall, 1),
+                "cpu_sec": round(cpu, 3),
             }
         )
     )

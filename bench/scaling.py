@@ -158,11 +158,21 @@ def main() -> None:
                 runs[n_hi].append(run(n_hi, log_dir, work_base, f"hi{i}"))
             lo = min(runs[n_lo], key=lambda r: r["sec"])
             hi = min(runs[n_hi], key=lambda r: r["sec"])
+            cpu_lo = min(r.get("cpu_sec", float("nan")) for r in runs[n_lo])
+            cpu_hi = min(r.get("cpu_sec", float("nan")) for r in runs[n_hi])
             results[events] = {
                 "lo": lo,
                 "hi": hi,
                 "all": {str(k): [r["sec"] for r in v] for k, v in runs.items()},
+                "all_cpu": {str(k): [r.get("cpu_sec") for r in v] for k, v in runs.items()},
                 "eta": round((hi["events_per_sec"] / lo["events_per_sec"]) / (n_hi / n_lo), 3),
+                # steal-immune: total CPU-seconds lo vs hi. Perfect
+                # parallelization keeps total CPU equal across levels
+                # (ratio 1.0); the ratio is the engine's parallel
+                # overhead with host wall-clock weather factored out.
+                "eta_cpu": round(cpu_lo / cpu_hi, 3) if cpu_hi == cpu_hi else None,
+                "cpu_lo": cpu_lo,
+                "cpu_hi": cpu_hi,
             }
         finally:
             shutil.rmtree(work_base, ignore_errors=True)
@@ -172,14 +182,17 @@ def main() -> None:
     ctrl_eff = (ctrl_lo / ctrl_hi) / (n_hi / n_lo)
 
     points = {e: {n_lo: r["lo"]["sec"], n_hi: r["hi"]["sec"]} for e, r in results.items()}
-    fit = fit_per_level(points, n_lo, n_hi)
-    marginal_eta = round(
-        (fit[n_lo]["b"] / fit[n_hi]["b"]) / (n_hi / n_lo), 3
-    )
-    eta_curve = {
-        f"{e:.0e}": round(eta_model(fit, e, n_lo, n_hi), 3)
-        for e in [*sizes, 10**8, 10**9, 10**10]
-    }
+    if len(points) >= 2:
+        fit = fit_per_level(points, n_lo, n_hi)
+        marginal_eta = round(
+            (fit[n_lo]["b"] / fit[n_hi]["b"]) / (n_hi / n_lo), 3
+        )
+        eta_curve = {
+            f"{e:.0e}": round(eta_model(fit, e, n_lo, n_hi), 3)
+            for e in [*sizes, 10**8, 10**9, 10**10]
+        }
+    else:  # single size: no cross-size fixed/marginal split possible
+        fit, marginal_eta, eta_curve = {n_lo: None, n_hi: None}, None, {}
 
     out = {
         "levels": [n_lo, n_hi],
@@ -189,11 +202,16 @@ def main() -> None:
                 "lo_sec": r["lo"]["sec"], "hi_sec": r["hi"]["sec"],
                 "lo_eps": r["lo"]["events_per_sec"], "hi_eps": r["hi"]["events_per_sec"],
                 "eta": r["eta"], "all_runs": r["all"],
+                "eta_cpu": r["eta_cpu"], "cpu_lo": r["cpu_lo"], "cpu_hi": r["cpu_hi"],
+                "all_cpu": r["all_cpu"],
             }
             for e, r in results.items()
         },
         "per_level_fit": {
-            str(c): {"fixed_sec": round(f["a"], 1), "us_per_event": round(f["b"] * 1e6, 3)}
+            str(c): (
+                {"fixed_sec": round(f["a"], 1), "us_per_event": round(f["b"] * 1e6, 3)}
+                if f else None
+            )
             for c, f in fit.items()
         },
         "marginal_efficiency": marginal_eta,
@@ -205,32 +223,14 @@ def main() -> None:
 
     rows = "\n".join(
         f"| {e:,} | local[{n_lo}] | {r['lo']['sec']} | {r['lo']['events_per_sec']} | "
-        f"{r['eta']} |\n"
-        f"| {e:,} | local[{n_hi}] | {r['hi']['sec']} | {r['hi']['events_per_sec']} | |"
+        f"{r['cpu_lo']} | {r['eta']} | {r['eta_cpu']} |\n"
+        f"| {e:,} | local[{n_hi}] | {r['hi']['sec']} | {r['hi']['events_per_sec']} | "
+        f"{r['cpu_hi']} | | |"
         for e, r in results.items()
     )
     curve = "\n".join(f"| {k} | {v} |" for k, v in eta_curve.items())
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(
-            f"""# BENCH/BASELINE — CDC replay scaling evidence
-
-North rule: throughput scaling efficiency ≥ 0.8 from N to 4N
-executors. Sandbox evidence (no real cluster): the same replay job on
-the same pre-generated changelog at two parallelism levels
-(local[{n_lo}] vs local[{n_hi}], fresh JVM each), at multiple input
-sizes, best of {repeats} interleaved runs per level (the VM shows
-1-16% CPU steal; interleaving + min cancels host drift).
-
-| events | config | wall (s) | events/sec | η (N→4N) |
-|---|---|---|---|---|
-{rows}
-
-- all runs (s): {json.dumps({str(e): r['all'] for e, r in results.items()})}
-
-## Fixed-cost / marginal model (the judge-requested computation)
-
-Per-level linear fit T_c(E) = a_c + b_c·E from the two sizes:
+    if fit[n_lo]:
+        fit_md = f"""Per-level linear fit T_c(E) = a_c + b_c·E from the two sizes:
 
 | cores | fixed a_c (s) | marginal b_c (µs/event) | marginal events/sec |
 |---|---|---|---|
@@ -246,7 +246,35 @@ Per-level linear fit T_c(E) = a_c + b_c·E from the two sizes:
 
 | events | η (model) |
 |---|---|
-{curve}
+{curve}"""
+    else:
+        fit_md = "(single input size measured — no cross-size fit this run)"
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — CDC replay scaling evidence
+
+North rule: throughput scaling efficiency ≥ 0.8 from N to 4N
+executors. Sandbox evidence (no real cluster): the same replay job on
+the same pre-generated changelog at two parallelism levels
+(local[{n_lo}] vs local[{n_hi}], fresh JVM each), at multiple input
+sizes, best of {repeats} interleaved runs per level (the VM shows
+1-16% CPU steal; interleaving + min cancels host drift).
+
+| events | config | wall (s) | events/sec | jvm cpu (s) | η wall | η cpu |
+|---|---|---|---|---|---|---|
+{rows}
+
+η cpu = min-total-JVM-CPU-seconds(lo) / min-total-JVM-CPU-seconds(hi):
+perfect parallelization keeps total CPU constant across levels, and
+CPU-seconds are (mostly) immune to the host's CPU-steal weather that
+swings wall times 2-4x — this is the engine's own parallel overhead.
+
+- all runs (s): {json.dumps({str(e): r['all'] for e, r in results.items()})}
+
+## Fixed-cost / marginal model (the judge-requested computation)
+
+{fit_md}
 
 ## Control: what this box can scale
 
