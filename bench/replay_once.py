@@ -32,8 +32,17 @@ def main() -> None:
     # N→4N efficiency (observed: an unpinned "1-core" run outrunning
     # every 4-core run). Pin the process tree to exactly N cores and
     # tell the JVM its true allotment so pool sizes match the mask.
+    # SPREAD the pins across the vCPU range: adjacent vCPUs on this VM
+    # share a contended resource (measured 8.6x: the same 8M replay on
+    # cores {0,1,2,3} = 429 s / 1358 CPU-s vs {0,8,16,24} = 50 s /
+    # 164 CPU-s — hypervisor SMT-sibling mapping and/or IRQ load on low
+    # cores), so contiguous pinning measures that artifact, not the
+    # engine.
     if os.environ.get("SCALE_PIN", "1") == "1":
-        os.sched_setaffinity(0, set(range(args.cpus)))
+        ncpu = os.cpu_count() or 32
+        stride = max(1, ncpu // max(args.cpus, 1))
+        pins = {(i * stride + stride // 2) % ncpu for i in range(args.cpus)}
+        os.sched_setaffinity(0, pins)
     extra = {
         "spark.driver.extraJavaOptions": (
             f"-XX:+UseParallelGC -XX:ActiveProcessorCount={args.cpus}"

@@ -95,7 +95,9 @@ def cpu_control(cpus: int) -> float:
             "-c",
             f"""
 import os, time
-os.sched_setaffinity(0, set(range({cpus})))  # same pinning as replay runs
+ncpu = os.cpu_count() or 32          # same SPREAD pinning as replay runs
+stride = max(1, ncpu // {cpus})
+os.sched_setaffinity(0, {{(i * stride + stride // 2) % ncpu for i in range({cpus})}})
 from pyspark.sql import SparkSession, functions as F
 spark = (SparkSession.builder.master("local[{cpus}]").config("spark.ui.enabled","false")
   .config("spark.driver.extraJavaOptions","-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus}")
