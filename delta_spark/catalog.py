@@ -190,6 +190,43 @@ class Catalog:
         t._commit_snapshot([], {"operation": "truncate"})
         return True
 
+    # ------------------------------------------------------ databases
+
+    @staticmethod
+    def database_of(table: str) -> str:
+        """A table's database is its dotted prefix; bare names live in
+        ``default`` (reference: DDLOperation.getDatabaseName)."""
+        return table.split(".", 1)[0] if "." in table else "default"
+
+    def list_databases(self) -> list[str]:
+        explicit = set(self.meta.get("databases", []))
+        implicit = {self.database_of(t) for t in self.meta["tables"]}
+        return sorted(explicit | implicit | {"default"})
+
+    def create_database(self, name: str) -> bool:
+        """CREATE DATABASE IF NOT EXISTS — namespace bookkeeping only
+        (tables carry the prefix; there is no physical container)."""
+        if name in self.list_databases():
+            return False
+        meta = dict(self.meta)
+        meta["databases"] = sorted({*meta.get("databases", []), name})
+        self._write(meta, expected_version=self.meta["version"])
+        return True
+
+    def drop_database(self, name: str) -> bool:
+        """DROP DATABASE IF EXISTS, cascade: drops every table in the
+        namespace (each via drop_table's orphan-dir bookkeeping)."""
+        victims = [t for t in self.meta["tables"] if self.database_of(t) == name]
+        changed = False
+        for t in victims:
+            changed |= self.drop_table(t)
+        if name in self.meta.get("databases", []):
+            meta = dict(self.meta)
+            meta["databases"] = [d for d in meta["databases"] if d != name]
+            self._write(meta, expected_version=self.meta["version"])
+            changed = True
+        return changed
+
     def rename_table(self, old: str, new: str) -> bool:
         """RENAME TABLE — pure catalog metadata (reference: rename
         carries prev+new name, DDLOperation.java:58-65)."""
@@ -213,7 +250,9 @@ class Catalog:
         via the per-writer applied-seq marker; op-first-then-mark order
         makes a crash in between replay into a no-op)."""
         from .schema import (
+            DDL_CREATE_DATABASE,
             DDL_CREATE_TABLE,
+            DDL_DROP_DATABASE,
             DDL_DROP_TABLE,
             DDL_RENAME_TABLE,
             DDL_TRUNCATE_TABLE,
@@ -241,6 +280,10 @@ class Catalog:
             self.truncate_table(ddl["table"])
         elif op == DDL_RENAME_TABLE:
             self.rename_table(ddl["table"], ddl["new_name"])
+        elif op == DDL_CREATE_DATABASE:
+            self.create_database(ddl["database"])
+        elif op == DDL_DROP_DATABASE:
+            self.drop_database(ddl["database"])
         else:
             raise ValueError(f"unknown table DDL op {op}")
         self.mark_ddl(writer_id, seq)

@@ -12,8 +12,12 @@ Reference semantics rebuilt (Spark-first, not a port):
   * events for unconfigured tables are dropped; blacklists are
     global ∪ per-table with CREATE_TABLE force-removed —
     QueueingEventEmitter.shouldIgnore:96-125, DeltaWorker.java:217-236
-  * table-level DDL (CREATE/DROP/TRUNCATE/RENAME) applies strictly
-    before later-sequenced events — DDLOperation.java:30-38
+  * table-level DDL (CREATE/DROP/TRUNCATE/RENAME TABLE) and
+    database-level DDL (CREATE/DROP DATABASE, cascading over the
+    namespace) apply strictly between the DML segments they bound, in
+    global seq order — DDLOperation.java:30-38. A database's tables
+    should be routed to one instance (explicit_assignment) so a
+    DROP_DATABASE never races another instance's in-flight segments.
 
 Exactly-once: every (instance, table, segment) gets its own idempotent
 batch-id marker in that table's snapshot summaries; table-level DDL is
@@ -35,7 +39,12 @@ from pyspark.sql import functions as F
 from .apply import ApplyStats, apply_batch
 from .catalog import Catalog
 from .routing import assign_tables
-from .schema import DDL_CREATE_TABLE, DML_OPS, TABLE_DDL_OPS
+from .schema import (
+    CONTROL_DDL_OPS,
+    DATABASE_DDL_OPS,
+    DDL_CREATE_TABLE,
+    DML_OPS,
+)
 
 
 def expand_blacklist(
@@ -63,73 +72,86 @@ def apply_multi_batch(
     per_table_transforms: dict | None = None,
     **apply_kw,
 ) -> dict[str, list[ApplyStats]]:
-    """Apply one micro-batch of a multi-table changelog: table-level
-    DDL boundaries split each table's events into segments applied in
-    order; each segment goes through the single-table ``apply_batch``
-    (which handles column-level DDL internally). Safe to replay with
-    the same (writer_id, batch_id) after a crash anywhere."""
+    """Apply one micro-batch of a multi-table changelog: table- and
+    database-level DDL boundaries split each table's events into
+    segments applied in seq order; each segment goes through the
+    single-table ``apply_batch`` (which handles column-level DDL
+    internally). Boundaries are processed in GLOBAL seq order so a
+    cross-table op (DROP_DATABASE cascades over every table in the
+    namespace) fires only after all affected tables applied their
+    pre-op segments. Safe to replay with the same (writer_id,
+    batch_id) after a crash anywhere."""
     batch_id = str(batch_id)
-    mine = set(my_tables)
+    mine = sorted(set(my_tables))
+    my_dbs = {Catalog.database_of(t) for t in mine}
 
-    # table-level DDL rows are rare control events; dedup by seq
-    # (at-least-once delivery) and keep only my tables' targets
-    tddl: list[tuple[int, dict]] = []
+    # control (table/database DDL) rows are rare; dedup by seq
+    # (at-least-once delivery) and keep only ops touching my tables
+    ctrl: list[tuple[int, dict]] = []
     if "ddl" in batch.columns:
         rows = {
             r["seq"]: json.loads(r["ddl"])
-            for r in batch.filter(F.col("op").isin(list(TABLE_DDL_OPS)))
+            for r in batch.filter(F.col("op").isin(list(CONTROL_DDL_OPS)))
             .select("seq", "ddl")
             .collect()
         }
-        tddl = sorted(
-            (s, d) for s, d in rows.items() if d.get("table") in mine
+        for s, d in sorted(rows.items()):
+            if d["op"] in DATABASE_DDL_OPS:
+                # database ops span tables, whose per-table blacklists
+                # may disagree — they respect only the global list
+                if d.get("database") in my_dbs and d["op"] not in set(op_blacklist):
+                    ctrl.append((s, d))
+            elif d.get("table") in mine:
+                bl = expand_blacklist(op_blacklist, per_table_blacklists, d["table"])
+                if d["op"] == DDL_CREATE_TABLE or d["op"] not in bl:
+                    ctrl.append((s, d))
+
+    def affected(d: dict) -> list[str]:
+        if d["op"] in DATABASE_DDL_OPS:
+            return [t for t in mine if Catalog.database_of(t) == d.get("database")]
+        return [d["table"]]
+
+    n_segs = {t: 1 + sum(1 for _, d in ctrl if t in affected(d)) for t in mine}
+    lo = {t: -(1 << 62) for t in mine}
+    seg_i = {t: 0 for t in mine}
+    out: dict[str, list[ApplyStats]] = {t: [] for t in mine}
+    HI = 1 << 62
+
+    def apply_segment(t: str, s_hi: int) -> None:
+        i, seg_i[t] = seg_i[t], seg_i[t] + 1
+        # events for a nonexistent table are dropped (reference:
+        # unconfigured/unknown tables ignored)
+        if not catalog.refresh().has_table(t):
+            return
+        # create_seq fence: a replayed pre-drop segment can never land
+        # in the recreated incarnation
+        fence = max(lo[t], catalog.create_seq(t))
+        bl = expand_blacklist(op_blacklist, per_table_blacklists, t)
+        sub = batch.filter(F.col(table_col) == t).drop(table_col)
+        sub_id = f"{batch_id}.{t}" if n_segs[t] == 1 else f"{batch_id}.{t}.s{i}"
+        st = apply_batch(
+            catalog.table(t),
+            sub.filter((F.col("seq") > fence) & (F.col("seq") < s_hi)),
+            writer_id=writer_id,
+            batch_id=sub_id,
+            op_blacklist=tuple(o for o in bl if o in DML_OPS),
+            column_whitelist=(per_table_columns or {}).get(t),
+            transforms=(per_table_transforms or {}).get(t),
+            **apply_kw,
         )
+        out[t].append(st)
 
     cached = len(mine) > 1
     if cached:
         batch = batch.persist()
-    out: dict[str, list[ApplyStats]] = {}
     try:
-        for t in sorted(mine):
-            bl = expand_blacklist(op_blacklist, per_table_blacklists, t)
-            dml_bl = tuple(o for o in bl if o in DML_OPS)
-            bounds = [
-                (s, d) for s, d in tddl
-                if d["table"] == t and not (d["op"] != DDL_CREATE_TABLE and d["op"] in bl)
-            ]
-            segments: list[tuple[int, int, tuple | None]] = []
-            lo = -(1 << 62)
-            for s, d in bounds:
-                segments.append((lo, s, (s, d)))
-                lo = s
-            segments.append((lo, 1 << 62, None))
-
-            sub = batch.filter(F.col(table_col) == t).drop(table_col)
-            stats: list[ApplyStats] = []
-            for i, (s_lo, s_hi, ddl_after) in enumerate(segments):
-                if catalog.refresh().has_table(t):
-                    # create_seq fence: a replayed pre-drop segment can
-                    # never land in the recreated incarnation
-                    fence = max(s_lo, catalog.create_seq(t))
-                    sub_id = (
-                        f"{batch_id}.{t}" if len(segments) == 1 else f"{batch_id}.{t}.s{i}"
-                    )
-                    st = apply_batch(
-                        catalog.table(t),
-                        sub.filter((F.col("seq") > fence) & (F.col("seq") < s_hi)),
-                        writer_id=writer_id,
-                        batch_id=sub_id,
-                        op_blacklist=dml_bl,
-                        column_whitelist=(per_table_columns or {}).get(t),
-                        transforms=(per_table_transforms or {}).get(t),
-                        **apply_kw,
-                    )
-                    stats.append(st)
-                # events for a nonexistent table are dropped (reference:
-                # unconfigured/unknown tables ignored)
-                if ddl_after is not None:
-                    catalog.apply_table_ddl(ddl_after[1], writer_id, ddl_after[0])
-            out[t] = stats
+        for s, d in ctrl:
+            for t in affected(d):
+                apply_segment(t, s)
+                lo[t] = s
+            catalog.apply_table_ddl(d, writer_id, s)
+        for t in mine:
+            apply_segment(t, HI)
     finally:
         if cached:
             batch.unpersist()

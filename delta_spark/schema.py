@@ -40,7 +40,15 @@ TABLE_DDL_OPS = (
     DDL_TRUNCATE_TABLE,
     DDL_RENAME_TABLE,
 )
-ALL_DDL_OPS = (*DDL_OPS, *TABLE_DDL_OPS)
+# database-level DDL (reference: DDLOperation.Type CREATE_DATABASE /
+# DROP_DATABASE — DDLOperation.java:30-38). A table's database is its
+# dotted prefix ("db.table"), "default" otherwise.
+DDL_CREATE_DATABASE = "CREATE_DATABASE"
+DDL_DROP_DATABASE = "DROP_DATABASE"
+DATABASE_DDL_OPS = (DDL_CREATE_DATABASE, DDL_DROP_DATABASE)
+# control rows the multi-table pipeline sequences between DML segments
+CONTROL_DDL_OPS = (*TABLE_DDL_OPS, *DATABASE_DDL_OPS)
+ALL_DDL_OPS = (*DDL_OPS, *CONTROL_DDL_OPS)
 
 # ------------------------------------------------- applied-table shape
 # BASELINE.json input_hint: conv_id:string, turn_idx:int32, role:string,

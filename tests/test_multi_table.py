@@ -297,3 +297,78 @@ def test_per_table_transforms_applied(spark, tmp_path):
     b = p.catalog.table("beta").read().toPandas()
     assert (a["text"].dropna() == a["text"].dropna().str.upper()).all()
     assert not (b["text"].dropna() == b["text"].dropna().str.upper()).all()
+
+
+def test_database_ddl_catalog_level(spark, tmp_path):
+    cat = _mk_catalog_with_tables(spark, tmp_path / "cat", ["db1.alpha", "gamma"])
+    assert cat.list_databases() == ["db1", "default"]
+    assert cat.create_database("db2")
+    assert not cat.create_database("db2")  # replay no-op
+    assert "db2" in cat.list_databases()
+    assert cat.drop_database("db1")        # cascades over db1.alpha
+    assert cat.list_tables() == ["gamma"]
+    assert not cat.drop_database("db1")    # replay no-op
+    assert cat.list_databases() == ["db2", "default"]
+
+
+def test_drop_database_cascades_mid_stream(spark, tmp_path):
+    """DROP_DATABASE fires after every affected table applied its
+    pre-drop segment (global seq order), cascades over the whole
+    namespace, and a recreated table is create_seq-fenced. Tables
+    outside the database are untouched; full replay is a no-op."""
+    raw = generate_multi_changelog(
+        {
+            "db1.alpha": ChangelogSpec(n_events=300, n_convs=6, seed=71, n_files=1),
+            "db1.beta": ChangelogSpec(n_events=300, n_convs=6, seed=72, n_files=1),
+            "gamma": ChangelogSpec(n_events=300, n_convs=6, seed=73, n_files=1),
+        }
+    )
+    raw["seq"] = raw["seq"] * 10
+    cut = int(len(raw) * 0.6)
+    drop_seq = int(raw["seq"].iloc[cut]) + 1
+    create_db_seq, create_tbl_seq = drop_seq + 2, drop_seq + 4
+    ddls = pd.DataFrame(
+        [
+            _ddl_row("db1.alpha", drop_seq, {"op": "DROP_DATABASE", "database": "db1"}),
+            _ddl_row("db1.alpha", create_db_seq, {"op": "CREATE_DATABASE", "database": "db1"}),
+            _ddl_row("db1.alpha", create_tbl_seq, _transcript_columns_ddl("db1.alpha")),
+        ]
+    )
+    full = pd.concat([raw.iloc[: cut + 1], ddls, raw.iloc[cut + 1 :]], ignore_index=True)
+    full["turn_idx"] = full["turn_idx"].astype("Int32")
+    log = str(tmp_path / "log")
+    write_changelog(full, log, 2)
+    _mk_catalog_with_tables(
+        spark, tmp_path / "cat", ["db1.alpha", "db1.beta", "gamma"]
+    )
+    cfg = MultiPipelineConfig(
+        changelog_path=log,
+        catalog_root=str(tmp_path / "cat"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        tables=("db1.alpha", "db1.beta", "gamma"),
+        generation=1,
+    )
+    p = MultiTablePipeline(spark, cfg)
+    p.run_batch()
+    cat = p.catalog.refresh()
+    # beta died with the database; alpha was recreated and fenced
+    assert cat.list_tables() == ["db1.alpha", "gamma"]
+    dml = full[full["ddl"].isna()]
+    exp_alpha = oracle_apply(
+        dml[(dml["tbl"] == "db1.alpha") & (dml["seq"] > create_tbl_seq)]
+    )
+    exp_gamma = oracle_apply(dml[dml["tbl"] == "gamma"])
+    assert_pdf_equal(
+        cat.table("db1.alpha").read().toPandas(), exp_alpha, ["conv_id", "turn_idx"]
+    )
+    assert_pdf_equal(
+        cat.table("gamma").read().toPandas(), exp_gamma, ["conv_id", "turn_idx"]
+    )
+    # full replay under the same writer: markers + ddl marks keep it a no-op
+    p2 = MultiTablePipeline(spark, cfg)
+    p2.run_batch(batch_id="batch-0")
+    cat2 = p2.catalog.refresh()
+    assert cat2.list_tables() == ["db1.alpha", "gamma"]
+    assert_pdf_equal(
+        cat2.table("db1.alpha").read().toPandas(), exp_alpha, ["conv_id", "turn_idx"]
+    )
