@@ -53,23 +53,59 @@ class ApplyStats:
 
 
 def _rewrite_to_current(
-    batch: DataFrame, table: LakeTable, keep: tuple[str, ...] = ()
+    batch: DataFrame,
+    table: LakeTable,
+    keep: tuple[str, ...] = (),
+    wire_schema_version: int | None = None,
 ) -> DataFrame:
-    """Events arrive addressing original (schema v0) column names; remap
-    them to current names by column id and align types/additions —
-    the rename-map rewrite (reference analog: rename bookkeeping in
-    DefaultMutableRowSchema.java:85-130 + PK remap in
-    TransformationUtil.java:121-132). Renamed keys remap for free since
-    key_cols are resolved by id."""
-    orig_to_cur = table.original_to_current_names(0)
-    cur_to_orig = {v: k for k, v in orig_to_cur.items()}
+    """Remap event payload columns to current table names by column id
+    and align types/additions — the rename-map rewrite (reference
+    analog: rename bookkeeping in DefaultMutableRowSchema.java:85-130
+    + PK remap in TransformationUtil.java:121-132). Renamed keys remap
+    for free since key_cols are resolved by id.
+
+    A real CDC source emits the NEW column name after a RENAME DDL,
+    while replay fixtures may keep addressing original (v0) names —
+    both must land. When ``wire_schema_version`` is known (the
+    DDL-boundary segment split pins each segment's schema epoch), the
+    mapping is exact by column id. Otherwise the batch is sniffed ONCE,
+    globally: if its columns address renamed fields by original names
+    the v0 map applies, if by current names the identity map applies
+    (a per-column guess would mis-map chained/swapped renames)."""
+    cur_to_orig = {
+        v: k for k, v in table.original_to_current_names(0).items()
+    }
+    if wire_schema_version is not None:
+        wire_by_id = {
+            f["id"]: f["name"]
+            for f in table.metadata["schemas"][str(wire_schema_version)]
+        }
+        src_of = {f["name"]: wire_by_id.get(f["id"], f["name"]) for f in table.fields}
+    else:
+        batch_names = set(batch.columns)
+        renamed_cur = {
+            n for n, o in cur_to_orig.items() if n != o
+        }
+        uses_orig = any(cur_to_orig[n] in batch_names for n in renamed_cur)
+        uses_cur = any(n in batch_names for n in renamed_cur)
+        if uses_cur and not uses_orig:
+            src_of = {f["name"]: f["name"] for f in table.fields}
+        else:
+            # v0 map — also the (harmless) default when no renamed
+            # column appears at all or the batch mixes both epochs
+            src_of = {
+                f["name"]: cur_to_orig.get(f["name"], f["name"])
+                for f in table.fields
+            }
     cols = [F.col("seq"), F.col("op")]
     batch_cols = set(batch.columns)
     table_names = {f["name"] for f in table.fields}
     cols += [F.col(c) for c in keep if c in batch_cols and c not in table_names]
     for f in table.fields:
         t = f["type"]
-        src = cur_to_orig.get(f["name"], f["name"])
+        src = src_of[f["name"]]
+        if src not in batch_cols and f["name"] in batch_cols:
+            src = f["name"]  # mixed batch: fall through to current name
         if src in batch_cols:
             cols.append(F.col(src).cast(t).alias(f["name"]))
         else:

@@ -104,6 +104,27 @@ class Catalog:
             os.unlink(tmp)
         self.meta = meta
 
+    def _commit(self, mutate, max_attempts: int = 10) -> bool:
+        """Optimistic-concurrency catalog commit: ``mutate(meta)``
+        returns the new meta dict or None for no-op; on CommitConflict
+        (another instance committed first — routine when several
+        pipeline instances share one catalog) refresh and re-apply.
+        Safe because every catalog op is individually idempotent:
+        re-running the mutation over the newer version either applies
+        once or degrades to the no-op branch."""
+        for attempt in range(max_attempts):
+            meta = mutate(dict(self.meta))
+            if meta is None:
+                return False
+            try:
+                self._write(meta, expected_version=self.meta["version"])
+                return True
+            except CommitConflict:
+                if attempt == max_attempts - 1:
+                    raise
+                self.refresh()
+        return False
+
     # ------------------------------------------------------ lookup
 
     def list_tables(self) -> list[str]:
@@ -127,13 +148,15 @@ class Catalog:
         return int(seq) in set(self.meta["applied_ddls"].get(writer_id, []))
 
     def mark_ddl(self, writer_id: str, seq: int) -> None:
-        meta = dict(self.meta)
-        marks = {k: list(v) for k, v in meta["applied_ddls"].items()}
-        marks.setdefault(writer_id, [])
-        if int(seq) not in marks[writer_id]:
+        def mutate(meta):
+            marks = {k: list(v) for k, v in meta["applied_ddls"].items()}
+            marks.setdefault(writer_id, [])
+            if int(seq) in marks[writer_id]:
+                return None
             marks[writer_id].append(int(seq))
-        meta["applied_ddls"] = marks
-        self._write(meta, expected_version=self.meta["version"])
+            return {**meta, "applied_ddls": marks}
+
+        self._commit(mutate)
 
     # ------------------------------------------------------ table DDL
 
@@ -156,26 +179,35 @@ class Catalog:
             self.spark, os.path.join(self.root, rel), schema, key_cols,
             bucket_col=bucket_col, num_buckets=num_buckets,
         )
-        meta = dict(self.meta)
-        meta["tables"] = {
-            **meta["tables"],
-            name: {"dir": rel, "create_seq": int(create_seq)},
-        }
-        self._write(meta, expected_version=self.meta["version"])
-        return True
+
+        def mutate(meta):
+            if name in meta["tables"]:
+                return None  # lost the race — our fresh dir stays orphaned
+            return {
+                **meta,
+                "tables": {
+                    **meta["tables"],
+                    name: {"dir": rel, "create_seq": int(create_seq)},
+                },
+            }
+
+        return self._commit(mutate)
 
     def drop_table(self, name: str) -> bool:
         """DROP TABLE IF EXISTS — the mapping is removed; the directory
         is recorded for GC, never reused."""
-        if not self.has_table(name):
-            return False
-        meta = dict(self.meta)
-        tables = dict(meta["tables"])
-        entry = tables.pop(name)
-        meta["tables"] = tables
-        meta["dropped"] = [*meta["dropped"], entry["dir"]]
-        self._write(meta, expected_version=self.meta["version"])
-        return True
+        def mutate(meta):
+            if name not in meta["tables"]:
+                return None
+            tables = dict(meta["tables"])
+            entry = tables.pop(name)
+            return {
+                **meta,
+                "tables": tables,
+                "dropped": [*meta["dropped"], entry["dir"]],
+            }
+
+        return self._commit(mutate)
 
     def truncate_table(self, name: str) -> bool:
         """TRUNCATE: commit an empty snapshot. Exactly-once markers of
@@ -208,10 +240,14 @@ class Catalog:
         (tables carry the prefix; there is no physical container)."""
         if name in self.list_databases():
             return False
-        meta = dict(self.meta)
-        meta["databases"] = sorted({*meta.get("databases", []), name})
-        self._write(meta, expected_version=self.meta["version"])
-        return True
+
+        def mutate(meta):
+            dbs = set(meta.get("databases", []))
+            if name in dbs:
+                return None
+            return {**meta, "databases": sorted(dbs | {name})}
+
+        return self._commit(mutate)
 
     def drop_database(self, name: str) -> bool:
         """DROP DATABASE IF EXISTS, cascade: drops every table in the
@@ -221,10 +257,16 @@ class Catalog:
         for t in victims:
             changed |= self.drop_table(t)
         if name in self.meta.get("databases", []):
-            meta = dict(self.meta)
-            meta["databases"] = [d for d in meta["databases"] if d != name]
-            self._write(meta, expected_version=self.meta["version"])
-            changed = True
+
+            def mutate(meta):
+                if name not in meta.get("databases", []):
+                    return None
+                return {
+                    **meta,
+                    "databases": [d for d in meta["databases"] if d != name],
+                }
+
+            changed |= self._commit(mutate)
         return changed
 
     def rename_table(self, old: str, new: str) -> bool:
@@ -236,12 +278,15 @@ class Catalog:
             raise ValueError(f"rename: no table {old}")
         if self.has_table(new):
             raise ValueError(f"rename: table {new} exists")
-        meta = dict(self.meta)
-        tables = dict(meta["tables"])
-        tables[new] = tables.pop(old)
-        meta["tables"] = tables
-        self._write(meta, expected_version=self.meta["version"])
-        return True
+
+        def mutate(meta):
+            if old not in meta["tables"]:
+                return None  # concurrent writer finished the rename
+            tables = dict(meta["tables"])
+            tables[new] = tables.pop(old)
+            return {**meta, "tables": tables}
+
+        return self._commit(mutate)
 
     # ------------------------------------------------------ event apply
 

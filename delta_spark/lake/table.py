@@ -305,26 +305,37 @@ class LakeTable:
             empty = self._schema_with_system() if include_system else self.schema
             return self.spark.createDataFrame([], empty)
         files = snap["files"]
+        bset: set[int] | None = None
         if buckets is not None:
             bset = set(buckets)
             # bucket == -1: SPANNING delta file (shuffle-free MoR write,
-            # rows of any bucket) — always included; the argmax fold
-            # dedups rows that were since compacted into base
+            # rows of any bucket) — always scanned, but its rows are
+            # FILTERED to the requested buckets on the stored _bucket
+            # column below, so a pruned read returns exactly the
+            # requested buckets (never foreign-bucket rows)
             files = [f for f in files if f["bucket"] in bset or f["bucket"] == -1]
             if not files:
                 empty = self._schema_with_system() if include_system else self.schema
                 return self.spark.createDataFrame([], empty)
-        by_sv: dict[int, list[str]] = {}
+        # group by (schema_version, spanning?) — spanning files carry a
+        # physical _bucket column used for row-level bucket pruning
+        by_sv: dict[tuple[int, bool], list[str]] = {}
         has_delta = False
         for f in files:
             has_delta = has_delta or f.get("kind") == "delta"
-            by_sv.setdefault(f["schema_version"], []).append(
+            by_sv.setdefault((f["schema_version"], f["bucket"] == -1), []).append(
                 os.path.join(self.path, f["path"])
             )
         parts = []
-        for sv, paths in by_sv.items():
+        for (sv, spanning), paths in by_sv.items():
             old_fields = {f["id"]: f for f in self.metadata["schemas"][str(sv)]}
             df = self.spark.read.parquet(*paths)
+            if spanning and bset is not None:
+                # row-level bucket pruning on the stored _bucket column
+                # (parquet row-group stats make this cheap); without it
+                # a pruned read would leak foreign-bucket rows from
+                # spanning deltas into CoW rewrites
+                df = df.filter(F.col("_bucket").isin([int(b) for b in bset]))
             cols = []
             for f in cur:
                 t = _type_of(f["type"])
@@ -456,14 +467,25 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         def _rows(p):
+            """(path, rows, max_seq, deletes) from the already-open
+            footer: _seq max from row-group stats makes the commit
+            summary recoverable even if the Observation times out."""
             try:
-                return p, pq.ParquetFile(p).metadata.num_rows
+                md = pq.ParquetFile(p).metadata
+                max_seq = None
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                if "_seq" in idx:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx["_seq"]).statistics
+                        if st is not None and st.has_min_max:
+                            max_seq = st.max if max_seq is None else max(max_seq, st.max)
+                return p, md.num_rows, max_seq
             except Exception:
-                return p, None
+                return p, None, None
 
         entries = []
         with ThreadPoolExecutor(min(16, max(1, len(paths)))) as ex:
-            for p, rows in ex.map(_rows, paths):
+            for p, rows, max_seq in ex.map(_rows, paths):
                 if rows == 0:
                     os.unlink(p)
                     continue
@@ -473,6 +495,7 @@ class LakeTable:
                         "bucket": -1,
                         "schema_version": sv,
                         "rows": rows,
+                        "max_seq": max_seq,
                         "kind": "delta",
                     }
                 )
@@ -672,11 +695,28 @@ class LakeTable:
         if precommit is not None and not precommit():
             self._discard_uncommitted(snap_tag)
             return {"aborted": True}
-        m = observe_get(obs) or {"n": 0, "dels": 0, "max_seq": None}
-        n_batch, n_del = m["n"], m["dels"] or 0
-        if n_batch == 0:
+        # emptiness test is files_new, NOT the observation: zero-row
+        # part files were already pruned, so files_new==[] ⟺ empty
+        # batch. An Observation timeout must read as metrics-unknown —
+        # discarding proven-nonempty files on a slow listener bus would
+        # silently drop the batch while the checkpoint advances
+        # (exactly-once violation; the files are the ground truth).
+        if not files_new:
             self._discard_uncommitted(snap_tag)
             return {"buckets": [], "files": 0, "upserts": 0, "deletes": 0}
+        m = observe_get(obs)
+        if m is not None:
+            n_batch, n_del = m["n"], m["dels"] or 0
+            max_seq = int(m["max_seq"]) if m["max_seq"] is not None else -1
+        else:
+            # metrics recovered from the parquet footers read at write
+            # time (rows exact, max_seq from row-group stats; the
+            # delete count is unobservable here → reported as 0 with
+            # a degraded marker, never affects correctness)
+            n_batch = sum(f["rows"] or 0 for f in files_new)
+            n_del = 0
+            seqs = [f["max_seq"] for f in files_new if f.get("max_seq") is not None]
+            max_seq = int(max(seqs)) if seqs else -1
         affected = sorted({f["bucket"] for f in files_new})
         cur = self.current_snapshot
         kept = list(cur["files"]) if cur else []
@@ -689,7 +729,8 @@ class LakeTable:
                 "upserts": n_batch - n_del,
                 "deletes": n_del,
                 "delta-files": len(files_new),
-                "max-seq": int(m["max_seq"]) if m["max_seq"] is not None else -1,
+                "max-seq": max_seq,
+                **({"metrics-degraded": True} if m is None else {}),
                 **(summary or {}),
             },
         )
@@ -698,7 +739,7 @@ class LakeTable:
             "files": len(files_new),
             "upserts": n_batch - n_del,
             "deletes": n_del,
-            "max_seq": int(m["max_seq"]) if m["max_seq"] is not None else -1,
+            "max_seq": max_seq,
         }
 
     def delta_file_pressure(self) -> int:

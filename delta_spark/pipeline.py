@@ -36,7 +36,27 @@ class DeltaFailureException(Exception):
     """Unretryable failure: raising this inside the apply path kills
     the supervised run immediately instead of backoff-retrying
     (reference: DeltaFailureException short-circuits the Failsafe
-    policy, DeltaWorker.java:320-323)."""
+    policy, DeltaWorker.java:320-323).
+
+    The message is stamped with a unique sentinel token: inside
+    foreachBatch the Python exception surfaces only as TEXT embedded
+    in the Java StreamingQueryException message, and matching the bare
+    class name would mispromote any error whose traceback merely
+    echoes the words (e.g. a log line in a Py4J dump)."""
+
+    SENTINEL = "[delta-unretryable-8c4f]"
+
+    def __init__(self, msg: str = ""):
+        super().__init__(f"{self.SENTINEL} {msg}".strip())
+
+
+def is_unretryable(e: BaseException) -> bool:
+    """True when ``e`` is (or wraps, across the Py4J text boundary) a
+    DeltaFailureException — exact sentinel match, never a class-name
+    substring."""
+    return isinstance(e, DeltaFailureException) or (
+        DeltaFailureException.SENTINEL in str(e)
+    )
 
 
 @dataclass
@@ -243,8 +263,9 @@ class Pipeline:
                 return attempts
             except Exception as e:
                 # the Python exception surfaces embedded in the Java
-                # StreamingQueryException MESSAGE (str, not repr)
-                if "DeltaFailureException" in str(e):
+                # StreamingQueryException MESSAGE (str, not repr) —
+                # matched by sentinel token, not class name
+                if is_unretryable(e):
                     raise
                 elapsed = time.time() - t0
                 if (

@@ -102,7 +102,7 @@ def main() -> None:
         print(json.dumps({"batches": len(p.stats), "attempts": attempts,
                           "rows_in": sum(s.rows_in for s in p.stats)}))
     else:  # stream-continuous: tail forever under the same supervisor
-        from delta_spark.pipeline import RetryConfig
+        from delta_spark.pipeline import RetryConfig, is_unretryable
 
         retry = RetryConfig(max_duration_seconds=args.retry_max_duration)
         import time as _time
@@ -114,7 +114,7 @@ def main() -> None:
                 q.awaitTermination()
                 break
             except Exception as e:
-                if "DeltaFailureException" in str(e):
+                if is_unretryable(e):
                     raise
                 if (
                     retry.max_duration_seconds is not None

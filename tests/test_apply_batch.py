@@ -267,3 +267,43 @@ def test_column_whitelist_enforced_in_apply(spark, tmp_path):
         exp[["conv_id", "turn_idx", "role", "text"]],
         ["conv_id", "turn_idx"],
     )
+
+
+def test_post_rename_events_use_new_name(spark, tmp_path):
+    """A real CDC source emits the NEW column name after RENAME_COLUMN
+    DDL; such events must land in the renamed column, not NULL out
+    (reference: DefaultMutableRowSchema handles renames in both
+    directions, delta-app/.../transformation/DefaultMutableRowSchema.java:85-130)."""
+    from delta_spark.apply import apply_batch
+    from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], "conv_id", 8,
+    )
+    base = spark.createDataFrame(
+        [("c1", 1, "user", "hello", "grep", None, "INSERT", 1)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long",
+    )
+    apply_batch(t, base, "w1", "b0")
+    t.apply_ddl({"op": "RENAME_COLUMN", "column": "tool", "new_name": "tool_name"})
+    # source honors the DDL: post-rename events address tool_name
+    post = spark.createDataFrame(
+        [("c1", 2, "assistant", "hi", "bash", None, "INSERT", 2)],
+        "conv_id string, turn_idx int, role string, text string, tool_name string, "
+        "ts timestamp, op string, seq long",
+    )
+    apply_batch(t, post, "w1", "b1")
+    rows = {r["turn_idx"]: r["tool_name"] for r in t.read().collect()}
+    assert rows[2] == "bash"  # landed under the new name
+    assert rows[1] == "grep"  # pre-rename data realigned by column id
+    # a fixture that still addresses the ORIGINAL name also lands
+    legacy = spark.createDataFrame(
+        [("c1", 3, "user", "again", "curl", None, "INSERT", 3)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long",
+    )
+    apply_batch(t, legacy, "w1", "b2")
+    rows = {r["turn_idx"]: r["tool_name"] for r in t.read().collect()}
+    assert rows[3] == "curl"

@@ -214,3 +214,62 @@ def test_mor_compact_folds_deltas_exactly(spark, tmp_path):
     assert before == after
     # newest update won inside the fold
     assert after[("c1", 1)] == "mor b3 r1"
+
+
+def test_mor_commit_survives_observation_timeout(spark, tmp_path, monkeypatch):
+    """An Observation timeout during a MoR merge must NOT discard the
+    just-written (provably non-empty) delta files — that would drop a
+    whole micro-batch while the checkpoint advances. Metrics degrade
+    (recovered from parquet footers), data never does."""
+    import delta_spark.lake.table as lt
+
+    t = _mk_table(spark, str(tmp_path / "t"), n_batches=1)
+    before = t.read().count()
+    df = spark.createDataFrame(
+        [("c1", 10**6 + i, "user", f"late {i}", "", None, "INSERT", 10**6 + i)
+         for i in range(5)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long",
+    )
+    monkeypatch.setattr(lt, "observe_get", lambda *a, **k: None)
+    res = t.merge(df, "w1", "b-timeout", mode="mor")
+    monkeypatch.undo()
+    assert res is not None and not res.get("aborted")
+    assert res["upserts"] == 5  # recovered from footer row counts
+    assert res["max_seq"] == 10**6 + 4  # recovered from _seq column stats
+    summ = t.current_snapshot["summary"]
+    assert summ.get("metrics-degraded") is True
+    assert int(summ["max-seq"]) == 10**6 + 4
+    assert t.read().count() == before + 5  # the batch actually landed
+    # and a genuinely empty batch still commits nothing
+    monkeypatch.setattr(lt, "observe_get", lambda *a, **k: None)
+    res2 = t.merge(df.filter("seq < 0"), "w1", "b-empty", mode="mor")
+    assert res2["files"] == 0 and t.read().count() == before + 5
+
+
+def test_bucket_pruned_read_excludes_foreign_spanning_rows(spark, tmp_path):
+    """read(buckets=...) filters spanning-delta rows on the stored
+    _bucket column: a pruned read returns EXACTLY the requested
+    buckets, so CoW rewrites never duplicate foreign buckets' rows
+    into new base files."""
+    from pyspark.sql import functions as F
+
+    t = _mk_table(spark, str(tmp_path / "t"), n_batches=1)
+    # spanning MoR delta touching many buckets
+    df = spark.createDataFrame(
+        [(f"c{i % 10}", 5000 + i, "user", f"mor {i}", "", None, "INSERT", 5000 + i)
+         for i in range(40)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long",
+    )
+    t.merge(df, "w1", "b-mor", mode="mor")
+    assert any(f["bucket"] == -1 for f in t.current_snapshot["files"])
+    target = 3
+    got = (
+        t.read(buckets=[target])
+        .withColumn("_b", F.pmod(F.xxhash64("conv_id"), F.lit(t.num_buckets)))
+        .select("_b")
+        .distinct()
+        .collect()
+    )
+    assert {r[0] for r in got} == {target}
