@@ -113,6 +113,42 @@ def _rewrite_to_current(
     return batch.select(*cols)
 
 
+def _sort_key_tuple(sort_key_col) -> tuple[str, ...]:
+    """Normalize a sort-key spec (None | str | tuple/list) to a tuple —
+    the reference's SortKey is a typed LIST (SortKey.java:26-41), so a
+    composite tiebreak like (ts, lsn, txn_id) is first-class."""
+    if not sort_key_col:
+        return ()
+    if isinstance(sort_key_col, (tuple, list)):
+        return tuple(sort_key_col)
+    return (sort_key_col,)
+
+
+def _apply_whitelist(
+    batch: DataFrame,
+    table: LakeTable,
+    column_whitelist: tuple[str, ...] | None,
+    sort_key_col=None,
+) -> DataFrame:
+    """F3: per-table column whitelist (reference: SourceTable.getColumns,
+    SourceTable.java:66-72 — empty/None selects all). Key columns and
+    control columns always pass; unselected payload columns are DROPPED
+    here so they reach the target as NULL and the scan never reads them
+    (column pruning reaches the source)."""
+    if column_whitelist is None:
+        return batch
+    keep_always = {"seq", "op", "ddl", "is_snapshot", "ingest_ts"}
+    keep_always.update(table.key_cols)
+    # events may still address keys by their ORIGINAL (pre-rename)
+    # names — keep those too (id-based remap happens later)
+    cur_to_orig = {v: k for k, v in table.original_to_current_names(0).items()}
+    keep_always.update(cur_to_orig.get(k, k) for k in table.key_cols)
+    if sort_key_col:
+        keep_always.update(_sort_key_tuple(sort_key_col))
+    allowed = keep_always | set(column_whitelist)
+    return batch.select(*[c for c in batch.columns if c in allowed])
+
+
 def apply_batch(
     table: LakeTable,
     batch: DataFrame,
@@ -124,7 +160,7 @@ def apply_batch(
     lineage: bool = True,
     assume_ordered: bool = False,
     merge_mode: str = "cow",
-    sort_key_col: str | None = None,
+    sort_key_col=None,  # str | tuple — composite sortKeys supported
     column_whitelist: tuple[str, ...] | None = None,
 ) -> ApplyStats:
     """Apply one micro-batch of changelog rows to ``table``.
@@ -158,31 +194,14 @@ def apply_batch(
     if transforms:
         batch = transforms(batch)
 
-    # F3: per-table column whitelist (reference: SourceTable.getColumns,
-    # SourceTable.java:66-72 — empty/None selects all). Key columns and
-    # control columns always pass; unselected payload columns are
-    # DROPPED here so they reach the target as NULL and the scan never
-    # reads them (column pruning reaches the source).
-    if column_whitelist is not None:
-        keep_always = {"seq", "op", "ddl", "is_snapshot", "ingest_ts"}
-        keep_always.update(table.key_cols)
-        # events may still address keys by their ORIGINAL (pre-rename)
-        # names — keep those too (id-based remap happens later)
-        cur_to_orig = {
-            v: k for k, v in table.original_to_current_names(0).items()
-        }
-        keep_always.update(cur_to_orig.get(k, k) for k in table.key_cols)
-        if sort_key_col:
-            keep_always.add(sort_key_col)
-        allowed = keep_always | set(column_whitelist)
-        batch = batch.select(*[c for c in batch.columns if c in allowed])
+    batch = _apply_whitelist(batch, table, column_whitelist, sort_key_col)
 
     # The salted two-phase pre-collapse remains as an opt-in for
     # pathologically hot keys (one key overwhelming a reducer even
     # after map-side combine); otherwise the merge's single
     # argmax-by-seq aggregation handles duplicate keys, duplicate-seq
     # replays, and the target in one shuffle.
-    _sort_cols = (sort_key_col,) if sort_key_col else ()
+    _sort_cols = _sort_key_tuple(sort_key_col)
     pre = (
         (
             lambda df: lww_collapse_salted(
@@ -235,7 +254,7 @@ def apply_batch(
         sub = dml.filter((F.col("seq") > s_lo) & (F.col("seq") < s_hi)).observe(
             obs, *metrics
         )
-        keep = (sort_key_col,) if sort_key_col else ()
+        keep = _sort_key_tuple(sort_key_col)
         res = table.merge(
             pre(_rewrite_to_current(sub, table, keep=keep)),
             writer_id,

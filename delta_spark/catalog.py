@@ -87,21 +87,13 @@ class Catalog:
         return self
 
     def _write(self, meta: dict, expected_version: int | None) -> None:
+        from .lake.commit import protocol_for
+
         new_version = 0 if expected_version is None else expected_version + 1
         meta = dict(meta, version=new_version)
-        d = self._meta_dir(self.root)
-        target = os.path.join(d, f"v{new_version}.json")
-        tmp = os.path.join(d, f".v{new_version}-{uuid.uuid4().hex[:8]}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, target)
-        except FileExistsError as e:
-            raise CommitConflict(f"catalog version {new_version} committed") from e
-        finally:
-            os.unlink(tmp)
+        protocol_for(self.root).claim(
+            self._meta_dir(self.root), f"v{new_version}.json", meta
+        )
         self.meta = meta
 
     def _commit(self, mutate, max_attempts: int = 10) -> bool:

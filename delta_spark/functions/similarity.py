@@ -63,6 +63,7 @@ def pairwise_topk_within(
     threshold: float = 0.99,
     round_digits: int = 4,
     max_cell_rows: int | None = None,
+    sim_expr=None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within a coarse partition
     (label/IVF cell): equi-join on the partition column bounds the
@@ -71,7 +72,11 @@ def pairwise_topk_within(
     ``max_cell_rows`` caps that bound at scale: cells larger than the
     cap are EXCLUDED from pairing (a 10M-row cell is 10^14 pairs — it
     needs sub-blocking, e.g. LSH within the cell, not brute force).
-    Excluded cells are logged, never silently dropped."""
+    Excluded cells are logged, never silently dropped.
+
+    ``sim_expr`` overrides the similarity expression (two array
+    columns → score column) — e.g. a decimal-math cosine whose
+    rounding is bit-exact against a SQL oracle."""
     if max_cell_rows is not None:
         sizes = df.groupBy(partition_col).count()
         big = sizes.filter(F.col("count") > max_cell_rows)
@@ -99,10 +104,15 @@ def pairwise_topk_within(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
     )
+    sim = (
+        sim_expr(F.col("va"), F.col("vb"))
+        if sim_expr is not None
+        else F.round(cosine(F.col("va"), F.col("vb")), round_digits)
+    )
     return (
         a.join(b, ["p"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), round_digits))
+        .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select(F.col("p").alias(partition_col), "id_a", "id_b", "sim")
     )

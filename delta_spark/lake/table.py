@@ -50,6 +50,7 @@ from pyspark.sql import types as T
 from .._obs import observe_get
 from ..dedup import lww_collapse
 from ..schema import can_widen
+from .commit import CommitConflict, protocol_for
 
 _TYPES = {
     "string": T.StringType(),
@@ -69,10 +70,6 @@ def _type_of(name: str) -> T.DataType:
         return _TYPES[name]
     except KeyError:
         return T.StructType.fromDDL(f"x {name}")[0].dataType
-
-
-class CommitConflict(Exception):
-    """Another writer committed the next metadata version first."""
 
 
 class LakeTable:
@@ -147,29 +144,18 @@ class LakeTable:
         return self
 
     def _write_metadata(self, meta: dict, expected_version: int | None) -> None:
-        """Optimistic-concurrency atomic commit: write the full document
-        to a temp file, fsync, then CLAIM the version with os.link —
-        link() is atomic and fails with FileExistsError when a
-        concurrent writer won (CommitConflict → refresh + retry,
-        Iceberg's protocol). A crash anywhere leaves either no v-file
-        or a complete one, never a truncated latest version (the temp
-        name doesn't match the v*.json metadata glob)."""
+        """Optimistic-concurrency atomic commit: CLAIM the next version
+        through the CommitProtocol seam (POSIX: tmp + fsync + os.link,
+        atomic, fails when a concurrent writer won → CommitConflict →
+        refresh + retry — Iceberg's protocol; object stores: the
+        conditional-put contract in lake/commit.py). A crash anywhere
+        leaves either no v-file or a complete one, never a truncated
+        latest version (temp names don't match the v*.json glob)."""
         new_version = 0 if expected_version is None else expected_version + 1
         meta = dict(meta, version=new_version)
-        target = os.path.join(self.path, "metadata", f"v{new_version}.json")
-        tmp = os.path.join(
-            self.path, "metadata", f".v{new_version}-{uuid.uuid4().hex[:8]}.tmp"
+        protocol_for(self.path).claim(
+            os.path.join(self.path, "metadata"), f"v{new_version}.json", meta
         )
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, target)
-        except FileExistsError as e:
-            raise CommitConflict(f"version {new_version} already committed") from e
-        finally:
-            os.unlink(tmp)
         self.metadata = meta
 
     # ------------------------------------------------------ schema
@@ -211,13 +197,69 @@ class LakeTable:
         return F.pmod(F.xxhash64(F.col(col or self.bucket_col)), F.lit(self.num_buckets))
 
     # ------------------------------------------------------ snapshots
+    #
+    # Split manifests (Iceberg's manifest lists, rebuilt): a snapshot
+    # entry stores MANIFEST FILE references, not the inline file list —
+    # the hot-path MoR commit appends ONE new manifest (just the added
+    # delta files) and inherits the parent's refs, so per-commit
+    # metadata writes are O(batch), not O(table files + history).
+    # CoW merge / compact / overwrite rewrite a single full manifest
+    # (they already rewrite the data, so O(files) there is honest).
+    # Manifests are immutable and content-cached; legacy snapshots with
+    # inline ``files`` keep working (resolved transparently). Reference
+    # analog: offsets/state in a store, not a monolith
+    # (DBReplicationOffsetStore.java:92-99).
+
+    def _write_manifest(self, entries: list[dict]) -> str:
+        d = os.path.join(self.path, "metadata", "manifests")
+        os.makedirs(d, exist_ok=True)
+        rel = os.path.join("metadata", "manifests", f"m-{uuid.uuid4().hex[:16]}.json")
+        tmp = os.path.join(self.path, rel + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, rel))
+        self._manifest_cache[rel] = entries
+        return rel
+
+    def _load_manifest(self, rel: str) -> list[dict]:
+        got = self._manifest_cache.get(rel)
+        if got is None:
+            with open(os.path.join(self.path, rel)) as f:
+                got = json.load(f)
+            self._manifest_cache[rel] = got
+        return got
 
     @property
-    def current_snapshot(self) -> dict | None:
-        sid = self.metadata["current_snapshot_id"]
+    def _manifest_cache(self) -> dict:
+        c = self.__dict__.get("_mcache")
+        if c is None:
+            c = self.__dict__["_mcache"] = {}
+        return c
+
+    def _resolve_files(self, snap: dict) -> list[dict]:
+        if "files" in snap:  # legacy inline manifest
+            return snap["files"]
+        out: list[dict] = []
+        for rel in snap.get("manifests", ()):
+            out.extend(self._load_manifest(rel))
+        return out
+
+    def _raw_snapshot(self, sid: int | None = None) -> dict | None:
+        sid = self.metadata["current_snapshot_id"] if sid is None else sid
         if sid is None:
             return None
         return next(s for s in self.metadata["snapshots"] if s["id"] == sid)
+
+    @property
+    def current_snapshot(self) -> dict | None:
+        """The current snapshot with ``files`` RESOLVED (a copy — the
+        stored entry keeps only manifest refs)."""
+        raw = self._raw_snapshot()
+        if raw is None:
+            return None
+        return {**raw, "files": self._resolve_files(raw)}
 
     def snapshot_summaries(self) -> list[dict]:
         return [s["summary"] for s in self.metadata["snapshots"]]
@@ -257,11 +299,27 @@ class LakeTable:
         )
 
     @staticmethod
-    def _sort_expr(df: DataFrame, sort_col: str | None):
-        """UN_ORDERED-source tiebreak as a long: timestamps become
-        epoch-micros; null sort keys lose to any present one."""
+    def _sort_expr(df: DataFrame, sort_col):
+        """UN_ORDERED-source tiebreak (reference: SortKey is a typed
+        LIST, SortKey.java:26-41): a single key persists as one long
+        (timestamps become epoch-micros; null sort keys lose to any
+        present one) — the codegen-friendly common case. A COMPOSITE
+        key (tuple/list, e.g. (ts, lsn, txn_id)) persists as
+        array<bigint>, one packed long per key; arrays compare
+        lexicographically inside the argmax struct, so the composite
+        resolves in key order. A table's sort shape is fixed by its
+        pipeline config (don't switch mid-table)."""
         if sort_col is None:
             return F.lit(0).cast("long")
+        if isinstance(sort_col, (tuple, list)):
+            if len(sort_col) == 0:
+                return F.lit(0).cast("long")
+            if len(sort_col) == 1:
+                sort_col = sort_col[0]
+            else:
+                return F.array(
+                    *[LakeTable._sort_expr(df, c) for c in sort_col]
+                )
         dt = {f.name: f.dataType.simpleString() for f in df.schema.fields}.get(
             sort_col, ""
         )
@@ -292,9 +350,8 @@ class LakeTable:
         records its schema id; pre-rename history reads under the old
         names)."""
         if snapshot_id is not None:
-            snap = next(
-                s for s in self.metadata["snapshots"] if s["id"] == snapshot_id
-            )
+            raw = self._raw_snapshot(snapshot_id)
+            snap = {**raw, "files": self._resolve_files(raw)}
             cur = self.metadata["schemas"][
                 str(snap.get("schema_version", self.metadata["schema_version"]))
             ]
@@ -367,16 +424,40 @@ class LakeTable:
 
     # ------------------------------------------------------ write
 
-    def _commit_snapshot(self, files: list[dict], summary: dict) -> None:
+    def _commit_snapshot(
+        self,
+        files: list[dict] | None = None,
+        summary: dict | None = None,
+        added: list[dict] | None = None,
+    ) -> None:
+        """Commit a new snapshot. Two shapes:
+
+        * ``files=[...]`` — FULL rewrite: one new manifest holding the
+          complete list (CoW merge / compact / overwrite / truncate).
+        * ``added=[...]`` — APPEND: inherit the parent's manifest refs
+          and add one new manifest with just these entries — the MoR
+          hot path; metadata written per commit is O(batch)."""
         meta = dict(self.metadata)
         sid = (meta["current_snapshot_id"] or 0) + 1
+        if added is not None:
+            parent = self._raw_snapshot()
+            if parent is None:
+                refs: list[str] = []
+            elif "files" in parent:  # legacy inline parent → split once
+                refs = [self._write_manifest(parent["files"])]
+            else:
+                refs = list(parent.get("manifests", ()))
+            if added:
+                refs.append(self._write_manifest(added))
+        else:
+            refs = [self._write_manifest(files)] if files else []
         snap = {
             "id": sid,
             "parent": meta["current_snapshot_id"],
             "timestamp_ms": int(time.time() * 1000),
             "schema_version": meta["schema_version"],
             "summary": summary,
-            "files": files,
+            "manifests": refs,
         }
         meta["snapshots"] = [*meta["snapshots"], snap]
         meta["current_snapshot_id"] = sid
@@ -456,20 +537,23 @@ class LakeTable:
         if n_in > 1:
             df = df.coalesce(max(1, n_in // 4))
         df.write.mode("errorifexists").parquet(out_dir)
-        sv = self.metadata["schema_version"]
-        paths = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
-        # drop empty part files (an input partition with no rows) so
-        # they never inflate the manifest or the compaction pressure;
-        # footer reads are threaded and local (on a real cluster the
-        # row counts come from task commit messages)
+        return self._spanning_entries(
+            sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+        )
+
+    def _spanning_entries(self, paths: list[str]) -> list[dict]:
+        """Manifest entries for spanning delta files: row count and
+        max(_seq) read from the parquet footers (threaded, local —
+        on a real cluster these come from task commit messages; the
+        _seq stat makes the commit summary recoverable even if the
+        Observation times out). Empty part files (an input partition
+        with no rows) are DELETED so they never inflate the manifest
+        or the compaction pressure."""
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
 
         def _rows(p):
-            """(path, rows, max_seq, deletes) from the already-open
-            footer: _seq max from row-group stats makes the commit
-            summary recoverable even if the Observation times out."""
             try:
                 md = pq.ParquetFile(p).metadata
                 max_seq = None
@@ -483,6 +567,7 @@ class LakeTable:
             except Exception:
                 return p, None, None
 
+        sv = self.metadata["schema_version"]
         entries = []
         with ThreadPoolExecutor(min(16, max(1, len(paths)))) as ex:
             for p, rows, max_seq in ex.map(_rows, paths):
@@ -500,6 +585,64 @@ class LakeTable:
                     }
                 )
         return entries
+
+    def adopt_spanning_files(
+        self,
+        src_paths: list[str],
+        writer_id: str,
+        batch_id: str,
+        summary: dict | None = None,
+    ) -> dict | None:
+        """Commit externally-staged spanning delta files (payload +
+        ``_seq``/``_sort``/``_deleted``/``_bucket`` columns, this
+        table's CURRENT schema) as one MoR snapshot. The files are
+        hard-linked into the table's data dir — no copy, no Spark job.
+        This is the per-table commit half of the fused multi-table
+        write: ONE Spark job demuxes a whole micro-batch into staging
+        (partitioned by table), then each table adopts its slice
+        driver-side. Idempotent by (writer-id, batch-id) like merge()."""
+        if self.is_applied(writer_id, batch_id):
+            return None
+        tag = f"delta-{uuid.uuid4().hex[:12]}"
+        dst_dir = os.path.join(self.path, "data", tag)
+        os.makedirs(dst_dir, exist_ok=True)
+        linked = []
+        for i, src in enumerate(sorted(src_paths)):
+            dst = os.path.join(dst_dir, f"part-{i:05d}.parquet")
+            try:
+                os.link(src, dst)
+            except OSError:
+                import shutil
+
+                shutil.copy2(src, dst)  # cross-device staging
+            linked.append(dst)
+        entries = self._spanning_entries(linked)
+        if not entries:
+            self._discard_uncommitted(tag)
+            return {"buckets": [], "files": 0, "upserts": 0, "deletes": 0}
+        n = sum(f["rows"] or 0 for f in entries)
+        seqs = [f["max_seq"] for f in entries if f.get("max_seq") is not None]
+        max_seq = int(max(seqs)) if seqs else -1
+        self._commit_snapshot(
+            added=entries,
+            summary={
+                "operation": "merge-mor",
+                "writer-id": writer_id,
+                "batch-id": str(batch_id),
+                "upserts": n,
+                "deletes": 0,
+                "delta-files": len(entries),
+                "max-seq": max_seq,
+                **(summary or {}),
+            },
+        )
+        return {
+            "buckets": sorted({f["bucket"] for f in entries}),
+            "files": len(entries),
+            "upserts": n,
+            "deletes": 0,
+            "max_seq": max_seq,
+        }
 
     def overwrite(self, df: DataFrame, writer_id: str, batch_id: str, summary: dict | None = None) -> bool:
         """Replace the table contents (snapshot-style full load)."""
@@ -536,7 +679,7 @@ class LakeTable:
         summary: dict | None = None,
         mode: str = "cow",
         precommit=None,
-        sort_col: str | None = None,
+        sort_col=None,  # str | tuple — composite sortKeys pack to array<bigint>
     ) -> dict | None:
         """Copy-on-write MERGE keyed on ``key_cols``, guarded by seq.
 
@@ -718,11 +861,12 @@ class LakeTable:
             seqs = [f["max_seq"] for f in files_new if f.get("max_seq") is not None]
             max_seq = int(max(seqs)) if seqs else -1
         affected = sorted({f["bucket"] for f in files_new})
-        cur = self.current_snapshot
-        kept = list(cur["files"]) if cur else []
+        # append commit: inherits the parent's manifests and writes ONE
+        # new manifest of just this batch's delta files — per-commit
+        # metadata cost is O(batch), never O(table)
         self._commit_snapshot(
-            kept + files_new,
-            {
+            added=files_new,
+            summary={
                 "operation": "merge-mor",
                 "writer-id": writer_id,
                 "batch-id": str(batch_id),
@@ -827,20 +971,31 @@ class LakeTable:
                 markers.setdefault(w, [])
                 if b not in markers[w]:
                     markers[w].append(b)
-        live = {f["path"] for s in retained for f in s["files"]}
+        live = {f["path"] for s in retained for f in self._resolve_files(s)}
         dead = {
-            f["path"] for s in expired for f in s["files"] if f["path"] not in live
+            f["path"]
+            for s in expired
+            for f in self._resolve_files(s)
+            if f["path"] not in live
+        }
+        # manifest GC: delete manifest files no retained snapshot
+        # references (manifests are immutable and shared via refs)
+        live_m = {m for s in retained for m in s.get("manifests", ())}
+        dead_m = {
+            m for s in expired for m in s.get("manifests", ()) if m not in live_m
         }
         meta = dict(self.metadata)
         meta["snapshots"] = retained
         meta["applied_markers"] = markers
         self._write_metadata(meta, expected_version=self.metadata["version"])
         if delete_files:
-            for rel in dead:
+            for rel in dead | dead_m:
                 try:
                     os.remove(os.path.join(self.path, rel))
                 except FileNotFoundError:
                     pass
+            for rel in dead_m:
+                self._manifest_cache.pop(rel, None)
         return len(expired)
 
     def compact(self, max_files_per_bucket: int = 4) -> int:

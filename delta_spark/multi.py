@@ -28,6 +28,7 @@ incarnation.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -36,13 +37,15 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .apply import ApplyStats, apply_batch
+from .apply import ApplyStats, _apply_whitelist, _rewrite_to_current, apply_batch, write_lineage
 from .catalog import Catalog
 from .routing import assign_tables
 from .schema import (
+    ALL_DDL_OPS,
     CONTROL_DDL_OPS,
     DATABASE_DDL_OPS,
     DDL_CREATE_TABLE,
+    DML_DELETE,
     DML_OPS,
 )
 
@@ -57,6 +60,201 @@ def expand_blacklist(
     bl = set(global_bl) | set((per_table or {}).get(table, ()))
     bl.discard(DDL_CREATE_TABLE)
     return tuple(sorted(bl))
+
+
+def _fused_mor_apply(
+    catalog: Catalog,
+    batch: DataFrame,
+    writer_id: str,
+    batch_id: str,
+    mine: list[str],
+    table_col: str,
+    op_blacklist: tuple,
+    per_table_blacklists: dict | None,
+    per_table_columns: dict | None,
+    sort_key_col,
+    lineage: bool = True,
+) -> dict[str, list[ApplyStats]] | None:
+    """Single-pass multi-table demux — the steady-state streaming fast
+    path. Jobs per epoch are INDEPENDENT of table count: ONE fused
+    write job appends every table's rows as spanning MoR delta files
+    into a staging dir partitioned by table, plus ONE aggregation job
+    for per-table metrics; each table then adopts its slice with a
+    driver-side hard-link + metadata commit (no Spark job). The
+    per-table loop is O(tables) driver-sequenced jobs per micro-batch —
+    at the reference's "hundreds of tables per instance"
+    (DeltaWorker.java:594-620) that serializes the epoch; this path
+    keeps it two jobs.
+
+    Preconditions (caller falls back to the per-table loop otherwise):
+    no table/database DDL rows for these tables in the batch, no
+    per-table python transforms, and every table already has data
+    (merge-on-read steady state). Column-level DDL is guarded
+    optimistically INSIDE the fused job via observe, mirroring
+    apply_batch's fast path. Tables whose aligned schemas differ are
+    grouped by schema signature — one write job per group (one group
+    in the common homogeneous-shard case).
+
+    Exactly-once: per-table batch ids match the per-table loop's
+    (``{batch_id}.{t}``), so a crash between adopts replays cleanly
+    through EITHER path. Returns None to request fallback."""
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+
+    from ._obs import observe_get
+
+    handles = {}
+    for t in mine:
+        if not catalog.has_table(t):
+            return None  # pending CREATE_TABLE — let the loop handle it
+        h = catalog.table(t)
+        cur = h.current_snapshot
+        if cur is None or not cur["files"]:
+            return None  # snapshot-load epoch — CoW path is right
+        handles[t] = h
+
+    todo = [t for t in mine if not handles[t].is_applied(writer_id, f"{batch_id}.{t}")]
+    out: dict[str, list[ApplyStats]] = {t: [] for t in mine}
+    if not todo:
+        return out
+
+    # group tables by aligned payload signature — one fused write per
+    # distinct shape (heterogeneous tables still fuse within groups)
+    groups: dict[tuple, list[str]] = {}
+    for t in todo:
+        sig = tuple((f["name"], f["type"]) for f in handles[t].fields)
+        groups.setdefault(sig, []).append(t)
+
+    has_ddl_col = "ddl" in batch.columns
+    obs = Observation() if has_ddl_col else None
+    guard_src = batch
+    if obs is not None:
+        guard_src = batch.observe(
+            obs,
+            F.count_if(
+                F.col("op").isin(list(ALL_DDL_OPS))
+                & F.col(table_col).isin(list(todo))
+            ).alias("n_ddl"),
+        )
+
+    staging_root = os.path.join(
+        catalog.root, "_staging", f"{writer_id}-{batch_id}-{_uuid.uuid4().hex[:8]}"
+    )
+    t0 = time.time()
+    try:
+        staged: dict[str, list[str]] = {}
+        first_group = True
+        for gi, (_, tables) in enumerate(sorted(groups.items())):
+            parts = []
+            for t in tables:
+                h = handles[t]
+                bl = expand_blacklist(op_blacklist, per_table_blacklists, t)
+                fence = max(-(1 << 62), catalog.create_seq(t))
+                src = guard_src if first_group else batch
+                sub = src.filter(
+                    (F.col(table_col) == t)
+                    & (F.col("seq") > fence)
+                    & F.col("op").isin([o for o in DML_OPS if o not in bl])
+                ).drop(table_col)
+                sub = _apply_whitelist(
+                    sub, h, (per_table_columns or {}).get(t), sort_key_col
+                )
+                from .apply import _sort_key_tuple
+
+                keep = _sort_key_tuple(sort_key_col)
+                aligned = _rewrite_to_current(sub, h, keep=keep)
+                payload = [f["name"] for f in h.fields]
+                parts.append(
+                    aligned.select(
+                        *payload,
+                        F.col("seq").cast("long").alias("_seq"),
+                        h._sort_expr(aligned, sort_key_col).alias("_sort"),
+                        (F.col("op") == DML_DELETE).alias("_deleted"),
+                        h.bucket_expr().alias("_bucket"),
+                        F.lit(t).alias("__tbl"),
+                    )
+                )
+            fused = parts[0]
+            for p in parts[1:]:
+                fused = fused.unionByName(p)
+            n_in = batch.rdd.getNumPartitions()
+            if n_in > 1:
+                # same spanning-file throttle as _write_data_spanning:
+                # fewer, bigger delta files amortize the read-time fold
+                fused = fused.coalesce(max(1, n_in // 4))
+            gdir = os.path.join(staging_root, f"g{gi}")
+            fused.write.partitionBy("__tbl").mode("errorifexists").parquet(gdir)
+            if first_group and obs is not None:
+                m = observe_get(obs)
+                if m is None or (m["n_ddl"] or 0) > 0:
+                    return None  # DDL present (or unobservable) → loop path
+                first_group = False
+            from urllib.parse import unquote
+
+            for d in glob.glob(os.path.join(gdir, "__tbl=*")):
+                staged[unquote(os.path.basename(d)[len("__tbl="):])] = sorted(
+                    glob.glob(os.path.join(d, "*.parquet"))
+                )
+
+        # per-table metrics in ONE aggregation job over the cached batch
+        mdf = (
+            batch.filter(
+                F.col(table_col).isin(list(todo))
+                & F.col("op").isin(list(DML_OPS))
+            )
+            .groupBy(table_col)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.count_if(F.col("op") == op).alias(op) for op in DML_OPS],
+                F.max("seq").alias("max_seq"),
+                *(
+                    [
+                        F.min(
+                            F.unix_timestamp(F.col("ingest_ts").cast("timestamp"))
+                        ).alias("oldest")
+                    ]
+                    if "ingest_ts" in batch.columns
+                    else []
+                ),
+            )
+        )
+        metrics = {r[table_col]: r.asDict() for r in mdf.collect()}
+
+        for t in todo:
+            h = handles[t]
+            m = metrics.get(t)
+            dels = (m or {}).get(DML_DELETE) or 0
+            n = (m or {}).get("n") or 0
+            res = h.adopt_spanning_files(
+                staged.get(t, []),
+                writer_id,
+                f"{batch_id}.{t}",
+                summary={"upserts": n - dels, "deletes": dels},
+            )
+            st = ApplyStats(writer_id=writer_id, batch_id=f"{batch_id}.{t}")
+            st.applied = True
+            st.sub_batches = 1
+            if res is not None:
+                st.buckets = res["buckets"]
+            if m is not None and res is not None and res["files"] > 0:
+                st.rows_in = n
+                st.upserts = n - dels
+                st.deletes = dels
+                st.op_counts = {
+                    op: m[op] for op in DML_OPS if m.get(op)
+                }
+                st.max_seq = m["max_seq"] if m["max_seq"] is not None else -1
+                if m.get("oldest") is not None:
+                    st.latency_s = max(0.0, time.time() - m["oldest"])
+            st.wall_ms = int((time.time() - t0) * 1000)
+            if lineage:
+                write_lineage(h, st)
+            out[t].append(st)
+        return out
+    finally:
+        shutil.rmtree(staging_root, ignore_errors=True)
 
 
 def apply_multi_batch(
@@ -145,6 +343,26 @@ def apply_multi_batch(
     if cached:
         batch = batch.persist()
     try:
+        # steady-state fast path: no table/database DDL for my tables,
+        # no python transforms, merge-on-read → ONE fused write job +
+        # ONE metrics job regardless of table count (falls back to the
+        # per-table loop below when preconditions don't hold or the
+        # batch turns out to carry column-level DDL)
+        merge_mode = apply_kw.get("merge_mode", "cow")
+        if (
+            not ctrl
+            and len(mine) > 1
+            and not (per_table_transforms or {})
+            and merge_mode in ("auto", "mor")
+        ):
+            fused = _fused_mor_apply(
+                catalog.refresh(), batch, writer_id, batch_id, mine, table_col,
+                op_blacklist, per_table_blacklists, per_table_columns,
+                apply_kw.get("sort_key_col"),
+                lineage=apply_kw.get("lineage", True),
+            )
+            if fused is not None:
+                return fused
         for s, d in ctrl:
             for t in affected(d):
                 apply_segment(t, s)
@@ -182,7 +400,7 @@ class MultiPipelineConfig:
     max_files_per_trigger: int | None = None
     max_bytes_per_trigger: str | None = None
     merge_mode: str = "auto"
-    sort_key_col: str | None = None
+    sort_key_col: object = None            # str | tuple of columns
     changelog_schema: object = None        # StructType; None → transcript
     # changelog + tbl column (the default payload shape)
 

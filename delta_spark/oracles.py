@@ -166,6 +166,29 @@ ALL_ORACLES: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
             AND NOT del
     """,
+    "cdc_replay_stream_lww": """
+        WITH log AS (
+            SELECT 'c' || user_id AS conv_id,
+                   CAST(event_id % 20 AS INT) AS turn_idx,
+                   event_type AS role,
+                   props || s.suf AS text,
+                   CAST(NULL AS VARCHAR) AS tool,
+                   ts + s.dts AS ts,
+                   ts + s.di AS ingest_ts,
+                   event_id AS seq,
+                   (event_type = 'error') AS del
+            FROM events
+            CROSS JOIN (VALUES ('', INTERVAL 0 HOUR, INTERVAL 0 HOUR),
+                               ('+a', INTERVAL 1 HOUR, INTERVAL 0 HOUR),
+                               ('+b', INTERVAL 1 HOUR, INTERVAL 2 HOUR))
+                 AS s(suf, dts, di))
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM log
+        QUALIFY row_number() OVER (
+            PARTITION BY conv_id, turn_idx
+            ORDER BY seq DESC, ts DESC, ingest_ts DESC) = 1
+            AND NOT del
+    """,
     "table_ddl_replay": """
         WITH c AS (SELECT 3 * MAX(event_id) // 4 AS cut FROM events)
         SELECT user_id, event_type, value, ts

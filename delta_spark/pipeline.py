@@ -87,7 +87,8 @@ class PipelineConfig:
     # batches by BYTES so throughput doesn't depend on source file sizing
     merge_mode: str = "auto"               # cow | mor | auto (cow while
     # empty — snapshot load — then merge-on-read for the streaming trickle)
-    sort_key_col: str | None = None        # UN_ORDERED-source tiebreak:
+    sort_key_col: object = None            # UN_ORDERED-source tiebreak (str |
+    # tuple — composite SortKey list, reference SortKey.java:26-41):
     # equal-seq events resolve by this column (e.g. "ingest_ts" — the
     # reference's sourceTimestampMillis/sortKeys, SortKey.java:26-41)
     column_whitelist: tuple | None = None  # per-table column selection

@@ -393,20 +393,13 @@ def ann_cosine_topk(spark, sf_dir):
 
 def embedding_neardup_pairs(spark, sf_dir):
     """Near-dup pairs within a label cell (IVF-style blocking bounds
-    the quadratic join to cell size)."""
+    the quadratic join to cell size; ``max_cell_rows`` caps the
+    within-cell quadratic at scale — oversized cells are excluded
+    with a warning, never brute-forced)."""
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("label").alias("p"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
-    )
-    b = e.select(
-        F.col("label").alias("p"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
-    return (
-        a.join(b, ["p"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", _decimal_cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("sim") >= 0.25)
-        .select(F.col("p").alias("label"), "id_a", "id_b", "sim")
+    return similarity.pairwise_topk_within(
+        e, "label", id_col="vec_id", vec_col="embedding",
+        threshold=0.25, max_cell_rows=100_000, sim_expr=_decimal_cosine,
     )
 
 
@@ -644,29 +637,64 @@ def transcript_replay_lww(spark, sf_dir):
 # ===================================================== engine E2E (rows-only)
 
 
-def cdc_replay_transcripts(spark, sf_dir):
-    """Full-engine E2E: deterministic changelog → batch apply →
-    final transcript state (rows-only: the changelog is synthesized,
-    not one of the oracle's views)."""
+def cdc_replay_stream_lww(spark, sf_dir):
+    """STREAMING E2E with a SQL oracle: the events view mapped onto the
+    input_hint transcript-changelog shape and TRIPLED into equal-seq
+    revisions that only a composite sortKey tiebreak (ts, then
+    ingest_ts — the reference's SortKey LIST, SortKey.java:26-41) can
+    order, then tailed by the REAL Structured-Streaming pipeline in
+    several micro-batches: CoW snapshot epoch, merge-on-read trickle
+    epochs, read-time argmax fold across batches. DuckDB reproduces
+    the final state as a windowed LWW over (seq, ts, ingest_ts), so
+    the streaming path + MoR fold + composite tiebreak are all
+    hash-checked."""
     import tempfile
 
-    from .changelog import ChangelogSpec, generate_and_write
     from .lake import LakeTable
     from .pipeline import Pipeline, PipelineConfig
 
-    d = tempfile.mkdtemp(prefix="cdc_replay_")
-    generate_and_write(
-        f"{d}/log", ChangelogSpec(n_events=1200, n_convs=24, seed=5, n_files=2)
+    d = tempfile.mkdtemp(prefix="cdc_stream_")
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit(None).cast("string").alias("prev_text"),
+        F.lit(False).alias("is_snapshot"),
+        F.col("ts").cast("timestamp").alias("ingest_ts"),
+        F.lit(None).cast("string").alias("ddl"),
     )
+    hour = F.expr("INTERVAL 1 HOUR")
+    rev1 = base.withColumn("ts", F.col("ts") + hour).withColumn(
+        "text", F.concat(F.col("text"), F.lit("+a"))
+    )
+    rev2 = (
+        base.withColumn("ts", F.col("ts") + hour)
+        .withColumn("ingest_ts", F.col("ingest_ts") + hour + hour)
+        .withColumn("text", F.concat(F.col("text"), F.lit("+b")))
+    )
+    base.unionByName(rev1).unionByName(rev2).repartition(6).write.parquet(f"{d}/log")
     cfg = PipelineConfig(
         changelog_path=f"{d}/log",
         table_path=f"{d}/tbl",
         checkpoint_dir=f"{d}/ck",
         generation=1,
         num_buckets=8,
+        max_files_per_trigger=2,          # several micro-batches
+        sort_key_col=("ts", "ingest_ts"),  # composite SortKey tiebreak
+        compact_pressure=4,
     )
-    Pipeline(spark, cfg).run_batch()
-    return LakeTable.load(spark, cfg.table_path).read()
+    Pipeline(spark, cfg).run_stream_to_completion()
+    return LakeTable.load(spark, cfg.table_path).read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
 
 
 def media_features(spark, sf_dir):
@@ -711,6 +739,6 @@ ALL_QUERIES = {
     "multi_table_replay": multi_table_replay,
     "table_ddl_replay": table_ddl_replay,
     "transcript_replay_lww": transcript_replay_lww,
-    "cdc_replay_transcripts": cdc_replay_transcripts,
+    "cdc_replay_stream_lww": cdc_replay_stream_lww,
     "media_features": media_features,
 }

@@ -5,8 +5,14 @@ Cluster usage (the north-rule deployment shape):
 
     zip -r delta_spark.zip delta_spark
     spark-submit --py-files delta_spark.zip jobs/run_pipeline.py \
-        --changelog s3://…/changelog --table s3://…/transcripts \
-        --checkpoint s3://…/ck --mode stream --buckets 4096
+        --changelog /mnt/shared/changelog --table /mnt/shared/transcripts \
+        --checkpoint /mnt/shared/ck --mode stream --buckets 4096
+
+The table/checkpoint roots must live on a POSIX filesystem the driver
+can reach (local disk, NFS, Lustre): metadata commits rely on an
+atomic version claim (os.link). Object-store roots (s3://, gs://, …)
+are REFUSED at startup until the conditional-put adapter exists — the
+contract is documented in delta_spark/lake/commit.py.
 
 Local smoke:
 
@@ -51,6 +57,26 @@ def main() -> None:
     ap.add_argument("--stats-dir", default=None,
                     help="persist per-micro-batch progress JSONL here")
     args = ap.parse_args()
+
+    # fail FAST on storage schemes the commit protocol can't make
+    # atomic (object stores need the conditional-put adapter documented
+    # in delta_spark/lake/commit.py) — never degrade exactly-once
+    # silently; data/manifest writes are already object-store-safe,
+    # only the version claim needs the stronger primitive
+    from delta_spark.lake.commit import ObjectStoreCommit, protocol_for
+
+    for flag, p in (("--table", args.table), ("--checkpoint", args.checkpoint)):
+        try:
+            proto = protocol_for(p)
+        except ValueError as e:
+            sys.exit(f"error: {flag} {p}: {e}")
+        if isinstance(proto, ObjectStoreCommit):
+            sys.exit(
+                f"error: {flag} {p}: metadata commits on {proto.scheme} need "
+                "a conditional-put adapter (contract in delta_spark/lake/"
+                "commit.py) — point the table at a POSIX path (local disk "
+                "or a shared NFS mount) for this build"
+            )
 
     from pyspark.sql import SparkSession
 

@@ -79,3 +79,24 @@ def test_pairwise_cell_cap_excludes_oversized(spark):
     got_labels = {r["label"] for r in capped.select("label").distinct().collect()}
     assert not (got_labels & big)  # oversized cells excluded
     assert capped.count() < uncapped.count()
+
+
+def test_embedding_neardup_query_path_is_capped(spark, monkeypatch):
+    """The driver-contract query must route through the capped cell
+    join (not re-implement it inline) so the production path never
+    has an unbounded within-cell quadratic."""
+    from delta_spark import queries
+    from delta_spark.functions import similarity as sim
+
+    seen = {}
+    real = sim.pairwise_topk_within
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sim, "pairwise_topk_within", spy)
+    out = queries.embedding_neardup_pairs(spark, SF)
+    assert seen.get("max_cell_rows") is not None
+    assert out.columns == ["label", "id_a", "id_b", "sim"]
+    assert out.count() > 0

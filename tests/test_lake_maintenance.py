@@ -273,3 +273,49 @@ def test_bucket_pruned_read_excludes_foreign_spanning_rows(spark, tmp_path):
         .collect()
     )
     assert {r[0] for r in got} == {target}
+
+
+def test_split_manifest_commit_cost_flat(spark, tmp_path):
+    """Split manifests: the metadata bytes written by ONE MoR append
+    commit are ~flat whether the table holds 10^2 or 10^4 files —
+    the commit writes one small manifest (its own files) plus a
+    snapshot entry of manifest REFS, never the full file list
+    (Iceberg manifest lists; reference analog: offsets in a store,
+    DBReplicationOffsetStore.java:92-99)."""
+    import os
+
+    t = _mk_table(spark, str(tmp_path / "t"), n_batches=1)
+
+    def fake_entries(n, tag):
+        return [
+            {"path": f"data/{tag}/part-{i:05d}.parquet", "bucket": -1,
+             "schema_version": 0, "rows": 10, "max_seq": i, "kind": "delta"}
+            for i in range(n)
+        ]
+
+    def commit_bytes(tag, n_added):
+        """Bytes written to metadata by one append commit."""
+        md = os.path.join(str(tmp_path / "t"), "metadata")
+        def tree_size():
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(md) for f in fs
+            )
+        before = tree_size()
+        t._commit_snapshot(added=fake_entries(n_added, tag),
+                           summary={"operation": "merge-mor"})
+        return tree_size() - before
+
+    # grow the table to ~100 files, then measure one 4-file commit
+    commit_bytes("grow-a", 100)
+    small_table_cost = commit_bytes("probe-a", 4)
+    # grow to ~10_000 files, measure the SAME 4-file commit
+    commit_bytes("grow-b", 9900)
+    big_table_cost = commit_bytes("probe-b", 4)
+    # bytes grow with snapshot-entry bookkeeping (a few refs), never
+    # with the file count: 100x more files < 3x more commit bytes
+    assert big_table_cost < 3 * small_table_cost, (
+        small_table_cost, big_table_cost,
+    )
+    # and the file list is intact end to end
+    assert len(t.current_snapshot["files"]) >= 10_000

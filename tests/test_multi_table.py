@@ -372,3 +372,105 @@ def test_drop_database_cascades_mid_stream(spark, tmp_path):
     assert_pdf_equal(
         cat2.table("db1.alpha").read().toPandas(), exp_alpha, ["conv_id", "turn_idx"]
     )
+
+
+def test_fused_demux_jobs_independent_of_table_count(spark, tmp_path):
+    """Steady-state epochs use the fused single-pass demux: ONE write
+    job + ONE metrics job (+ the DDL-probe collect) per micro-batch,
+    regardless of table count — the per-table loop would be O(tables)
+    driver-sequenced jobs (reference runs hundreds of tables per
+    instance, DeltaWorker.java:594-620)."""
+    from delta_spark.multi import apply_multi_batch
+
+    tables = tuple(f"t{i:02d}" for i in range(20))
+    cat = _mk_catalog_with_tables(spark, tmp_path / "cat", tables)
+    raw = generate_multi_changelog(
+        {
+            t: ChangelogSpec(n_events=60, n_convs=4, seed=100 + i, n_files=1)
+            for i, t in enumerate(tables)
+        }
+    )
+    cut = raw["seq"].median()
+    for i, part in enumerate([raw[raw["seq"] <= cut], raw[raw["seq"] > cut]]):
+        write_changelog(part.reset_index(drop=True), str(tmp_path / f"log{i}"), 1)
+    from delta_spark.schema import CHANGELOG_SCHEMA
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("tbl", T.StringType(), True), *CHANGELOG_SCHEMA.fields]
+    )
+    df0 = spark.read.schema(schema).parquet(str(tmp_path / "log0"))
+    # epoch 0: snapshot load (CoW loop path seeds every table)
+    apply_multi_batch(cat, df0, "w-f", "e0", list(tables), merge_mode="auto")
+    for t in tables:
+        assert cat.table(t).current_snapshot is not None
+
+    # epoch 1: steady state → fused path; count Spark jobs
+    df1 = spark.read.schema(schema).parquet(str(tmp_path / "log1"))
+    sc = spark.sparkContext
+    sc.setJobGroup("fused-epoch", "jobs-per-epoch probe")
+    try:
+        apply_multi_batch(cat, df1, "w-f", "e1", list(tables), merge_mode="auto")
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("fused-epoch")
+        sc.setJobGroup(None, None)
+    assert len(jobs) <= 5, f"expected O(1) jobs per epoch, got {len(jobs)}"
+    assert len(jobs) < len(tables)
+
+    # and the fused epoch is byte-equal to the oracle per table
+    for t in tables:
+        assert_pdf_equal(
+            cat.table(t).read().toPandas(),
+            oracle_apply(raw[raw["tbl"] == t]),
+            ["conv_id", "turn_idx"],
+        )
+
+
+def test_fused_demux_falls_back_on_column_ddl(spark, tmp_path):
+    """The fused fast path guards column-level DDL via observe inside
+    the write job (the observed frame feeds every union branch — the
+    guard only needs zero/nonzero): a batch carrying ADD_COLUMN rows
+    must fall back to the segmented loop and still match the oracle."""
+    from delta_spark.multi import apply_multi_batch
+    from delta_spark.schema import CHANGELOG_SCHEMA
+    from pyspark.sql import types as T
+
+    tables = ("fa", "fb", "fc")
+    cat = _mk_catalog_with_tables(spark, tmp_path / "cat", tables)
+    raw = generate_multi_changelog(
+        {
+            t: ChangelogSpec(n_events=300, n_convs=6, seed=200 + i, n_files=1)
+            for i, t in enumerate(tables)
+        }
+    )
+    cut = raw["seq"].median()
+    first, second = raw[raw["seq"] <= cut], raw[raw["seq"] > cut]
+    # inject a column-level DDL row for one table into the second epoch
+    ddl = {"op": "ADD_COLUMN", "column": "extra", "new_type": "string"}
+    drow = second.iloc[[0]].copy()
+    drow["tbl"] = "fb"
+    drow["op"] = "ADD_COLUMN"
+    drow["ddl"] = json.dumps(ddl)
+    # a fresh seq of its own — DDL events are sequenced like any other
+    # (a reused seq would be indistinguishable from a replay duplicate)
+    drow["seq"] = int(second["seq"].max()) + 1
+    second = pd.concat([second, drow], ignore_index=True)
+    for i, part in enumerate([first, second]):
+        write_changelog(part.reset_index(drop=True), str(tmp_path / f"log{i}"), 1)
+    schema = T.StructType(
+        [T.StructField("tbl", T.StringType(), True), *CHANGELOG_SCHEMA.fields]
+    )
+    for i in range(2):
+        df = spark.read.schema(schema).parquet(str(tmp_path / f"log{i}"))
+        apply_multi_batch(cat, df, "w-fb", f"e{i}", list(tables), merge_mode="auto")
+    # DDL landed (fallback path ran it)
+    assert "extra" in [f["name"] for f in cat.table("fb").fields]
+    # every table still exact vs oracle
+    for t in tables:
+        assert_pdf_equal(
+            cat.table(t).read().toPandas()[
+                ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            ],
+            oracle_apply(raw[raw["tbl"] == t]),
+            ["conv_id", "turn_idx"],
+        )

@@ -75,7 +75,9 @@ def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
     assert len(res["buckets"]) == 1
     # unaffected files survived untouched in the new snapshot
     kept = [f for f in t.current_snapshot["files"] if f["bucket"] not in res["buckets"]]
-    old_paths = {f["path"] for f in t.metadata["snapshots"][0]["files"]}
+    old_paths = {
+        f["path"] for f in t._resolve_files(t.metadata["snapshots"][0])
+    }
     assert all(f["path"] in old_paths for f in kept)
     assert len(kept) == files_total - 1
 

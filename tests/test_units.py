@@ -181,3 +181,40 @@ def test_lsh_recall_vs_brute_force(spark):
     bf = [r["vec_id"] for r in similarity.brute_force_topk(df.filter("vec_id<>0"), q, k=10).collect()]
     ap = [r["vec_id"] for r in similarity.lsh_topk(df.filter("vec_id<>0"), q, k=10, n_planes=4).collect()]
     assert len(set(bf) & set(ap)) >= 5
+
+
+def test_commit_protocol_seam(tmp_path):
+    """The atomic version-claim seam: POSIX impl claims exactly once;
+    object-store URIs fail fast with the conditional-put contract
+    (never a silent non-atomic fallback); unknown schemes rejected."""
+    import json
+
+    import pytest
+
+    from delta_spark.lake.commit import (
+        CommitConflict,
+        ObjectStoreCommit,
+        PosixLinkCommit,
+        protocol_for,
+    )
+    from delta_spark.lake.table import CommitConflict as TableConflict
+
+    assert TableConflict is CommitConflict  # one exception type, one seam
+
+    assert isinstance(protocol_for(str(tmp_path)), PosixLinkCommit)
+    assert isinstance(protocol_for("file:///x"), PosixLinkCommit)
+    for uri in ("s3://b/t", "s3a://b/t", "gs://b/t", "abfss://c@a/t"):
+        proto = protocol_for(uri)
+        assert isinstance(proto, ObjectStoreCommit)
+        with pytest.raises(NotImplementedError, match="conditional"):
+            proto.claim(str(tmp_path), "v1.json", {})
+    with pytest.raises(ValueError, match="scheme"):
+        protocol_for("ftp://host/x")
+
+    p = PosixLinkCommit()
+    p.claim(str(tmp_path), "v7.json", {"v": 7})
+    assert json.load(open(tmp_path / "v7.json")) == {"v": 7}
+    with pytest.raises(CommitConflict):
+        p.claim(str(tmp_path), "v7.json", {"v": 8})
+    assert json.load(open(tmp_path / "v7.json")) == {"v": 7}  # loser never tore it
+    assert not list(tmp_path.glob("*.tmp"))  # temp files always cleaned
