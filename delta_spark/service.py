@@ -1,0 +1,286 @@
+"""Read-only diagnostics + assessment HTTP service (stdlib only).
+
+The reference runs a REST service beside the worker: assessment
+endpoints (AssessmentHandler.java — v1/contexts/{ctx}/assessTable,
+assessPipeline, listTables, describeTable) and offset/state lookups
+(OffsetStateHandler.java — .../generations/{gen}/instances/{id}/offset
+and /states/{state}). The CDAP draft/remote-task plumbing around those
+handlers is platform machinery (SURVEY.md §7.4), but the *observable
+surface* — "ask a running deployment what it replicates, how far it
+has gotten, and whether a schema would be supported" — is engine
+function, rebuilt here as a small ``http.server`` app over the same
+on-disk artifacts the engine maintains:
+
+  GET  /health
+  GET  /v1/tables                      catalog listing (listTables)
+  GET  /v1/tables/{name}               schema + snapshot summary (describeTable)
+  GET  /v1/tables/{name}/offsets[?writer=]   last committed seq per
+       writer — OffsetStateHandler.getOffset over snapshot summaries
+  GET  /v1/tables/{name}/state[?pipeline=]   pipeline/table state doc
+       (SNAPSHOTTING / REPLICATING / FAILING — getState analog)
+  GET  /v1/tables/{name}/lineage       per-batch commit lineage records
+  POST /v1/assessTable                 {"fields": [{"name","type"}],
+       "key_cols": [...], "table": optional} → column support merge
+  POST /v1/assessPipeline              {"tables": {name: {...}}}
+
+Deliberately Spark-free: every answer is derived from the JSON
+metadata/state/lineage documents the engine commits (the same
+decoupling as the reference, whose handlers read the SQL state store,
+not the worker). Start it next to — or long after — a pipeline run.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import types as T
+
+from .assess import assess_pipeline, assess_table
+from .catalog import Catalog
+from .lake.table import LakeTable
+
+_SCALARS = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+}
+
+
+def _parse_type(s: str) -> T.DataType:
+    """Parse a DDL-ish type string without a JVM (fromDDL needs a
+    session): scalars, decimal(p,s), array<t>, map<k,v>."""
+    s = s.strip()
+    if s in _SCALARS:
+        return _SCALARS[s]
+    if s.startswith("decimal(") and s.endswith(")"):
+        p, sc = (int(x) for x in s[len("decimal("):-1].split(","))
+        return T.DecimalType(p, sc)
+    if s.startswith("array<") and s.endswith(">"):
+        return T.ArrayType(_parse_type(s[len("array<"):-1]))
+    if s.startswith("map<") and s.endswith(">"):
+        inner, depth, cut = s[len("map<"):-1], 0, None
+        for i, ch in enumerate(inner):  # split on the top-level comma
+            depth += ch in "<("
+            depth -= ch in ">)"
+            if ch == "," and depth == 0:
+                cut = i
+                break
+        if cut is None:
+            raise ValueError(f"bad map type {s!r}")
+        return T.MapType(_parse_type(inner[:cut]), _parse_type(inner[cut + 1:]))
+    raise ValueError(f"unsupported type string {s!r}")
+
+
+def _schema_from_fields(fields: list[dict]) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(f["name"], _parse_type(f["type"]), f.get("nullable", True))
+            for f in fields
+        ]
+    )
+
+
+def _load_table_meta(path: str) -> dict:
+    from .lake.interop import read_metadata
+
+    return read_metadata(path)
+
+
+class DiagnosticsService:
+    """Serve diagnostics for the tables under a catalog root (multi-
+    table layout) and/or an explicit {name: table_path} map."""
+
+    def __init__(
+        self,
+        catalog_root: str | None = None,
+        tables: dict[str, str] | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        self.catalog_root = catalog_root
+        self.tables = dict(tables or {})
+        self.host, self.port = host, port
+        self._httpd: ThreadingHTTPServer | None = None
+
+    # ------------------------------------------------------ resolution
+
+    def _table_paths(self) -> dict[str, str]:
+        out = dict(self.tables)
+        if self.catalog_root:
+            meta = Catalog._read_meta(self.catalog_root)
+            for name, ent in meta["tables"].items():
+                out[name] = os.path.join(self.catalog_root, ent["dir"])
+        return out
+
+    def _describe(self, name: str, path: str) -> dict:
+        m = _load_table_meta(path)
+        cur = m["schemas"][str(m["schema_version"])]
+        snaps = m["snapshots"]
+        by_id = {f["id"]: f["name"] for f in cur}
+        return {
+            "name": name,
+            "path": path,
+            "schema_version": m["schema_version"],
+            "fields": cur,
+            "key_cols": [by_id[i] for i in m["key_ids"]],
+            "bucket_col": by_id[m["bucket_id"]],
+            "num_buckets": m["num_buckets"],
+            "snapshots": len(snaps),
+            "current_snapshot_id": m["current_snapshot_id"],
+            "last_commit": snaps[-1]["summary"] if snaps else None,
+        }
+
+    @staticmethod
+    def _offsets(meta: dict, writer: str | None) -> dict:
+        """Last committed seq per writer (OffsetStateHandler.getOffset
+        analog: the snapshot summaries ARE the offset store)."""
+        seqs: dict[str, int] = {}
+        for s in meta["snapshots"]:
+            w, mx = s["summary"].get("writer-id"), s["summary"].get("max-seq")
+            if w is None or mx is None:
+                continue
+            seqs[w] = max(seqs.get(w, -1), int(mx))
+        if writer is not None:
+            return {"writer_id": writer, "max_seq": seqs.get(writer, -1)}
+        return {"writers": seqs}
+
+    @staticmethod
+    def _state(path: str, pipeline: str) -> dict:
+        p = os.path.join(path, "metadata", f"state-{pipeline}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"pipeline": "OK", "tables": {}, "error": None, "updated_ms": 0}
+
+    @staticmethod
+    def _lineage(path: str) -> list[dict]:
+        recs = []
+        for p in sorted(glob.glob(os.path.join(path, "metadata", "lineage", "*.json"))):
+            with open(p) as f:
+                recs.append(json.load(f))
+        return recs
+
+    # ------------------------------------------------------ assessment
+
+    def _assess_one(self, body: dict) -> dict:
+        schema = _schema_from_fields(body["fields"])
+        target = None
+        tname = body.get("table")
+        if tname:
+            tpath = self._table_paths()[tname]
+            target = LakeTable(None, tpath, _load_table_meta(tpath))
+        a = assess_table(schema, body["key_cols"], target)
+        return {
+            "ok": a.ok,
+            "problems": a.problems,
+            "columns": [vars(c) for c in a.columns],
+        }
+
+    def _assess_pipeline(self, body: dict) -> dict:
+        tables = {
+            name: (_schema_from_fields(spec["fields"]), spec["key_cols"])
+            for name, spec in body["tables"].items()
+        }
+        paths = self._table_paths()
+        targets = {
+            name: LakeTable(None, paths[name], _load_table_meta(paths[name]))
+            for name in body["tables"]
+            if name in paths
+        }
+        return {
+            name: {"ok": a.ok, "problems": a.problems,
+                   "columns": [vars(c) for c in a.columns]}
+            for name, a in assess_pipeline(tables, targets).items()
+        }
+
+    # ------------------------------------------------------ routing
+
+    def handle(self, method: str, url: str, body: dict | None) -> tuple[int, dict | list]:
+        """Pure request → (status, payload) function (HTTP-free, so
+        tests can drive it directly and the handler stays trivial)."""
+        u = urlparse(url)
+        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        parts = [p for p in u.path.split("/") if p]
+        try:
+            if method == "GET":
+                if parts == ["health"]:
+                    return 200, {"status": "ok"}
+                if parts == ["v1", "tables"]:
+                    return 200, {"tables": sorted(self._table_paths())}
+                if len(parts) >= 3 and parts[:2] == ["v1", "tables"]:
+                    name = parts[2]
+                    paths = self._table_paths()
+                    if name not in paths:
+                        return 404, {"error": f"no table {name}"}
+                    path = paths[name]
+                    if len(parts) == 3:
+                        return 200, self._describe(name, path)
+                    sub = parts[3]
+                    if sub == "offsets":
+                        return 200, self._offsets(_load_table_meta(path), q.get("writer"))
+                    if sub == "state":
+                        return 200, self._state(path, q.get("pipeline", "transcripts"))
+                    if sub == "lineage":
+                        return 200, {"lineage": self._lineage(path)}
+            elif method == "POST":
+                if parts == ["v1", "assessTable"]:
+                    return 200, self._assess_one(body or {})
+                if parts == ["v1", "assessPipeline"]:
+                    return 200, self._assess_pipeline(body or {})
+            return 404, {"error": f"no route {method} {u.path}"}
+        except (KeyError, FileNotFoundError) as e:
+            return 400, {"error": repr(e)}
+
+    # ------------------------------------------------------ server
+
+    def start(self) -> tuple[str, int]:
+        svc = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _reply(self, method):
+                body = None
+                if method == "POST":
+                    n = int(self.headers.get("Content-Length") or 0)
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                try:
+                    status, payload = svc.handle(method, self.path, body)
+                except Exception as e:  # keep the connection answering
+                    status, payload = 500, {"error": repr(e)}
+                data = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                self._reply("GET")
+
+            def do_POST(self):
+                self._reply("POST")
+
+            def log_message(self, *a):  # quiet test output
+                pass
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        return self.host, self.port
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None

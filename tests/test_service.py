@@ -1,0 +1,112 @@
+"""Diagnostics/assessment HTTP service (delta_spark/service.py) — the
+reference's AssessmentHandler / OffsetStateHandler surface rebuilt as a
+Spark-free stdlib server over the engine's on-disk artifacts."""
+
+import json
+import urllib.request
+
+from delta_spark.changelog import ChangelogSpec, generate_and_write
+from delta_spark.pipeline import Pipeline, PipelineConfig
+from delta_spark.service import DiagnosticsService
+from delta_spark.state import StateStore
+
+
+def _run_pipeline(spark, tmp_path):
+    log_dir = str(tmp_path / "log")
+    generate_and_write(log_dir, ChangelogSpec(n_events=2000, n_convs=40, seed=7))
+    cfg = PipelineConfig(
+        changelog_path=log_dir,
+        table_path=str(tmp_path / "table"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        generation=1,
+        num_buckets=8,
+    )
+    p = Pipeline(spark, cfg)
+    st = p.run_batch()
+    return cfg, st
+
+
+def _get(port, path):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:  # 4xx still carries a JSON body
+        return e.code, json.loads(e.read())
+
+
+def _post(port, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_service_end_to_end_over_http(spark, tmp_path):
+    cfg, st = _run_pipeline(spark, tmp_path)
+    svc = DiagnosticsService(tables={"transcripts": cfg.table_path})
+    _, port = svc.start()
+    try:
+        assert _get(port, "/health")[1]["status"] == "ok"
+        assert _get(port, "/v1/tables")[1]["tables"] == ["transcripts"]
+
+        code, desc = _get(port, "/v1/tables/transcripts")
+        assert code == 200
+        assert desc["key_cols"] == ["conv_id", "turn_idx"]
+        assert desc["num_buckets"] == 8
+        assert desc["snapshots"] >= 1
+        assert desc["last_commit"]["writer-id"] == cfg.writer_id
+
+        # offsets: the snapshot summaries ARE the offset store
+        code, offs = _get(port, f"/v1/tables/transcripts/offsets?writer={cfg.writer_id}")
+        assert code == 200 and offs["max_seq"] == st.max_seq
+        assert _get(port, "/v1/tables/transcripts/offsets")[1]["writers"] == {
+            cfg.writer_id: st.max_seq
+        }
+
+        # lineage records written by apply_batch
+        code, lin = _get(port, "/v1/tables/transcripts/lineage")
+        assert code == 200
+        assert [r["batch_id"] for r in lin["lineage"]] == ["batch-0"]
+        assert lin["lineage"][0]["rows_in"] == st.rows_in
+
+        # state doc: default when never written, then a real FAILING one
+        assert _get(port, "/v1/tables/transcripts/state")[1]["pipeline"] == "OK"
+        StateStore(cfg.table_path, "transcripts").set_failing("boom")
+        assert _get(port, "/v1/tables/transcripts/state")[1]["pipeline"] == "FAILING"
+
+        assert _get(port, "/v1/tables/nope")[0] == 404
+    finally:
+        svc.stop()
+
+
+def test_assess_endpoints(spark, tmp_path):
+    cfg, _ = _run_pipeline(spark, tmp_path)
+    svc = DiagnosticsService(tables={"transcripts": cfg.table_path})
+    _, port = svc.start()
+    try:
+        fields = [
+            {"name": "conv_id", "type": "string"},
+            {"name": "turn_idx", "type": "int"},
+            {"name": "text", "type": "string"},
+            {"name": "blob", "type": "map<string,string>"},  # unsupported
+        ]
+        code, a = _post(
+            port, "/v1/assessTable",
+            {"fields": fields, "key_cols": ["conv_id", "turn_idx"], "table": "transcripts"},
+        )
+        assert code == 200 and a["ok"] is False
+        sup = {c["name"]: c["support"] for c in a["columns"]}
+        assert sup["conv_id"] == "YES" and sup["blob"] == "NO"
+
+        code, p = _post(
+            port, "/v1/assessPipeline",
+            {"tables": {"transcripts": {"fields": fields[:3],
+                                        "key_cols": ["conv_id", "turn_idx"]}}},
+        )
+        assert code == 200 and p["transcripts"]["ok"] is True
+    finally:
+        svc.stop()
