@@ -43,10 +43,26 @@ def main() -> None:
         stride = max(1, ncpu // max(args.cpus, 1))
         pins = {(i * stride + stride // 2) % ncpu for i in range(args.cpus)}
         os.sched_setaffinity(0, pins)
+    # Heap sized per simulated executor core (default 4g/core), FIXED
+    # (-Xms=-Xmx) and pre-touched. Measured on this VM: first-touch of
+    # anon memory runs at ~15-60 MB/s/thread (hypervisor overcommit), so
+    # a lazily-grown heap turns every expansion into a multi-second GC
+    # stall — 16M events at local[4] with the default lazy 48g heap hit
+    # 104 s (!) young pauses and 245 s total GC; the same run with
+    # -Xms16g -XX:+AlwaysPreTouch: 3.0 s total GC, wall 526 s -> 226 s.
+    # AlwaysPreTouch moves the page-touch cost to JVM startup, which is
+    # before t0 — exactly where a real executor pays it (once, at
+    # launch). Heap per core is held constant across levels so the
+    # N-vs-4N pair compares equal per-executor memory, like the rule's
+    # real cluster would.
+    heap_g = int(os.environ.get("SCALE_HEAP_PER_CORE_G", "4")) * args.cpus
     extra = {
+        "spark.driver.memory": f"{heap_g}g",
         "spark.driver.extraJavaOptions": (
-            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={args.cpus}"
-        )
+            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={args.cpus} "
+            f"-Xms{heap_g}g -XX:+AlwaysPreTouch "
+            + os.environ.get("SCALE_EXTRA_JAVA", "")
+        ).strip(),
     }
     if os.environ.get("SCALE_LOCAL_DIR"):
         extra["spark.local.dir"] = os.environ["SCALE_LOCAL_DIR"]
