@@ -55,15 +55,31 @@ def main() -> None:
     # launch). Heap per core is held constant across levels so the
     # N-vs-4N pair compares equal per-executor memory, like the rule's
     # real cluster would.
-    heap_g = int(os.environ.get("SCALE_HEAP_PER_CORE_G", "4")) * args.cpus
-    extra = {
-        "spark.driver.memory": f"{heap_g}g",
-        "spark.driver.extraJavaOptions": (
-            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={args.cpus} "
-            f"-Xms{heap_g}g -XX:+AlwaysPreTouch "
-            + os.environ.get("SCALE_EXTRA_JAVA", "")
-        ).strip(),
-    }
+    if os.environ.get("SCALE_LAZY_HEAP") == "1":  # control: lazy 48g heap
+        extra = {
+            "spark.driver.extraJavaOptions": (
+                f"-XX:+UseParallelGC -XX:ActiveProcessorCount={args.cpus} "
+                + os.environ.get("SCALE_EXTRA_JAVA", "")
+            ).strip(),
+        }
+    else:
+        # 2g per simulated core with a 4g per-executor floor: measured
+        # on this host, a 16g resident heap costs 2.2x the CPU-seconds
+        # of an 8g one for the SAME 8M job (328 vs 147, even with
+        # -Xmn1g) — large-RSS penalty, likely hypervisor paging/dedup.
+        # The floor favors the LOW level, biasing measured eta down
+        # (conservative).
+        heap_g = max(
+            4, int(os.environ.get("SCALE_HEAP_PER_CORE_G", "2")) * args.cpus
+        )
+        extra = {
+            "spark.driver.memory": f"{heap_g}g",
+            "spark.driver.extraJavaOptions": (
+                f"-XX:+UseParallelGC -XX:ActiveProcessorCount={args.cpus} "
+                f"-Xms{heap_g}g -XX:+AlwaysPreTouch "
+                + os.environ.get("SCALE_EXTRA_JAVA", "")
+            ).strip(),
+        }
     if os.environ.get("SCALE_LOCAL_DIR"):
         extra["spark.local.dir"] = os.environ["SCALE_LOCAL_DIR"]
     spark = build_session(cpus=args.cpus, app_name=f"cdc_replay_{args.cpus}", extra=extra)

@@ -257,10 +257,15 @@ def main() -> None:
 {curve}"""
     else:
         fit_md = "(single input size measured — no cross-size fit this run)"
+    # Write the RAW run report to scaling_run.{md,json} — never to
+    # BASELINE.md, which is the hand-curated evidence document (round 2
+    # lost its curated analysis to exactly this overwrite).
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "scaling_run.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    with open(os.path.join(REPO, "BENCH", "scaling_run.md"), "w") as f:
         f.write(
-            f"""# BENCH/BASELINE — CDC replay scaling evidence
+            f"""# scaling.py raw run report (curated evidence: BASELINE.md)
 
 North rule: throughput scaling efficiency ≥ 0.8 from N to 4N
 executors. Sandbox evidence (no real cluster): the same replay job on

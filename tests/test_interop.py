@@ -111,3 +111,30 @@ print(len(rows))
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert int(out.stdout.strip()) == n
+
+
+def test_duckdb_reads_composite_sortkey_table(spark, tmp_path):
+    """Composite sortKeys store `_sort` as array<bigint>; DuckDB list
+    comparison is lexicographic like Spark's — the MoR fold must pick
+    the same winner for equal-seq revisions."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        "conv_id", 4
+    )
+    ddl = ("conv_id string, turn_idx int, role string, text string, tool string, "
+           "ts timestamp, op string, seq long")
+    base = spark.createDataFrame(
+        [(f"c{i}", 0, "user", f"base {i}", "", TS, "INSERT", 1) for i in range(8)], ddl
+    )
+    t.merge(base, "w1", "b0", sort_col=("ts", "seq"))
+    # equal seq, tie broken by (ts, seq): later ts must win
+    upd = spark.createDataFrame(
+        [("c1", 0, "user", "loser", "", TS, "UPDATE", 5),
+         ("c1", 0, "user", "winner", "", datetime.datetime(2026, 2, 1), "UPDATE", 5)],
+        ddl,
+    )
+    t.merge(upd, "w1", "b1", mode="mor", sort_col=("ts", "seq"))
+    expected = _norm(t.read().toPandas())
+    assert (expected.loc[expected.conv_id == "c1", "text"] == "winner").all()
+    got = _norm(interop.read_duckdb(t.path).df())
+    assert_pdf_equal(got, expected, ["conv_id", "turn_idx"])
