@@ -332,6 +332,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_system: bool = False,
         snapshot_id: int | None = None,
+        _align_schema_version: int | None = None,
     ) -> DataFrame:
         """Read the current snapshot (optionally pruned to buckets),
         aligned to the current schema. Files written under older schema
@@ -358,6 +359,11 @@ class LakeTable:
         else:
             snap = self.current_snapshot
             cur = self.fields
+        if _align_schema_version is not None:
+            # internal (read_changes): align an OLD snapshot's rows to a
+            # NEWER schema so two states diff column-by-column — the
+            # column-id machinery below maps any file to any schema
+            cur = self.metadata["schemas"][str(_align_schema_version)]
         if snap is None or not snap["files"]:
             empty = self._schema_with_system() if include_system else self.schema
             return self.spark.createDataFrame([], empty)
@@ -421,6 +427,141 @@ class LakeTable:
         if not include_system:
             out = out.filter(~F.col("_deleted")).drop("_seq", "_sort", "_deleted")
         return out
+
+    def read_changes(
+        self,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental change feed between two snapshots — the engine
+        as a CDC *source* (Iceberg incremental/changelog scan, Delta
+        Change Data Feed analog; the reference's targets are consumed
+        the same way by downstream replicators). Emits one row per key
+        whose latest state changed in ``(from, to]``:
+
+          * ``_change_type`` ∈ insert / update / delete
+          * payload columns aligned to the TO snapshot's schema
+            (post-rename names; deletes carry the last-known payload)
+          * ``_seq`` — the winning sequence number
+
+        ``from_snapshot_id=None`` reads from the beginning (every live
+        row is an insert). Cost scales with the buckets TOUCHED by
+        commits in the range, not table size: the split-manifest file
+        diff names the changed buckets driver-side (O(metadata)), both
+        states are bucket-pruned reads, and the diff is one key-join
+        shuffle over those buckets only. Compaction/no-op commits in
+        range add scanned buckets but emit nothing (seq-equal rows
+        drop out)."""
+        to_raw = self._raw_snapshot(to_snapshot_id)
+        to_sv = (
+            to_raw.get("schema_version", self.metadata["schema_version"])
+            if to_raw is not None
+            else self.metadata["schema_version"]
+        )
+        fields_to = self.metadata["schemas"][str(to_sv)]
+        by_id = {f["id"]: f["name"] for f in fields_to}
+        keys = [by_id[i] for i in self.metadata["key_ids"]]
+        payload = [f["name"] for f in fields_to if f["name"] not in keys]
+
+        def _empty() -> DataFrame:
+            sch = T.StructType(
+                [
+                    *[
+                        T.StructField(f["name"], _type_of(f["type"]), True)
+                        for f in fields_to
+                    ],
+                    T.StructField("_change_type", T.StringType(), False),
+                    T.StructField("_seq", T.LongType(), True),
+                ]
+            )
+            return self.spark.createDataFrame([], sch)
+
+        if to_raw is None:
+            return _empty()
+        from_paths: set[str] = set()
+        if from_snapshot_id is not None:
+            from_paths = {
+                f["path"]
+                for f in self._resolve_files(self._raw_snapshot(from_snapshot_id))
+            }
+        added = [
+            f for f in self._resolve_files(to_raw) if f["path"] not in from_paths
+        ]
+        if not added:
+            return _empty()
+        bset = {int(f["bucket"]) for f in added}
+        if -1 in bset:  # spanning MoR deltas: read THEIR buckets only
+            bset.discard(-1)
+            span = [
+                os.path.join(self.path, f["path"]) for f in added if f["bucket"] == -1
+            ]
+            bset |= {
+                int(r[0])
+                for r in self.spark.read.parquet(*span)
+                .select("_bucket")
+                .distinct()
+                .collect()  # control-plane: ≤ num_buckets ints
+            }
+        blist = sorted(bset)
+
+        def _side(sid: int | None, tag: str, time_travel: bool) -> DataFrame:
+            df = self.read(
+                buckets=blist,
+                include_system=True,
+                snapshot_id=sid if time_travel else None,
+                _align_schema_version=to_sv,
+            )
+            return df.select(
+                *keys,
+                *[F.col(c).alias(f"__{tag}_{c}") for c in payload],
+                F.col("_seq").alias(f"__{tag}_seq"),
+                F.col("_sort").alias(f"__{tag}_sort"),
+                F.col("_deleted").alias(f"__{tag}_del"),
+            )
+
+        t = _side(to_snapshot_id, "t", to_snapshot_id is not None)
+        alive_t = F.col("__t_seq").isNotNull() & ~F.coalesce(
+            F.col("__t_del"), F.lit(False)
+        )
+        if from_snapshot_id is None:
+            j = t
+            alive_f = F.lit(False)
+            changed = F.lit(True)
+        else:
+            f_side = _side(from_snapshot_id, "f", True)
+            j = t.join(f_side, on=keys, how="full_outer")
+            alive_f = F.col("__f_seq").isNotNull() & ~F.coalesce(
+                F.col("__f_del"), F.lit(False)
+            )
+            changed = (F.col("__t_seq") != F.col("__f_seq")) | ~F.col(
+                "__t_sort"
+            ).eqNullSafe(F.col("__f_sort"))
+        change = (
+            F.when(alive_t & ~alive_f, F.lit("insert"))
+            .when(alive_t & alive_f & changed, F.lit("update"))
+            .when(~alive_t & alive_f, F.lit("delete"))
+        )
+        is_del = change == F.lit("delete")
+        f_or = (
+            (lambda c: F.when(is_del, F.col(f"__f_{c}")).otherwise(F.col(f"__t_{c}")))
+            if from_snapshot_id is not None
+            else (lambda c: F.col(f"__t_{c}"))
+        )
+        f_seq = (
+            F.when(is_del, F.col("__f_seq")).otherwise(F.col("__t_seq"))
+            if from_snapshot_id is not None
+            else F.col("__t_seq")
+        )
+        return j.filter(change.isNotNull()).select(
+            *[
+                F.col(f["name"])
+                if f["name"] in keys
+                else f_or(f["name"]).alias(f["name"])
+                for f in fields_to
+            ],
+            change.alias("_change_type"),
+            f_seq.alias("_seq"),
+        )
 
     # ------------------------------------------------------ write
 

@@ -189,6 +189,46 @@ ALL_ORACLES: dict[str, str] = {
             ORDER BY seq DESC, ts DESC, ingest_ts DESC) = 1
             AND NOT del
     """,
+    "table_changes_feed": """
+        WITH log AS (
+            SELECT 'c' || user_id AS conv_id,
+                   CAST(event_id % 20 AS INT) AS turn_idx,
+                   event_type AS role, props AS text,
+                   CAST(NULL AS VARCHAR) AS tool, ts,
+                   event_id AS seq,
+                   (event_type = 'error') AS del
+            FROM events),
+        cut AS (SELECT MAX(event_id) // 2 AS c FROM events),
+        s1 AS (SELECT * FROM log, cut WHERE seq <= c
+               QUALIFY row_number() OVER (
+                   PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1),
+        s2 AS (SELECT * FROM log
+               QUALIFY row_number() OVER (
+                   PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1),
+        j AS (
+            SELECT s2.conv_id, s2.turn_idx,
+                   s2.role AS role2, s2.text AS text2, s2.tool AS tool2,
+                   s2.ts AS ts2, s2.seq AS seq2,
+                   s1.role AS role1, s1.text AS text1, s1.tool AS tool1,
+                   s1.ts AS ts1, s1.seq AS seq1,
+                   (s1.conv_id IS NOT NULL AND NOT s1.del) AS alive1,
+                   NOT s2.del AS alive2
+            FROM s2 LEFT JOIN s1
+              ON s2.conv_id = s1.conv_id AND s2.turn_idx = s1.turn_idx)
+        SELECT conv_id, turn_idx,
+               CASE WHEN alive2 THEN role2 ELSE role1 END AS role,
+               CASE WHEN alive2 THEN text2 ELSE text1 END AS text,
+               CASE WHEN alive2 THEN tool2 ELSE tool1 END AS tool,
+               CASE WHEN alive2 THEN ts2 ELSE ts1 END AS ts,
+               CASE WHEN alive2 AND NOT alive1 THEN 'insert'
+                    WHEN alive2 AND alive1 AND seq2 <> seq1 THEN 'update'
+                    WHEN NOT alive2 AND alive1 THEN 'delete' END AS _change_type,
+               CASE WHEN alive2 THEN seq2 ELSE seq1 END AS _seq
+        FROM j
+        WHERE (alive2 AND NOT alive1)
+           OR (alive2 AND alive1 AND seq2 <> seq1)
+           OR (NOT alive2 AND alive1)
+    """,
     "table_ddl_replay": """
         WITH c AS (SELECT 3 * MAX(event_id) // 4 AS cut FROM events)
         SELECT user_id, event_type, value, ts

@@ -697,6 +697,67 @@ def cdc_replay_stream_lww(spark, sf_dir):
     )
 
 
+def table_changes_feed(spark, sf_dir):
+    """Incremental change feed (CDC-out) with a SQL oracle: the events
+    view mapped onto the transcript changelog, split at the median seq
+    into two batches, each replayed through the REAL Pipeline into one
+    lake table (two generations — a resume/redeploy), then
+    ``LakeTable.read_changes`` diffs the intermediate snapshot against
+    the final one: per-key insert/update/delete rows with the winning
+    seq, bucket-pruned to the buckets the second batch touched. DuckDB
+    reproduces it as a LEFT JOIN of the two windowed LWW states
+    (Iceberg changelog scan / Delta CDF analog)."""
+    import tempfile
+
+    from .lake import LakeTable
+    from .pipeline import Pipeline, PipelineConfig
+
+    d = tempfile.mkdtemp(prefix="changes_feed_")
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit(None).cast("string").alias("prev_text"),
+        F.lit(False).alias("is_snapshot"),
+        F.col("ts").cast("timestamp").alias("ingest_ts"),
+        F.lit(None).cast("string").alias("ddl"),
+    )
+    cut = log.agg(F.max("seq")).collect()[0][0] // 2  # control-plane scalar
+    log.filter(F.col("seq") <= cut).write.parquet(f"{d}/log1")
+    log.filter(F.col("seq") > cut).write.parquet(f"{d}/log2")
+    for gen in (1, 2):
+        Pipeline(
+            spark,
+            PipelineConfig(
+                changelog_path=f"{d}/log{gen}",
+                table_path=f"{d}/tbl",
+                checkpoint_dir=f"{d}/ck{gen}",
+                generation=gen,
+                num_buckets=8,
+            ),
+        ).run_batch()
+        if gen == 1:
+            mid_sid = LakeTable.load(spark, f"{d}/tbl").metadata[
+                "current_snapshot_id"
+            ]
+    return (
+        LakeTable.load(spark, f"{d}/tbl")
+        .read_changes(mid_sid)
+        .select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "_change_type", "_seq",
+        )
+    )
+
+
 def media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload column → mapInPandas
     feature extraction (decode stubbed; rows-only)."""
@@ -740,5 +801,6 @@ ALL_QUERIES = {
     "table_ddl_replay": table_ddl_replay,
     "transcript_replay_lww": transcript_replay_lww,
     "cdc_replay_stream_lww": cdc_replay_stream_lww,
+    "table_changes_feed": table_changes_feed,
     "media_features": media_features,
 }

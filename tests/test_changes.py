@@ -1,0 +1,127 @@
+"""Incremental change feed (LakeTable.read_changes) — the engine as a
+CDC *source* (Iceberg incremental scan / Delta CDF analog; reference
+targets are consumed the same way downstream). Covers insert/update/
+delete classification, bucket-pruned scan cost, schema evolution
+across the range, compaction no-ops, and from-the-beginning reads."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from delta_spark.lake import LakeTable
+from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+TS = datetime.datetime(2026, 1, 1)
+DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, op string, seq long"
+)
+
+
+def _mk(spark, path, n=40, buckets=8):
+    t = LakeTable.create(
+        spark, path, TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], "conv_id", buckets
+    )
+    base = spark.createDataFrame(
+        [(f"c{i}", 0, "user", f"v1 {i}", "", TS, "INSERT", i + 1) for i in range(n)],
+        DDL,
+    )
+    t.merge(base, "w", "b0")
+    return t
+
+
+def test_changes_insert_update_delete(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    sid = t.metadata["current_snapshot_id"]
+    batch = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "v2", "", TS, "UPDATE", 100),
+            ("c2", 0, None, None, None, None, "DELETE", 101),
+            ("c99", 0, "user", "new", "", TS, "INSERT", 102),
+        ],
+        DDL,
+    )
+    t.merge(batch, "w", "b1")
+    ch = {r["conv_id"]: r for r in t.read_changes(sid).collect()}
+    assert set(ch) == {"c1", "c2", "c99"}
+    assert ch["c1"]["_change_type"] == "update" and ch["c1"]["text"] == "v2"
+    assert ch["c2"]["_change_type"] == "delete"
+    assert ch["c2"]["text"] == "v1 2", "delete carries last-known payload"
+    assert ch["c99"]["_change_type"] == "insert" and ch["c99"]["_seq"] == 102
+
+
+def test_changes_mor_path_and_from_beginning(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=10)
+    sid = t.metadata["current_snapshot_id"]
+    upd = spark.createDataFrame(
+        [("c3", 0, "assistant", "mor", "", TS, "UPDATE", 200)], DDL
+    )
+    t.merge(upd, "w", "b1", mode="mor")
+    ch = t.read_changes(sid).collect()
+    assert len(ch) == 1 and ch[0]["_change_type"] == "update"
+    assert ch[0]["text"] == "mor"
+    # from the beginning: every live row is an insert
+    allch = t.read_changes(None)
+    assert allch.count() == 10
+    assert allch.filter(F.col("_change_type") != "insert").count() == 0
+
+
+def test_changes_scan_is_bucket_pruned(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=64, buckets=16)
+    sid = t.metadata["current_snapshot_id"]
+    t.merge(
+        spark.createDataFrame([("c5", 0, "user", "v2", "", TS, "UPDATE", 500)], DDL),
+        "w",
+        "b1",
+    )
+    ch = t.read_changes(sid)
+    assert [r["conv_id"] for r in ch.collect()] == ["c5"]
+    # the diff must NOT read the whole table: only c5's bucket
+    n_buckets_read = len(
+        {p.split("/b")[-1].split("/")[0] for p in ch.inputFiles() if "/data/" in p}
+    )
+    total_buckets = len(
+        {f["bucket"] for f in t.current_snapshot["files"] if f["bucket"] != -1}
+    )
+    assert total_buckets > 4
+    assert n_buckets_read <= 2, f"read {n_buckets_read} buckets of {total_buckets}"
+
+
+def test_changes_across_rename_emit_new_names(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=6)
+    sid = t.metadata["current_snapshot_id"]
+    t.apply_ddl({"op": "RENAME_COLUMN", "column": "text", "new_name": "body"})
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 0, "user", "renamed", "", TS, "UPDATE", 300)],
+            DDL.replace(" text ", " body "),
+        ),
+        "w",
+        "b1",
+    )
+    ch = t.read_changes(sid)
+    assert "body" in ch.columns and "text" not in ch.columns
+    rows = ch.collect()
+    assert len(rows) == 1 and rows[0]["body"] == "renamed"
+
+
+def test_changes_compaction_emits_nothing(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=12)
+    t.merge(
+        spark.createDataFrame([("c1", 0, "user", "m1", "", TS, "UPDATE", 50)], DDL),
+        "w",
+        "b1",
+        mode="mor",
+    )
+    sid = t.metadata["current_snapshot_id"]
+    assert t.compact(max_files_per_bucket=1) >= 0
+    assert t.metadata["current_snapshot_id"] > sid, "compact commits a snapshot"
+    assert t.read_changes(sid).count() == 0, "logical state unchanged"
+
+
+def test_changes_empty_and_ddl_only_ranges(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=4)
+    sid = t.metadata["current_snapshot_id"]
+    assert t.read_changes(sid).count() == 0  # same snapshot
+    t.apply_ddl({"op": "ADD_COLUMN", "column": "score", "new_type": "double"})
+    assert t.read_changes(sid).count() == 0  # DDL adds no files
