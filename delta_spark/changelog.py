@@ -31,6 +31,7 @@ import pandas as pd
 
 from .schema import (
     DDL_ADD_COLUMN,
+    DDL_DROP_COLUMN,
     DDL_RENAME_COLUMN,
     DDL_WIDEN_COLUMN,
     DML_DELETE,
@@ -429,6 +430,8 @@ def oracle_apply(df: pd.DataFrame, sort_col: str | None = None) -> pd.DataFrame:
                 d["new_type"]
             ]
             final[d["column"]] = final[d["column"]].astype(tgt)
+        elif d["op"] == DDL_DROP_COLUMN:
+            final = final.drop(columns=[d["column"]], errors="ignore")
     return final.sort_values(
         [c for c in ("conv_id", "turn_idx") if c in final.columns]
     ).reset_index(drop=True)

@@ -1059,7 +1059,15 @@ class LakeTable:
                 return False  # replayed — already applied
             fields.append(
                 {
-                    "id": max(f["id"] for f in fields) + 1,
+                    # fresh id over EVERY schema version ever: a column
+                    # re-added after DROP_COLUMN must not inherit the
+                    # dropped id, or old files' data would resurrect
+                    "id": max(
+                        f["id"]
+                        for sv in self.metadata["schemas"].values()
+                        for f in sv
+                    )
+                    + 1,
                     "name": ddl["column"],
                     "type": ddl["new_type"],
                     "nullable": True,
@@ -1073,6 +1081,21 @@ class LakeTable:
             for f in fields:
                 if f["name"] == ddl["column"]:
                     f["name"] = ddl["new_name"]
+        elif op == "DROP_COLUMN":
+            if ddl["column"] not in names:
+                return False  # replayed — already dropped
+            target = next(f for f in fields if f["name"] == ddl["column"])
+            protected = set(self.metadata["key_ids"]) | {self.metadata["bucket_id"]}
+            if target["id"] in protected:
+                raise ValueError(
+                    f"cannot drop key/bucket column {ddl['column']}"
+                )
+            # drop by removing the field from the NEW schema version
+            # only: the column id stays in older schema versions, so
+            # time travel still reads it and old files still align; a
+            # re-ADD later gets a FRESH id (Iceberg drop semantics — no
+            # accidental data resurrection)
+            fields = [f for f in fields if f["id"] != target["id"]]
         elif op == "WIDEN_COLUMN":
             fld = next((f for f in fields if f["name"] == ddl["column"]), None)
             if fld is None:
@@ -1138,6 +1161,63 @@ class LakeTable:
             for rel in dead_m:
                 self._manifest_cache.pop(rel, None)
         return len(expired)
+
+    def remove_orphans(
+        self, older_than_s: float = 3600.0, dry_run: bool = False
+    ) -> list[str]:
+        """Delete on-disk files that NO retained snapshot references
+        (Iceberg remove_orphan_files). Crash-leaked files are the
+        target: a writer that died after ``_write_data`` but before its
+        commit leaves parquet under data/ forever — on POSIX and object
+        stores alike — and ``_discard_uncommitted`` only runs when the
+        writer survives to see the failure. The ``older_than_s`` age
+        guard keeps in-flight writers' fresh files safe (pick it above
+        the longest plausible write+commit latency). Returns the
+        removed (or, with ``dry_run``, would-be-removed) relative
+        paths. Idempotent and safe to run concurrently with readers:
+        only unreferenced files are touched, and references are
+        resolved from the CURRENT metadata (refresh first)."""
+        import glob as _glob
+
+        now = time.time()
+        referenced: set[str] = set()
+        for s in self.metadata["snapshots"]:
+            referenced |= {f["path"] for f in self._resolve_files(s)}
+            referenced |= set(s.get("manifests", ()))
+        orphans: list[str] = []
+        roots = (
+            os.path.join(self.path, "data"),
+            os.path.join(self.path, "metadata", "manifests"),
+        )
+        for root in roots:
+            for p in _glob.glob(os.path.join(root, "**", "*"), recursive=True):
+                if not os.path.isfile(p):
+                    continue
+                rel = os.path.relpath(p, self.path)
+                if rel in referenced:
+                    continue
+                if now - os.path.getmtime(p) < older_than_s:
+                    continue
+                orphans.append(rel)
+        if not dry_run:
+            for rel in orphans:
+                try:
+                    os.remove(os.path.join(self.path, rel))
+                except FileNotFoundError:
+                    pass
+            for root in roots:  # prune now-empty snapshot-tag dirs
+                for p in sorted(
+                    _glob.glob(os.path.join(root, "**", ""), recursive=True),
+                    key=len,
+                    reverse=True,
+                ):
+                    if os.path.normpath(p) == os.path.normpath(root):
+                        continue
+                    try:
+                        os.rmdir(p)
+                    except OSError:
+                        pass
+        return sorted(orphans)
 
     def compact(self, max_files_per_bucket: int = 4) -> int:
         """Rewrite crowded buckets into one file set and ABSORB spanning

@@ -25,7 +25,8 @@ DML_OPS = (DML_INSERT, DML_UPDATE, DML_DELETE)
 DDL_ADD_COLUMN = "ADD_COLUMN"
 DDL_RENAME_COLUMN = "RENAME_COLUMN"
 DDL_WIDEN_COLUMN = "WIDEN_COLUMN"
-DDL_OPS = (DDL_ADD_COLUMN, DDL_RENAME_COLUMN, DDL_WIDEN_COLUMN)
+DDL_DROP_COLUMN = "DROP_COLUMN"
+DDL_OPS = (DDL_ADD_COLUMN, DDL_RENAME_COLUMN, DDL_WIDEN_COLUMN, DDL_DROP_COLUMN)
 
 # table-level DDL (reference DDLOperation.Type also carries
 # CREATE/DROP/TRUNCATE/RENAME TABLE — DDLOperation.java:30-38; handled
