@@ -34,15 +34,20 @@ sh AS (
 )
 """
 
+# mirrors neardup._mh_ab: one md5 per shingle, per-seed values from the
+# affine universal-hash family (a_s*hm + b_s) mod 2^61-1 over hm =
+# md5_long(s) mod 1073741789 — bigint-exact in both engines
+def _mh_min(s: int) -> str:
+    a, b = 2654435761 + 40503 * s, 97 + 1000003 * s
+    return f"min(({a} * hm + {b}) % 2147483647) AS mh{s}"
+
+
 _MINHASH_SIGS = f"""
 WITH {_SHINGLES},
+hms AS (SELECT doc_id, {_md5long("s")} % 1073741789 AS hm FROM sh),
 sigs AS (
-  SELECT doc_id,
-         min({_md5long("'0|' || s")}) AS mh0,
-         min({_md5long("'1|' || s")}) AS mh1,
-         min({_md5long("'2|' || s")}) AS mh2,
-         min({_md5long("'3|' || s")}) AS mh3
-  FROM sh GROUP BY doc_id
+  SELECT doc_id, {_mh_min(0)}, {_mh_min(1)}, {_mh_min(2)}, {_mh_min(3)}
+  FROM hms GROUP BY doc_id
 )
 """
 
