@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "top_orders_per_customer",
     "region_customer_rollup",
     "order_priority_revenue",
+    "table_changes_feed",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash16",
