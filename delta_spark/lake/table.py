@@ -250,7 +250,15 @@ class LakeTable:
         sid = self.metadata["current_snapshot_id"] if sid is None else sid
         if sid is None:
             return None
-        return next(s for s in self.metadata["snapshots"] if s["id"] == sid)
+        snap = next(
+            (s for s in self.metadata["snapshots"] if s["id"] == sid), None
+        )
+        if snap is None:
+            raise ValueError(
+                f"snapshot {sid} not found (expired or never existed); "
+                f"retained: {[s['id'] for s in self.metadata['snapshots']]}"
+            )
+        return snap
 
     @property
     def current_snapshot(self) -> dict | None:
@@ -453,6 +461,13 @@ class LakeTable:
         range add scanned buckets but emit nothing (seq-equal rows
         drop out)."""
         to_raw = self._raw_snapshot(to_snapshot_id)
+        if from_snapshot_id is not None:
+            self._raw_snapshot(from_snapshot_id)  # raises if expired/unknown
+            if to_raw is not None and from_snapshot_id > to_raw["id"]:
+                raise ValueError(
+                    f"read_changes range reversed: from {from_snapshot_id} > "
+                    f"to {to_raw['id']}"
+                )
         to_sv = (
             to_raw.get("schema_version", self.metadata["schema_version"])
             if to_raw is not None

@@ -125,3 +125,19 @@ def test_changes_empty_and_ddl_only_ranges(spark, tmp_path):
     assert t.read_changes(sid).count() == 0  # same snapshot
     t.apply_ddl({"op": "ADD_COLUMN", "column": "score", "new_type": "double"})
     assert t.read_changes(sid).count() == 0  # DDL adds no files
+
+
+def test_changes_bad_ranges_raise(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=4)
+    sid = t.metadata["current_snapshot_id"]
+    t.merge(
+        spark.createDataFrame([("c1", 0, "user", "v2", "", TS, "UPDATE", 99)], DDL),
+        "w",
+        "b1",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="reversed"):
+        t.read_changes(t.metadata["current_snapshot_id"], sid)
+    with pytest.raises(ValueError, match="not found"):
+        t.read_changes(9999)
