@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""spark-submit entry point for a DOWNSTREAM consumer of a replicated
+table: poll the lake table's snapshots and process each increment
+exactly once via ``LakeTable.read_changes`` — the CDC-out half of the
+pipeline (the reference's targets are consumed the same way by the
+next replicator; Iceberg incremental scan / Delta CDF consumption
+pattern).
+
+The consumer's position is ONE integer — the last processed snapshot
+id — persisted to a JSON offset file next to the output. Crash-safe
+ordering: the increment is written to the sink FIRST (append-only
+parquet, partitioned by the snapshot id so a replayed increment
+overwrites itself), the offset advances AFTER — a crash between the
+two replays one increment into the same partition, never duplicating
+rows downstream (idempotent by construction).
+
+Cluster usage:
+
+    spark-submit --py-files delta_spark.zip jobs/consume_changes.py \
+        --table /mnt/shared/transcripts --out /mnt/shared/transcripts_cdc \
+        --poll-interval 30
+
+One-shot local smoke (process whatever is new, then exit):
+
+    python jobs/consume_changes.py --table /tmp/tbl --out /tmp/cdc --once
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _read_offset(path: str) -> int | None:
+    try:
+        with open(path) as f:
+            return json.load(f)["last_snapshot_id"]
+    except FileNotFoundError:
+        return None
+
+
+def _write_offset(path: str, sid: int) -> None:
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"last_snapshot_id": sid, "updated_ms": int(time.time() * 1000)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def consume_once(spark, table_path: str, out_dir: str, offset_file: str) -> int:
+    """Process one increment; returns rows written (0 = caught up)."""
+    from delta_spark.lake import LakeTable
+
+    t = LakeTable.load(spark, table_path)
+    cur = t.metadata["current_snapshot_id"]
+    last = _read_offset(offset_file)
+    if cur is None or cur == last:
+        return 0
+    try:
+        changes = t.read_changes(last, cur)
+    except ValueError:  # offset expired: resync from the beginning
+        changes = t.read_changes(None, cur)
+    n = changes.count()
+    if n:
+        # sink first, offset after; partition dir keyed by the TO
+        # snapshot makes a crash-replay overwrite itself (exactly-once)
+        (
+            changes.write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"to_snapshot={cur}"))
+        )
+    _write_offset(offset_file, cur)
+    return n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--offset-file", default=None)
+    ap.add_argument("--poll-interval", type=float, default=30.0)
+    ap.add_argument("--once", action="store_true")
+    args = ap.parse_args()
+
+    from delta_spark.session import build_session
+
+    spark = build_session(app_name="consume_changes")
+    os.makedirs(args.out, exist_ok=True)
+    offset_file = args.offset_file or os.path.join(args.out, "_consumer_offset.json")
+    while True:
+        n = consume_once(spark, args.table, args.out, offset_file)
+        if n:
+            print(f"processed {n} change rows -> {args.out}")
+        if args.once:
+            break
+        time.sleep(args.poll_interval)
+
+
+if __name__ == "__main__":
+    main()
