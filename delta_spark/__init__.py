@@ -23,7 +23,9 @@ catalog     named tables + table-level DDL (CREATE/DROP/TRUNCATE/RENAME)
 multi       multi-table pipelines (table→instance routing, demux)
 progress    StreamingQueryListener diagnostics (log + JSONL stats)
 assess      design-time schema-compat assessment
+service     Spark-free diagnostics/assessment HTTP service
 functions   training-data-pipeline ops (dedup, similarity, text, media)
+lake.interop  DuckDB reader for lake tables (external-engine proof)
 """
 
 __version__ = "0.1.0"
