@@ -262,13 +262,21 @@ def test_progress_logger_persists_stats(spark, tmp_path):
         p.run_stream_to_completion()
         import time as _t
 
-        deadline = _t.time() + 30  # listener delivery is async
+        # listener delivery is async — wait for EVERY epoch's progress
+        # event, not just the first file (waiting on existence alone
+        # raced epoch 1's event and flaked)
+        deadline = _t.time() + 60
+        rows = []
         while _t.time() < deadline:
             if os.path.isdir(stats_dir) and any(os.scandir(stats_dir)):
-                break
+                rows = (
+                    read_progress(spark, stats_dir)
+                    .select("batchId", "numInputRows")
+                    .collect()
+                )
+                if len(rows) >= len(p.stats):
+                    break
             _t.sleep(0.5)
-        prog = read_progress(spark, stats_dir)
-        rows = prog.select("batchId", "numInputRows").collect()
         assert len(rows) >= len(p.stats)
         assert sum(r["numInputRows"] for r in rows) >= len(raw)
     finally:
