@@ -257,13 +257,16 @@ def main() -> None:
 {curve}"""
     else:
         fit_md = "(single input size measured — no cross-size fit this run)"
-    # Write the RAW run report to scaling_run.{md,json} — never to
-    # BASELINE.md, which is the hand-curated evidence document (round 2
-    # lost its curated analysis to exactly this overwrite).
+    # Write the RAW run report to {SCALE_OUT:-scaling_run}.{md,json} —
+    # never to BASELINE.md, which is the hand-curated evidence document
+    # (round 2 lost its curated analysis to exactly this overwrite).
+    # SCALE_OUT lets supplementary runs (extra sizes, protocol probes)
+    # land beside the primary artifact instead of clobbering it.
+    stem = os.environ.get("SCALE_OUT", "scaling_run")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_run.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"{stem}.json"), "w") as f:
         json.dump(out, f, indent=1)
-    with open(os.path.join(REPO, "BENCH", "scaling_run.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"{stem}.md"), "w") as f:
         f.write(
             f"""# scaling.py raw run report (curated evidence: BASELINE.md)
 
