@@ -1177,6 +1177,52 @@ class LakeTable:
                 self._manifest_cache.pop(rel, None)
         return len(expired)
 
+    def migrate_inline_manifests(self) -> int:
+        """One-shot metadata migration: rewrite every retained snapshot
+        still storing a legacy inline ``files`` list (the
+        pre-split-manifest format) to immutable manifest refs, so an
+        idle table's metadata document stops carrying O(files ×
+        snapshots) inline state. The commit path already splits a
+        legacy PARENT lazily on the next append, but a table nobody
+        writes to again would stay monolithic forever — this is the
+        explicit upgrade. Reference analog: the one-shot HCFS→SQL state
+        migration, StateStoreMigrator.java:52-106 (old layout readable
+        until migrated, migration idempotent).
+
+        Returns the number of snapshots migrated (0 = nothing legacy).
+        Concurrent-writer-safe: retries on CommitConflict; manifests
+        written by a losing attempt are unreferenced and reclaimed by
+        ``remove_orphans``. Readers never notice — ``_resolve_files``
+        accepts both shapes before, during, and after."""
+        from .commit import CommitConflict
+
+        for _ in range(10):
+            meta = dict(self.metadata)
+            migrated, n = [], 0
+            for s in meta["snapshots"]:
+                if "files" in s:
+                    s2 = {k: v for k, v in s.items() if k != "files"}
+                    s2["manifests"] = (
+                        [self._write_manifest(list(s["files"]))]
+                        if s["files"]
+                        else []
+                    )
+                    migrated.append(s2)
+                    n += 1
+                else:
+                    migrated.append(s)
+            if n == 0:
+                return 0
+            meta["snapshots"] = migrated
+            try:
+                self._write_metadata(meta, expected_version=self.metadata["version"])
+                return n
+            except CommitConflict:
+                self.refresh()
+        raise CommitConflict(
+            f"migrate_inline_manifests lost 10 straight races at {self.path}"
+        )
+
     def remove_orphans(
         self, older_than_s: float = 3600.0, dry_run: bool = False
     ) -> list[str]:

@@ -319,3 +319,39 @@ def test_split_manifest_commit_cost_flat(spark, tmp_path):
     )
     # and the file list is intact end to end
     assert len(t.current_snapshot["files"]) >= 10_000
+
+
+def test_migrate_inline_manifests(spark, tmp_path):
+    """One-shot legacy-metadata migration (T3; reference analog
+    StateStoreMigrator.java:52-106): a table whose snapshots store
+    pre-split-manifest inline file lists upgrades in place, stays
+    readable throughout, and the second run is a no-op."""
+    from delta_spark.lake.interop import read_duckdb
+
+    t = _mk_table(spark, str(tmp_path / "t"), n_batches=3)
+    before = {(r.conv_id, r.turn_idx, r.text) for r in t.read().collect()}
+    # forge the pre-split-manifest (round-2) layout: inline every list
+    meta = dict(t.metadata)
+    meta["snapshots"] = [
+        {**{k: v for k, v in s.items() if k != "manifests"},
+         "files": t._resolve_files(s)}
+        for s in meta["snapshots"]
+    ]
+    t._write_metadata(meta, expected_version=t.metadata["version"])
+    t._manifest_cache.clear()
+    assert all("files" in s for s in t.metadata["snapshots"])
+    assert t.read().count() == len(before)  # legacy layout readable
+
+    n = t.migrate_inline_manifests()
+    assert n == 3
+    assert all(
+        "files" not in s and s["manifests"] for s in t.metadata["snapshots"]
+    )
+    after = {(r.conv_id, r.turn_idx, r.text) for r in t.read().collect()}
+    assert after == before
+    assert t.migrate_inline_manifests() == 0  # idempotent
+    # time travel across migrated history intact
+    first_sid = t.metadata["snapshots"][0]["id"]
+    assert t.read(snapshot_id=first_sid).count() == 50
+    # the independent engine reads the migrated table identically
+    assert len(read_duckdb(str(tmp_path / "t")).fetchall()) == len(before)
