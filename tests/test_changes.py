@@ -141,3 +141,54 @@ def test_changes_bad_ranges_raise(spark, tmp_path):
         t.read_changes(t.metadata["current_snapshot_id"], sid)
     with pytest.raises(ValueError, match="not found"):
         t.read_changes(9999)
+
+
+def test_changes_roundtrip_reconstructs_state(spark, tmp_path):
+    """Feed-consistency invariant (the property a downstream replicator
+    relies on): applying read_changes(A, B) onto the table state at A
+    — upsert inserts/updates, drop deletes — reproduces the state at B
+    EXACTLY, for a realistic random changelog (duplicate seqs,
+    out-of-order delivery, deletes) split at an arbitrary point."""
+    import pandas as pd
+
+    from delta_spark.changelog import ChangelogSpec, generate_changelog
+
+    log = generate_changelog(
+        ChangelogSpec(n_events=1200, n_convs=25, seed=1234, include_ddl=False)
+    )
+    cut = 700
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "seq"]
+
+    def _to_spark(pdf):
+        return spark.createDataFrame(pdf[cols].astype({"seq": "int64"}), DDL)
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], "conv_id", 8,
+    )
+    t.merge(_to_spark(log.iloc[:cut]), "w", "b0")
+    sid_a = t.metadata["current_snapshot_id"]
+    t.merge(_to_spark(log.iloc[cut:]), "w", "b1")
+    sid_b = t.metadata["current_snapshot_id"]
+
+    payload = ["role", "text", "tool", "ts"]
+    key = ["conv_id", "turn_idx"]
+    state_a = t.read(snapshot_id=sid_a).toPandas().set_index(key)
+    state_b = t.read(snapshot_id=sid_b).toPandas().set_index(key)
+    feed = t.read_changes(sid_a, sid_b).toPandas()
+    assert set(feed["_change_type"]) <= {"insert", "update", "delete"}
+
+    applied = state_a.copy()
+    for _, r in feed.iterrows():
+        k = (r["conv_id"], r["turn_idx"])
+        if r["_change_type"] == "delete":
+            applied = applied.drop(index=[k])
+        else:
+            for c in payload:
+                applied.loc[k, c] = r[c]
+    applied = applied.sort_index()[payload]
+    expect = state_b.sort_index()[payload]
+    pd.testing.assert_frame_equal(
+        applied.reset_index(drop=True), expect.reset_index(drop=True),
+        check_dtype=False,
+    )
