@@ -131,6 +131,19 @@ class Catalog:
     def table(self, name: str) -> LakeTable:
         return LakeTable.load(self.spark, self.table_path(name))
 
+    def migrate_metadata(self) -> dict[str, int]:
+        """Catalog-wide one-shot metadata upgrade: run
+        ``LakeTable.migrate_inline_manifests`` over every registered
+        table, converting any pre-split-manifest (legacy inline
+        ``files``) snapshots to immutable manifest refs. Reference
+        analog: the one-shot whole-pipeline state migration run at
+        startup (StateStoreMigrator.java:52-106). Returns
+        ``{table: snapshots_migrated}`` — all zeros when current."""
+        return {
+            t: self.table(t).migrate_inline_manifests()
+            for t in self.list_tables()
+        }
+
     def create_seq(self, name: str) -> int:
         return self.meta["tables"][name].get("create_seq", -1)
 

@@ -355,3 +355,39 @@ def test_migrate_inline_manifests(spark, tmp_path):
     assert t.read(snapshot_id=first_sid).count() == 50
     # the independent engine reads the migrated table identically
     assert len(read_duckdb(str(tmp_path / "t")).fetchall()) == len(before)
+
+
+def test_catalog_migrate_metadata(spark, tmp_path):
+    """Catalog-wide migration sweeps every table; already-current
+    tables report 0."""
+    import pyspark.sql.types as T
+
+    from delta_spark.catalog import Catalog
+
+    cat = Catalog.load_or_create(spark, str(tmp_path / "cat"))
+    sch = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    cat.create_table("a", sch, ["conv_id", "turn_idx"], "conv_id", 4)
+    cat.create_table("b", sch, ["conv_id", "turn_idx"], "conv_id", 4)
+    df = spark.createDataFrame(
+        [("c1", 0, "hi", "INSERT", 1)],
+        "conv_id string, turn_idx int, text string, op string, seq long",
+    )
+    ta = cat.table("a")
+    ta.merge(df, "w", "b0")
+    # downgrade table a to the legacy layout; table b stays empty
+    meta = dict(ta.metadata)
+    meta["snapshots"] = [
+        {**{k: v for k, v in s.items() if k != "manifests"},
+         "files": ta._resolve_files(s)}
+        for s in meta["snapshots"]
+    ]
+    ta._write_metadata(meta, expected_version=ta.metadata["version"])
+    assert cat.migrate_metadata() == {"a": 1, "b": 0}
+    assert cat.migrate_metadata() == {"a": 0, "b": 0}
+    assert cat.table("a").read().count() == 1
