@@ -385,4 +385,16 @@ ALL_ORACLES: dict[str, str] = {
           GROUP BY label, id_a, id_b)
         SELECT label, id_a, id_b, sim FROM s WHERE sim >= 0.25
     """,
+    # media kind cycles image/audio/video by doc_id % 3 (synth_media_
+    # from_text); video's stub decode sets n_frames = octet_length % 600
+    # + 1 (functions/media.py); plan = every 30th frame, inclusive.
+    "media_frame_plan": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               UNNEST(generate_series(
+                 0,
+                 GREATEST((octet_length(encode(coalesce(text, ''))) % 600 + 1) - 1, 0),
+                 30)) AS frame_idx
+        FROM documents
+        WHERE doc_id % 3 = 2
+    """,
 }

@@ -768,6 +768,22 @@ def media_features(spark, sf_dir):
     return media.extract_features(m)
 
 
+def media_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan exploded to (media_id, frame_idx)
+    rows — which frames a decoder would pull, every 30th up to the
+    (stub-decoded) frame count. Exploding makes the plan exactly
+    oracle-checkable even though the decode itself stays stubbed: the
+    fake n_frames is octet_length(text) % 600 + 1, pure SQL."""
+    from .functions import media
+
+    d = _t(spark, sf_dir, "documents")
+    m = media.synth_media_from_text(d, "doc_id", "text")
+    plan = media.frame_sample_plan(m, every_n=30)
+    return plan.select(
+        "media_id", F.explode("frame_indices").alias("fi")
+    ).select("media_id", F.col("fi").cast("long").alias("frame_idx"))
+
+
 ALL_QUERIES = {
     "changelog_scan_filter": changelog_scan_filter,
     "lww_latest_state": lww_latest_state,
@@ -803,4 +819,5 @@ ALL_QUERIES = {
     "cdc_replay_stream_lww": cdc_replay_stream_lww,
     "table_changes_feed": table_changes_feed,
     "media_features": media_features,
+    "media_frame_plan": media_frame_plan,
 }
