@@ -114,9 +114,15 @@ def read_sql(
     buckets: list[int] | None = None,
     snapshot_id: int | None = None,
     include_system: bool = False,
+    align_schema_version: int | None = None,
 ) -> str:
     """Return one DuckDB SQL statement equivalent to
-    ``LakeTable.read(buckets, include_system, snapshot_id)``."""
+    ``LakeTable.read(buckets, include_system, snapshot_id)``.
+
+    ``align_schema_version`` overrides the output schema (the analog
+    of ``LakeTable.read(_align_schema_version=...)``): used by
+    ``changes_sql`` so both sides of a cross-snapshot diff speak the
+    TO snapshot's column names even across renames."""
     table_path = os.path.abspath(table_path)
     meta = read_metadata(table_path)
     snap = resolve_snapshot(meta, table_path, snapshot_id)
@@ -125,6 +131,8 @@ def read_sql(
         if snap is None or snapshot_id is None
         else snap.get("schema_version", meta["schema_version"])
     )
+    if align_schema_version is not None:
+        sv_cur = align_schema_version
     cur = meta["schemas"][str(sv_cur)]
 
     names = ", ".join(_q(f["name"]) for f in cur)
@@ -202,6 +210,97 @@ def read_sql(
             f"ORDER BY _seq DESC, _sort DESC) AS __rn FROM (\n{u}\n)\n) WHERE __rn = 1"
         )
     return f"SELECT {names} FROM (\n{u}\n) WHERE NOT _deleted"
+
+
+def changes_sql(
+    table_path: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> str:
+    """One DuckDB SQL statement equivalent to
+    ``LakeTable.read_changes(from, to)`` — Spark-free CDC-out. A
+    downstream consumer that can reach the table's files needs NO
+    Spark to replicate incrementally: per-key insert/update/delete
+    classification between two snapshots, payload aligned to the TO
+    snapshot's schema (post-rename names), deletes carrying the
+    last-known payload, ``_seq`` = the winning sequence number.
+
+    Formulation: both snapshots' LIVE states (tombstones already
+    folded out by ``read_sql``) FULL-JOINed on the keys —
+      in TO only → insert; in both with a different winning
+      (_seq, _sort) → update; in FROM only → delete.
+    That live-state diff is exactly the engine's emitted set (same
+    classification table, ``LakeTable.read_changes``); the engine
+    additionally prunes the scan to the buckets the range's commits
+    touched — a cost optimization, not a semantic one, so this
+    convenience reader scans both snapshots whole instead.
+    """
+    table_path = os.path.abspath(table_path)
+    meta = read_metadata(table_path)
+    to_sid = (
+        meta["current_snapshot_id"] if to_snapshot_id is None else to_snapshot_id
+    )
+    if from_snapshot_id is not None and to_sid is not None and from_snapshot_id > to_sid:
+        raise ValueError(
+            f"changes_sql range reversed: from {from_snapshot_id} > to {to_sid}"
+        )
+    to_snap = resolve_snapshot(meta, table_path, to_sid) if to_sid is not None else None
+    sv_to = (
+        to_snap.get("schema_version", meta["schema_version"])
+        if to_snap is not None and to_snapshot_id is not None
+        else meta["schema_version"]
+    )
+    fields = meta["schemas"][str(sv_to)]
+    by_id = {f["id"]: f["name"] for f in fields}
+    keys = [by_id[i] for i in meta["key_ids"]]
+    payload = [f["name"] for f in fields if f["name"] not in keys]
+
+    b_sql = read_sql(
+        table_path, snapshot_id=to_sid, include_system=True,
+        align_schema_version=sv_to,
+    )
+    if to_snap is None:
+        # empty table: no changes
+        null_sel = ", ".join(
+            f"CAST(NULL AS {_duck_type(f['type'])}) AS {_q(f['name'])}"
+            for f in fields
+        )
+        return (
+            f"SELECT {null_sel}, CAST(NULL AS VARCHAR) AS _change_type,"
+            f" CAST(NULL AS BIGINT) AS _seq WHERE FALSE"
+        )
+    if from_snapshot_id is None:
+        pay = ", ".join(_q(c) for c in [*keys, *payload])
+        return (
+            f"SELECT {pay}, 'insert' AS _change_type, _seq FROM (\n{b_sql}\n)"
+        )
+    a_sql = read_sql(
+        table_path, snapshot_id=from_snapshot_id, include_system=True,
+        align_schema_version=sv_to,
+    )
+    on = " AND ".join(f"a.{_q(k)} = b.{_q(k)}" for k in keys)
+    key_sel = ", ".join(
+        f"COALESCE(b.{_q(k)}, a.{_q(k)}) AS {_q(k)}" for k in keys
+    )
+    pay_sel = ", ".join(
+        f"CASE WHEN b._seq IS NULL THEN a.{_q(c)} ELSE b.{_q(c)} END AS {_q(c)}"
+        for c in payload
+    )
+    change = (
+        "CASE WHEN a._seq IS NULL AND b._seq IS NOT NULL THEN 'insert' "
+        "WHEN a._seq IS NOT NULL AND b._seq IS NOT NULL "
+        "AND (a._seq <> b._seq OR a._sort IS DISTINCT FROM b._sort) "
+        "THEN 'update' "
+        "WHEN a._seq IS NOT NULL AND b._seq IS NULL THEN 'delete' END"
+    )
+    seq = "CASE WHEN b._seq IS NULL THEN a._seq ELSE b._seq END"
+    sel = ", ".join(x for x in (key_sel, pay_sel) if x)
+    return (
+        f"SELECT * FROM (\n"
+        f"SELECT {sel}, {change} AS _change_type, {seq} AS _seq\n"
+        f"FROM (\n{a_sql}\n) a FULL JOIN (\n{b_sql}\n) b ON {on}\n"
+        f") WHERE _change_type IS NOT NULL"
+    )
 
 
 def read_duckdb(

@@ -192,3 +192,52 @@ def test_changes_roundtrip_reconstructs_state(spark, tmp_path):
         applied.reset_index(drop=True), expect.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_changes_sql_matches_engine(spark, tmp_path):
+    """Spark-free CDC-out: interop.changes_sql emits the SAME change
+    set as the engine's read_changes — insert/update/delete, MoR
+    deltas in range, and a rename between the snapshots (both sides
+    aligned to the TO schema)."""
+    import duckdb
+
+    from delta_spark.lake.interop import changes_sql
+
+    t = _mk(spark, str(tmp_path / "t"), n=20)
+    sid_a = t.metadata["current_snapshot_id"]
+    t.apply_ddl({"op": "RENAME_COLUMN", "column": "text", "new_name": "body"})
+    ddl2 = DDL.replace(" text ", " body ")
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("c1", 0, "user", "v2", "", TS, "UPDATE", 100),
+                ("c2", 0, None, None, None, None, "DELETE", 101),
+                ("c99", 0, "user", "new", "", TS, "INSERT", 102),
+            ],
+            ddl2,
+        ),
+        "w", "b1", mode="mor",
+    )
+    t.merge(
+        spark.createDataFrame(
+            [("c3", 0, "user", "v3", "", TS, "UPDATE", 103)], ddl2
+        ),
+        "w", "b2", mode="mor",
+    )
+    sid_b = t.metadata["current_snapshot_id"]
+
+    key = ["conv_id", "turn_idx"]
+    eng = t.read_changes(sid_a, sid_b).toPandas()
+    duck = duckdb.sql(changes_sql(str(tmp_path / "t"), sid_a, sid_b)).df()
+    assert sorted(eng.columns) == sorted(duck.columns)
+    from conftest import assert_pdf_equal
+
+    assert_pdf_equal(
+        eng.sort_index(axis=1), duck.sort_index(axis=1), key
+    )
+    # from-the-beginning shape: every live row is an insert
+    all_eng = t.read_changes(None, sid_b).toPandas()
+    all_duck = duckdb.sql(changes_sql(str(tmp_path / "t"), None, sid_b)).df()
+    assert_pdf_equal(
+        all_eng.sort_index(axis=1), all_duck.sort_index(axis=1), key
+    )
