@@ -1131,13 +1131,28 @@ class LakeTable:
 
     # ------------------------------------------------ maintenance
 
-    def expire_snapshots(self, keep_last: int = 5, delete_files: bool = True) -> int:
+    def expire_snapshots(
+        self,
+        keep_last: int = 5,
+        delete_files: bool = True,
+        keep_markers: int = 1024,
+    ) -> int:
         """Expire all but the newest ``keep_last`` snapshots and delete
         data files no retained snapshot references (Iceberg
         expire_snapshots). Exactly-once markers of expired snapshots
         are folded into ``applied_markers`` so replay detection
         survives expiry. A per-micro-batch streaming sink MUST run this
-        periodically or metadata grows without bound."""
+        periodically or metadata grows without bound.
+
+        ``keep_markers`` bounds the folded marker list PER WRITER (the
+        lists are in commit order; the oldest fall off): without a cap
+        the metadata document grows one batch-id string per micro-batch
+        forever. Retention a replay can actually reach is tiny — a
+        Spark checkpoint re-runs at most the newest uncommitted epoch,
+        and the reference keeps only the single LAST (offset, seq) per
+        writer (DBReplicationOffsetStore.java:92-99) — so the default
+        keeps three orders of magnitude more history than either needs
+        while pinning metadata size ~flat over an unbounded run."""
         snaps = self.metadata["snapshots"]
         if len(snaps) <= keep_last:
             return 0
@@ -1150,6 +1165,8 @@ class LakeTable:
                 markers.setdefault(w, [])
                 if b not in markers[w]:
                     markers[w].append(b)
+        if keep_markers:
+            markers = {w: v[-keep_markers:] for w, v in markers.items()}
         live = {f["path"] for s in retained for f in self._resolve_files(s)}
         dead = {
             f["path"]

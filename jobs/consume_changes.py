@@ -28,6 +28,7 @@ One-shot local smoke (process whatever is new, then exit):
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import sys
@@ -53,6 +54,23 @@ def _write_offset(path: str, sid: int) -> None:
     os.replace(tmp, path)
 
 
+def _drop_stale_partials(out_dir: str, last: int | None) -> None:
+    """Remove sink partitions ABOVE the committed offset: a crash after
+    a partial write but before the offset advanced leaves a torn
+    ``to_snapshot=N`` dir; the retried increment may target a NEWER
+    snapshot id (the table moved on), which covers the same range —
+    the torn dir would otherwise double-expose those keys downstream."""
+    import shutil
+
+    for d in glob.glob(os.path.join(out_dir, "to_snapshot=*")):
+        try:
+            sid = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if last is None or sid > last:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def consume_once(spark, table_path: str, out_dir: str, offset_file: str) -> int:
     """Process one increment; returns rows written (0 = caught up)."""
     from delta_spark.lake import LakeTable
@@ -62,6 +80,7 @@ def consume_once(spark, table_path: str, out_dir: str, offset_file: str) -> int:
     last = _read_offset(offset_file)
     if cur is None or cur == last:
         return 0
+    _drop_stale_partials(out_dir, last)
     try:
         changes = t.read_changes(last, cur)
     except ValueError:  # offset expired: resync from the beginning

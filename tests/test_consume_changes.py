@@ -64,3 +64,40 @@ def test_consumer_processes_increments_exactly_once(spark, tmp_path):
     assert cc.consume_once(spark, t.path, out, off) == 2  # replays b1's increment
     assert spark.read.parquet(out).count() == 8  # no duplicates
     assert cc.consume_once(spark, t.path, out, off) == 0
+
+def test_consumer_drops_stale_partial_partition(spark, tmp_path):
+    """Crash AFTER a partial sink write, then the table advances before
+    the retry: the retried increment lands in a NEWER to_snapshot=N
+    partition covering the same range — the torn partition from the
+    crashed attempt must be removed, or downstream double-reads its
+    keys."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        "conv_id", 4,
+    )
+    out = str(tmp_path / "cdc")
+    off = os.path.join(out, "_consumer_offset.json")
+    os.makedirs(out)
+
+    def batch(rows, bid):
+        t.merge(spark.createDataFrame(rows, DDL), "w", bid)
+
+    batch([(f"c{i}", 0, "user", f"v{i}", "", TS, "INSERT", i + 1) for i in range(4)], "b0")
+    assert cc.consume_once(spark, t.path, out, off) == 4
+    sid0 = cc._read_offset(off)
+
+    # crashed attempt: partial partition written, offset NOT advanced
+    batch([("c1", 0, "user", "v2", "", TS, "UPDATE", 50)], "b1")
+    torn = os.path.join(out, f"to_snapshot={t.metadata['current_snapshot_id']}")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-torn.parquet"), "wb") as f:
+        f.write(b"")  # zero-byte torn part file
+    # table moves on before the retry
+    batch([("c2", 0, "user", "v3", "", TS, "UPDATE", 51)], "b2")
+
+    assert cc.consume_once(spark, t.path, out, off) == 2  # covers b1+b2
+    assert not os.path.exists(torn)  # torn partition removed
+    feed = spark.read.parquet(out)
+    assert feed.count() == 6
+    assert cc._read_offset(off) == t.metadata["current_snapshot_id"]
+    assert sid0 < cc._read_offset(off)

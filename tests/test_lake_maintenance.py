@@ -391,3 +391,19 @@ def test_catalog_migrate_metadata(spark, tmp_path):
     assert cat.migrate_metadata() == {"a": 1, "b": 0}
     assert cat.migrate_metadata() == {"a": 0, "b": 0}
     assert cat.table("a").read().count() == 1
+
+
+def test_expire_caps_marker_growth(spark, tmp_path):
+    """applied_markers must not grow one entry per micro-batch forever:
+    expire folds expired snapshots' markers but keeps only the newest
+    ``keep_markers`` per writer (commit order). A replay can only ever
+    reach the newest uncommitted epoch, so old markers are dead weight."""
+    t = _mk_table(spark, str(tmp_path / "t"), n_batches=6)
+    t.expire_snapshots(keep_last=2, keep_markers=3)
+    m = t.metadata["applied_markers"]["w1"]
+    assert m == ["b1", "b2", "b3"]  # newest 3 of the 4 expired (b0..b3)
+    # newest markers still honored (via retained snapshots + cap tail)
+    assert t.is_applied("w1", "b3") and t.is_applied("w1", "b5")
+    # the dropped marker no longer answers — by design: a checkpoint
+    # replay can never reach that far back
+    assert not t.is_applied("w1", "b0")
