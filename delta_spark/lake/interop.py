@@ -156,6 +156,16 @@ def read_sql(
     files = snap["files"]
     bset = None
     if buckets is not None:
+        cur_spec = int(meta.get("bucket_spec_id", 0))
+        if any(int(f.get("spec", 0)) != cur_spec for f in files):
+            # pruning a file written under an older bucket spec needs
+            # Spark's xxhash64 recomputed per row — DuckDB can't; the
+            # FULL read stays exact regardless of specs
+            raise NotImplementedError(
+                "bucket-pruned interop read across bucket-spec evolution: "
+                "run LakeTable.compact() to migrate pre-rebucket files, "
+                "or read without bucket pruning"
+            )
         bset = sorted({int(b) for b in buckets})
         files = [f for f in files if f["bucket"] in bset or f["bucket"] == -1]
         if not files:

@@ -28,9 +28,14 @@ Scale design (100 TB / 1000 executors):
         trickle would rewrite ~25 GB per touched bucket per batch).
       - ``auto``: cow while the table is empty (snapshot load), mor
         after.
-  * metadata embeds the file manifest in one JSON document — right for
-    up to ~10^5 files; beyond that Iceberg-style split manifests are
-    the drop-in evolution (noted, not built).
+  * SPLIT MANIFESTS (Iceberg's manifest lists): a snapshot stores
+    manifest-file refs, the MoR hot path appends ONE manifest of just
+    the batch's files — per-commit metadata is O(batch), not O(table).
+  * BUCKET-SPEC EVOLUTION (Iceberg partition-spec evolution):
+    ``rebucket()`` changes the bucket count as a metadata-only commit;
+    old files are row-filtered on the recomputed hash until merges and
+    ``compact()`` migrate them — a table that outgrows its bucket
+    count never pays a stop-the-world rewrite.
   * snapshots are immutable: readers pin the manifest they loaded, so
     concurrent MERGE commits never tear a read (snapshot isolation).
 """
@@ -184,6 +189,60 @@ class LakeTable:
     @property
     def num_buckets(self) -> int:
         return self.metadata["num_buckets"]
+
+    # --------------------------------------------- bucket-spec evolution
+    #
+    # Iceberg's partition-spec evolution, rebuilt for hash buckets: a
+    # table that outgrows its bucket count (4096 buckets × 25 GB is fine
+    # at 100 TB; the same table at 1 PB wants 32k) calls ``rebucket`` —
+    # a METADATA-ONLY commit. Files keep the spec they were written
+    # under (manifest entries carry ``spec``); new writes use the new
+    # spec. Readers stay exact: current-spec files prune at file level
+    # as always, foreign-spec files are scanned and row-filtered by the
+    # recomputed current-spec hash (the documented transitional cost —
+    # Iceberg's old-spec files stop pruning the same way). CoW merges
+    # prune foreign-spec files under THEIR OWN modulus and migrate the
+    # ones they touch; ``compact()`` absorbs every foreign-spec file,
+    # restoring pure file-level pruning.
+
+    @property
+    def bucket_spec_id(self) -> int:
+        return self.metadata.get("bucket_spec_id", 0)
+
+    @property
+    def bucket_specs(self) -> dict[int, int]:
+        """spec id → modulus for every spec the table has ever had."""
+        raw = self.metadata.get("bucket_specs")
+        if raw is None:
+            return {0: self.metadata["num_buckets"]}
+        return {int(k): int(v) for k, v in raw.items()}
+
+    def rebucket(self, num_buckets: int) -> bool:
+        """Change the bucket count for FUTURE writes (metadata-only —
+        no data is rewritten). Returns True if the spec changed."""
+        if num_buckets == self.num_buckets:
+            return False
+        if num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+        meta = dict(self.metadata)
+        specs = {str(k): v for k, v in self.bucket_specs.items()}
+        new_id = max(int(k) for k in specs) + 1
+        specs[str(new_id)] = num_buckets
+        meta["bucket_specs"] = specs
+        meta["bucket_spec_id"] = new_id
+        meta["num_buckets"] = num_buckets  # legacy/current-spec mirror
+        self._write_metadata(meta, expected_version=self.metadata["version"])
+        return True
+
+    def _entry_spec(self, f: dict) -> int:
+        return int(f.get("spec", 0))
+
+    def _bucket_name_in(self, fields: list[dict]) -> str:
+        """The bucket column's name under a given schema field list
+        (renames move the name; the column id is stable)."""
+        return next(
+            f["name"] for f in fields if f["id"] == self.metadata["bucket_id"]
+        )
 
     def original_to_current_names(self, from_schema_version: int = 0) -> dict[str, str]:
         """Map column names as of ``from_schema_version`` to current
@@ -378,34 +437,71 @@ class LakeTable:
         files = snap["files"]
         bset: set[int] | None = None
         if buckets is not None:
+            # ``buckets`` are ids under the CURRENT bucket spec; the
+            # pruned read is a pure KEY predicate — hash(key) % n ∈ bset
+            # — however the rows are physically laid out:
+            #   * current-spec per-bucket files prune at FILE level
+            #   * spanning deltas (bucket == -1) are scanned and their
+            #     rows filtered (stored _bucket for current-spec files;
+            #     without this a pruned read would leak foreign-bucket
+            #     rows into CoW rewrites)
+            #   * foreign-spec files (written before a rebucket) can't
+            #     prune by file — scanned, rows filtered on the
+            #     RECOMPUTED current-spec hash (transitional cost until
+            #     compact() migrates them)
             bset = set(buckets)
-            # bucket == -1: SPANNING delta file (shuffle-free MoR write,
-            # rows of any bucket) — always scanned, but its rows are
-            # FILTERED to the requested buckets on the stored _bucket
-            # column below, so a pruned read returns exactly the
-            # requested buckets (never foreign-bucket rows)
-            files = [f for f in files if f["bucket"] in bset or f["bucket"] == -1]
-            if not files:
-                empty = self._schema_with_system() if include_system else self.schema
-                return self.spark.createDataFrame([], empty)
-        # group by (schema_version, spanning?) — spanning files carry a
-        # physical _bucket column used for row-level bucket pruning
-        by_sv: dict[tuple[int, bool], list[str]] = {}
+        return self._scan_entries(
+            files, cur, bset=bset, include_system=include_system
+        )
+
+    def _scan_entries(
+        self,
+        files: list[dict],
+        cur: list[dict],
+        bset: set[int] | None = None,
+        include_system: bool = False,
+        exclude_foreign: bool = False,
+    ) -> DataFrame:
+        """Scan manifest entries aligned to the ``cur`` field list,
+        applying the key-predicate row filters ``read`` documents.
+        ``exclude_foreign`` drops foreign-spec per-bucket files from the
+        scan entirely (the CoW merge reads those separately, WHOLE —
+        they are being replaced, so row-filtering them would lose rows)."""
+        cur_spec = self.bucket_spec_id
+        cur_n = self.num_buckets
+        bname = self._bucket_name_in(cur)
+        if exclude_foreign:
+            files = [
+                f
+                for f in files
+                if f["bucket"] == -1 or self._entry_spec(f) == cur_spec
+            ]
+        if bset is not None:
+            # file-level pruning for current-spec per-bucket files;
+            # spanning and foreign-spec files are kept and row-filtered
+            files = [
+                f
+                for f in files
+                if f["bucket"] == -1
+                or self._entry_spec(f) != cur_spec
+                or f["bucket"] in bset
+            ]
+        # group by (schema_version, spanning?, spec) — spanning files
+        # carry a physical _bucket column used for row-level pruning
+        by_sv: dict[tuple[int, bool, int], list[str]] = {}
         has_delta = False
         for f in files:
             has_delta = has_delta or f.get("kind") == "delta"
-            by_sv.setdefault((f["schema_version"], f["bucket"] == -1), []).append(
-                os.path.join(self.path, f["path"])
-            )
+            key = (f["schema_version"], f["bucket"] == -1, self._entry_spec(f))
+            by_sv.setdefault(key, []).append(os.path.join(self.path, f["path"]))
+        if not by_sv:
+            empty = self._schema_with_system() if include_system else self.schema
+            return self.spark.createDataFrame([], empty)
         parts = []
-        for (sv, spanning), paths in by_sv.items():
+        for (sv, spanning, spec), paths in by_sv.items():
             old_fields = {f["id"]: f for f in self.metadata["schemas"][str(sv)]}
             df = self.spark.read.parquet(*paths)
-            if spanning and bset is not None:
-                # row-level bucket pruning on the stored _bucket column
-                # (parquet row-group stats make this cheap); without it
-                # a pruned read would leak foreign-bucket rows from
-                # spanning deltas into CoW rewrites
+            if spanning and bset is not None and spec == cur_spec:
                 df = df.filter(F.col("_bucket").isin([int(b) for b in bset]))
             cols = []
             for f in cur:
@@ -420,7 +516,15 @@ class LakeTable:
                 F.col("_sort") if "_sort" in df.columns else F.lit(0).cast("long").alias("_sort")
             )
             cols.append(F.col("_deleted"))
-            parts.append(df.select(*cols))
+            part = df.select(*cols)
+            if bset is not None and spec != cur_spec:
+                # foreign-spec rows: recompute the current-spec hash
+                part = part.filter(
+                    F.pmod(F.xxhash64(F.col(bname)), F.lit(cur_n)).isin(
+                        [int(b) for b in bset]
+                    )
+                )
+            parts.append(part)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -504,18 +608,44 @@ class LakeTable:
         ]
         if not added:
             return _empty()
-        bset = {int(f["bucket"]) for f in added}
-        if -1 in bset:  # spanning MoR deltas: read THEIR buckets only
-            bset.discard(-1)
-            span = [
-                os.path.join(self.path, f["path"]) for f in added if f["bucket"] == -1
-            ]
+        cur_spec = self.bucket_spec_id
+        cur_n = self.num_buckets
+        bset = {
+            int(f["bucket"])
+            for f in added
+            if f["bucket"] != -1 and self._entry_spec(f) == cur_spec
+        }
+        span_cur = [
+            f for f in added if f["bucket"] == -1 and self._entry_spec(f) == cur_spec
+        ]
+        if span_cur:  # spanning MoR deltas: read THEIR buckets only
+            sp = self.spark.read.parquet(
+                *[os.path.join(self.path, f["path"]) for f in span_cur]
+            )
             bset |= {
                 int(r[0])
-                for r in self.spark.read.parquet(*span)
-                .select("_bucket")
+                for r in sp.select("_bucket").distinct().collect()
+                # control-plane: ≤ num_buckets ints
+            }
+        # files added under a FOREIGN spec (the range crosses a
+        # rebucket): their current-spec buckets come from recomputing
+        # the hash over just the bucket column (name per file schema)
+        rec = [f for f in added if self._entry_spec(f) != cur_spec]
+        by_sv: dict[int, list[str]] = {}
+        for f in rec:
+            by_sv.setdefault(f["schema_version"], []).append(
+                os.path.join(self.path, f["path"])
+            )
+        for sv, paths in by_sv.items():
+            bname = self._bucket_name_in(self.metadata["schemas"][str(sv)])
+            sp = self.spark.read.parquet(*paths)
+            bset |= {
+                int(r[0])
+                for r in sp.select(
+                    F.pmod(F.xxhash64(F.col(bname)), F.lit(cur_n)).alias("b")
+                )
                 .distinct()
-                .collect()  # control-plane: ≤ num_buckets ints
+                .collect()
             }
         blist = sorted(bset)
 
@@ -659,6 +789,7 @@ class LakeTable:
             with ThreadPoolExecutor(min(16, len(paths))) as ex:
                 rows_of.update(ex.map(_rows, paths))
         sv = self.metadata["schema_version"]
+        spec = self.bucket_spec_id
         entries = []
         for p in paths:
             bucket = int(p.split("_bucket=")[1].split(os.sep)[0])
@@ -669,6 +800,7 @@ class LakeTable:
                     "schema_version": sv,
                     "rows": rows_of[p],
                     "kind": kind,
+                    **({"spec": spec} if spec else {}),
                 }
             )
         return entries
@@ -724,6 +856,7 @@ class LakeTable:
                 return p, None, None
 
         sv = self.metadata["schema_version"]
+        spec = self.bucket_spec_id
         entries = []
         with ThreadPoolExecutor(min(16, max(1, len(paths)))) as ex:
             for p, rows, max_seq in ex.map(_rows, paths):
@@ -738,6 +871,7 @@ class LakeTable:
                         "rows": rows,
                         "max_seq": max_seq,
                         "kind": "delta",
+                        **({"spec": spec} if spec else {}),
                     }
                 )
         return entries
@@ -885,17 +1019,67 @@ class LakeTable:
                 summary, precommit, sort_col,
             )
         if has_files:
-            # cheap probe: column pruning means this reads only the
-            # bucket-key column from the batch source
-            affected = sorted(
-                r[0] for r in batch.select("_bucket").distinct().collect()
-            )
+            cur_spec = self.bucket_spec_id
+            foreign = [
+                f
+                for f in cur["files"]
+                if f["bucket"] != -1 and self._entry_spec(f) != cur_spec
+            ]
+            specs = sorted({self._entry_spec(f) for f in foreign})
+            # cheap probe: ONE agg job over just the bucket-key column
+            # (column pruning) yields the affected buckets under the
+            # current spec AND under every live foreign spec (a
+            # foreign-spec file can only hold a batch key if its
+            # OWN-modulus bucket id matches — per-spec pruning keeps a
+            # post-rebucket merge proportional, never a full rewrite)
+            probe = batch.agg(
+                F.collect_set("_bucket").alias("cur"),
+                *[
+                    F.collect_set(
+                        F.pmod(
+                            F.xxhash64(F.col(self.bucket_col)),
+                            F.lit(self.bucket_specs[s]),
+                        )
+                    ).alias(f"s{s}")
+                    for s in specs
+                ],
+            ).collect()[0]
+            affected = sorted(probe["cur"])
             if not affected:
                 return {"buckets": [], "files": 0, "upserts": 0, "deletes": 0}
-            target = self.read(buckets=affected, include_system=True).withColumn(
-                "_bucket", self.bucket_expr()
+            bset_by_spec = {s: set(probe[f"s{s}"]) for s in specs}
+            replaced_foreign = [
+                f for f in foreign if f["bucket"] in bset_by_spec[self._entry_spec(f)]
+            ]
+            # target = (current-spec affected buckets + spanning rows in
+            # them) ∪ (replaced foreign-spec files read WHOLE — they are
+            # dropped below, so every row must enter the rewrite; this
+            # is also how a rebucketed table migrates incrementally)
+            target = self._scan_entries(
+                cur["files"],
+                self.fields,
+                bset=set(affected),
+                include_system=True,
+                exclude_foreign=True,
             )
-            kept = [f for f in cur["files"] if f["bucket"] not in set(affected)]
+            if replaced_foreign:
+                target = target.unionByName(
+                    self._scan_entries(
+                        replaced_foreign, self.fields, include_system=True
+                    )
+                )
+            target = target.withColumn("_bucket", self.bucket_expr())
+            dropped = {f["path"] for f in replaced_foreign}
+            kept = [
+                f
+                for f in cur["files"]
+                if f["path"] not in dropped
+                and (
+                    f["bucket"] == -1
+                    or self._entry_spec(f) != cur_spec
+                    or f["bucket"] not in set(affected)
+                )
+            ]
         else:
             affected = None  # derived from written files post-hoc
             target = None
@@ -1308,29 +1492,71 @@ class LakeTable:
         cur = self.current_snapshot
         if cur is None:
             return 0
+        cur_spec = self.bucket_spec_id
+        cur_n = self.num_buckets
         spanning = [f for f in cur["files"] if f["bucket"] == -1]
+        # foreign-spec files (pre-rebucket) are ALWAYS absorbed: they
+        # tax every pruned read with a row-filtered scan until they are
+        # rewritten under the current spec — compaction is the migration
+        foreign = [
+            f
+            for f in cur["files"]
+            if f["bucket"] != -1 and self._entry_spec(f) != cur_spec
+        ]
         by_bucket: dict[int, int] = {}
         for f in cur["files"]:
-            if f["bucket"] != -1:
+            if f["bucket"] != -1 and self._entry_spec(f) == cur_spec:
                 by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
         crowded = {b for b, n in by_bucket.items() if n > max_files_per_bucket}
-        if spanning:
-            sp = self.spark.read.parquet(
-                *[os.path.join(self.path, f["path"]) for f in spanning]
-            )
-            crowded |= {
-                r[0] for r in sp.select("_bucket").distinct().collect()
-            }
+        # buckets touched by spanning/foreign files, under the CURRENT
+        # spec (control-plane: a columnar read of one column, distinct
+        # to ≤ num_buckets ints). Stored _bucket is only trusted for
+        # current-spec files; foreign rows recompute the hash.
+        recompute = foreign + [f for f in spanning if self._entry_spec(f) != cur_spec]
+        for group, use_stored in (
+            ([f for f in spanning if self._entry_spec(f) == cur_spec], True),
+            (recompute, False),
+        ):
+            if not group:
+                continue
+            if use_stored:
+                sp = self.spark.read.parquet(
+                    *[os.path.join(self.path, f["path"]) for f in group]
+                )
+                crowded |= {r[0] for r in sp.select("_bucket").distinct().collect()}
+            else:
+                # column NAME varies with each file's schema version
+                by_sv: dict[int, list[str]] = {}
+                for f in group:
+                    by_sv.setdefault(f["schema_version"], []).append(
+                        os.path.join(self.path, f["path"])
+                    )
+                for sv, paths in by_sv.items():
+                    bname = self._bucket_name_in(self.metadata["schemas"][str(sv)])
+                    sp = self.spark.read.parquet(*paths)
+                    crowded |= {
+                        r[0]
+                        for r in sp.select(
+                            F.pmod(F.xxhash64(F.col(bname)), F.lit(cur_n)).alias("b")
+                        )
+                        .distinct()
+                        .collect()
+                    }
         if not crowded:
             return 0
         crowded = sorted(crowded)
+        # key-predicate read: crowded current-spec buckets file-pruned,
+        # spanning + foreign rows row-filtered — and since ``crowded``
+        # covers every bucket those files touch, ALL their rows fold in
         data = self.read(buckets=crowded, include_system=True).withColumn(
             "_bucket", self.bucket_expr()
         )
         files_new = self._write_data(data, f"compact-{uuid.uuid4().hex[:12]}")
         kept = [
             f for f in cur["files"]
-            if f["bucket"] not in set(crowded) and f["bucket"] != -1
+            if f["bucket"] != -1
+            and self._entry_spec(f) == cur_spec
+            and f["bucket"] not in set(crowded)
         ]
         self._commit_snapshot(
             kept + files_new,

@@ -634,6 +634,63 @@ def transcript_replay_lww(spark, sf_dir):
     )
 
 
+def rebucket_replay_lww(spark, sf_dir):
+    """Bucket-spec evolution E2E WITH a SQL oracle: the SAME mapped
+    changelog as ``transcript_replay_lww``, replayed in two halves with
+    a REBUCKET (8 → 32 buckets — a metadata-only commit, no data
+    rewritten) between them. The second half applies as merge-on-read
+    deltas under the NEW spec while the first half's files still carry
+    the old one (reads row-filter them on the recomputed hash), then
+    ``compact()`` migrates every pre-rebucket file. The final state
+    must be IDENTICAL to the single-replay LWW oracle — bucket-count
+    evolution is invisible to readers (Iceberg partition-spec-evolution
+    analog; a 100 TB table that outgrows its bucket count pays one
+    metadata commit plus background compaction, never a stop-the-world
+    rewrite)."""
+    import tempfile
+
+    from .lake import LakeTable
+    from .pipeline import Pipeline, PipelineConfig
+
+    d = tempfile.mkdtemp(prefix="rebucket_replay_")
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit(None).cast("string").alias("prev_text"),
+        F.lit(False).alias("is_snapshot"),
+        F.col("ts").cast("timestamp").alias("ingest_ts"),
+        F.lit(None).cast("string").alias("ddl"),
+    )
+    mid = log.agg(F.expr("percentile_approx(seq, 0.5)")).collect()[0][0]
+    log.filter(F.col("seq") <= mid).write.parquet(f"{d}/log1")
+    log.filter(F.col("seq") > mid).write.parquet(f"{d}/log2")
+    cfg1 = PipelineConfig(
+        changelog_path=f"{d}/log1", table_path=f"{d}/tbl",
+        checkpoint_dir=f"{d}/ck1", generation=1, num_buckets=8,
+    )
+    Pipeline(spark, cfg1).run_batch()
+    t = LakeTable.load(spark, cfg1.table_path)
+    t.rebucket(32)
+    cfg2 = PipelineConfig(
+        changelog_path=f"{d}/log2", table_path=f"{d}/tbl",
+        checkpoint_dir=f"{d}/ck2", generation=1, instance_id=1,
+        num_buckets=8, merge_mode="mor",
+    )
+    Pipeline(spark, cfg2).run_batch(batch_id="batch-1")
+    t.refresh().compact(max_files_per_bucket=1)
+    assert {t._entry_spec(f) for f in t.current_snapshot["files"]} <= {1}
+    return t.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 # ===================================================== engine E2E (rows-only)
 
 
@@ -816,6 +873,7 @@ ALL_QUERIES = {
     "multi_table_replay": multi_table_replay,
     "table_ddl_replay": table_ddl_replay,
     "transcript_replay_lww": transcript_replay_lww,
+    "rebucket_replay_lww": rebucket_replay_lww,
     "cdc_replay_stream_lww": cdc_replay_stream_lww,
     "table_changes_feed": table_changes_feed,
     "media_features": media_features,
