@@ -82,17 +82,22 @@ def _rewrite_to_current(
         }
         src_of = {f["name"]: wire_by_id.get(f["id"], f["name"]) for f in table.fields}
     else:
+        # sniff by COVERAGE, not by any-hit: with chained renames one
+        # field's current name can equal another field's ORIGINAL name
+        # (v0 (a,b); b→c then a→b: batch {b,c} is pure current-epoch,
+        # yet 'b' also hits the v0 map), so count how many addressed
+        # columns each epoch's map explains and take the better one;
+        # ties go to CURRENT names (what a real CDC source emits after
+        # honoring the DDL). wire_schema_version remains the exact
+        # answer when the segment's epoch is known.
         batch_names = set(batch.columns)
-        renamed_cur = {
-            n for n, o in cur_to_orig.items() if n != o
-        }
-        uses_orig = any(cur_to_orig[n] in batch_names for n in renamed_cur)
-        uses_cur = any(n in batch_names for n in renamed_cur)
-        if uses_cur and not uses_orig:
+        names_cur = {f["name"] for f in table.fields}
+        names_v0 = set(cur_to_orig.values())
+        cov_cur = len(batch_names & names_cur)
+        cov_v0 = len(batch_names & names_v0)
+        if cov_cur >= cov_v0:
             src_of = {f["name"]: f["name"] for f in table.fields}
         else:
-            # v0 map — also the (harmless) default when no renamed
-            # column appears at all or the batch mixes both epochs
             src_of = {
                 f["name"]: cur_to_orig.get(f["name"], f["name"])
                 for f in table.fields
@@ -100,12 +105,24 @@ def _rewrite_to_current(
     cols = [F.col("seq"), F.col("op")]
     batch_cols = set(batch.columns)
     table_names = {f["name"] for f in table.fields}
+    orig_is_free = {
+        f["name"]: cur_to_orig.get(f["name"], f["name"]) not in table_names
+        for f in table.fields
+    }
     cols += [F.col(c) for c in keep if c in batch_cols and c not in table_names]
     for f in table.fields:
         t = f["type"]
         src = src_of[f["name"]]
         if src not in batch_cols and f["name"] in batch_cols:
             src = f["name"]  # mixed batch: fall through to current name
+        if (
+            src not in batch_cols
+            and orig_is_free[f["name"]]
+            and cur_to_orig.get(f["name"], f["name"]) in batch_cols
+        ):
+            # mixed batch, other direction: the original name appears
+            # and is not shadowed by any CURRENT column name
+            src = cur_to_orig[f["name"]]
         if src in batch_cols:
             cols.append(F.col(src).cast(t).alias(f["name"]))
         else:

@@ -287,6 +287,11 @@ class Catalog:
         def mutate(meta):
             if old not in meta["tables"]:
                 return None  # concurrent writer finished the rename
+            if new in meta["tables"]:
+                # re-checked INSIDE the retry loop: a concurrent
+                # create_table(new) that won the version race must not
+                # be silently clobbered on our refresh-and-retry
+                raise ValueError(f"rename: table {new} exists")
             tables = dict(meta["tables"])
             tables[new] = tables.pop(old)
             return {**meta, "tables": tables}

@@ -191,20 +191,26 @@ def read_sql(
             else:
                 cols.append(f"CAST(NULL AS {dt}) AS {_q(f['name'])}")
         cols.append("_seq")
-        # pre-sort-column files read as _sort = 0 (format evolution)
-        cols.append(
-            "_sort" if _file_has_column(paths[0], "_sort")
-            else "CAST(0 AS BIGINT) AS _sort"
-        )
-        cols.append("_deleted")
-        src = "read_parquet([" + ", ".join(_lit_path(p) for p in sorted(paths)) + "])"
         where = ""
         if spanning and bset is not None:
             where = (
                 f" WHERE _bucket IN ({', '.join(str(b) for b in bset)})"
                 if bset else " WHERE FALSE"
             )
-        parts.append(f"SELECT {', '.join(cols)} FROM {src}{where}")
+        # pre-sort-column files read as _sort = 0 (format evolution) —
+        # checked PER FILE: old and new files may coexist within one
+        # schema version, and read_parquet over a mixed list would
+        # either error or mis-default the column
+        with_sort = {p for p in paths if _file_has_column(p, "_sort")}
+        for plist, sort_expr in (
+            (sorted(with_sort), "_sort"),
+            (sorted(set(paths) - with_sort), "CAST(0 AS BIGINT) AS _sort"),
+        ):
+            if not plist:
+                continue
+            gcols = [*cols, sort_expr, "_deleted"]
+            src = "read_parquet([" + ", ".join(_lit_path(p) for p in plist) + "])"
+            parts.append(f"SELECT {', '.join(gcols)} FROM {src}{where}")
 
     u = "\nUNION ALL BY NAME\n".join(parts)
     if has_delta:

@@ -572,10 +572,15 @@ class LakeTable:
                     f"read_changes range reversed: from {from_snapshot_id} > "
                     f"to {to_raw['id']}"
                 )
+        # TO side speaks the schema a reader of that state sees: an
+        # explicit snapshot pins its recorded schema; "current" means
+        # the CURRENT table schema (not the last snapshot's — a DDL
+        # with no data commit yet must still rename the feed's columns,
+        # matching read() and interop.changes_sql exactly)
         to_sv = (
-            to_raw.get("schema_version", self.metadata["schema_version"])
-            if to_raw is not None
-            else self.metadata["schema_version"]
+            self.metadata["schema_version"]
+            if to_snapshot_id is None or to_raw is None
+            else to_raw.get("schema_version", self.metadata["schema_version"])
         )
         fields_to = self.metadata["schemas"][str(to_sv)]
         by_id = {f["id"]: f["name"] for f in fields_to}
@@ -597,26 +602,31 @@ class LakeTable:
 
         if to_raw is None:
             return _empty()
+        from_files: list[dict] = []
         from_paths: set[str] = set()
         if from_snapshot_id is not None:
-            from_paths = {
-                f["path"]
-                for f in self._resolve_files(self._raw_snapshot(from_snapshot_id))
-            }
-        added = [
-            f for f in self._resolve_files(to_raw) if f["path"] not in from_paths
-        ]
-        if not added:
+            from_files = self._resolve_files(self._raw_snapshot(from_snapshot_id))
+            from_paths = {f["path"] for f in from_files}
+        to_files = self._resolve_files(to_raw)
+        to_paths = {f["path"] for f in to_files}
+        added = [f for f in to_files if f["path"] not in from_paths]
+        # REMOVED files matter too: a commit that only drops files
+        # (truncate, an overwrite shrinking the key set) still deletes
+        # every key those files held — deriving the touched buckets
+        # from added files alone would emit NO delete events for it
+        removed = [f for f in from_files if f["path"] not in to_paths]
+        if not added and not removed:
             return _empty()
+        touched = added + removed
         cur_spec = self.bucket_spec_id
         cur_n = self.num_buckets
         bset = {
             int(f["bucket"])
-            for f in added
+            for f in touched
             if f["bucket"] != -1 and self._entry_spec(f) == cur_spec
         }
         span_cur = [
-            f for f in added if f["bucket"] == -1 and self._entry_spec(f) == cur_spec
+            f for f in touched if f["bucket"] == -1 and self._entry_spec(f) == cur_spec
         ]
         if span_cur:  # spanning MoR deltas: read THEIR buckets only
             sp = self.spark.read.parquet(
@@ -630,7 +640,7 @@ class LakeTable:
         # files added under a FOREIGN spec (the range crosses a
         # rebucket): their current-spec buckets come from recomputing
         # the hash over just the bucket column (name per file schema)
-        rec = [f for f in added if self._entry_spec(f) != cur_spec]
+        rec = [f for f in touched if self._entry_spec(f) != cur_spec]
         by_sv: dict[int, list[str]] = {}
         for f in rec:
             by_sv.setdefault(f["schema_version"], []).append(
@@ -1441,6 +1451,10 @@ class LakeTable:
         resolved from the CURRENT metadata (refresh first)."""
         import glob as _glob
 
+        # reload metadata NOW: a long-lived handle's in-memory snapshot
+        # list may predate other writers' commits, and any file they
+        # committed since would look unreferenced — deleting live data
+        self.refresh()
         now = time.time()
         referenced: set[str] = set()
         for s in self.metadata["snapshots"]:

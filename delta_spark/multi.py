@@ -139,10 +139,32 @@ def _fused_mor_apply(
             ).alias("n_ddl"),
         )
 
+    # per-table admission predicate, shared by the staged WRITE and the
+    # metrics aggregation so the two can never disagree (a create_seq
+    # fence or per-table blacklist that drops rows from the write must
+    # drop them from the counts too)
+    fences = {t: max(-(1 << 62), catalog.create_seq(t)) for t in todo}
+    allowed_ops = {
+        t: [
+            o
+            for o in DML_OPS
+            if o not in expand_blacklist(op_blacklist, per_table_blacklists, t)
+        ]
+        for t in todo
+    }
+
+    def _admit(t):
+        return (
+            (F.col(table_col) == t)
+            & (F.col("seq") > fences[t])
+            & F.col("op").isin(allowed_ops[t])
+        )
+
     staging_root = os.path.join(
         catalog.root, "_staging", f"{writer_id}-{batch_id}-{_uuid.uuid4().hex[:8]}"
     )
     t0 = time.time()
+    n_in = batch.rdd.getNumPartitions()  # loop-invariant: one plan walk
     try:
         staged: dict[str, list[str]] = {}
         first_group = True
@@ -150,14 +172,8 @@ def _fused_mor_apply(
             parts = []
             for t in tables:
                 h = handles[t]
-                bl = expand_blacklist(op_blacklist, per_table_blacklists, t)
-                fence = max(-(1 << 62), catalog.create_seq(t))
                 src = guard_src if first_group else batch
-                sub = src.filter(
-                    (F.col(table_col) == t)
-                    & (F.col("seq") > fence)
-                    & F.col("op").isin([o for o in DML_OPS if o not in bl])
-                ).drop(table_col)
+                sub = src.filter(_admit(t)).drop(table_col)
                 sub = _apply_whitelist(
                     sub, h, (per_table_columns or {}).get(t), sort_key_col
                 )
@@ -179,7 +195,6 @@ def _fused_mor_apply(
             fused = parts[0]
             for p in parts[1:]:
                 fused = fused.unionByName(p)
-            n_in = batch.rdd.getNumPartitions()
             if n_in > 1:
                 # same spanning-file throttle as _write_data_spanning:
                 # fewer, bigger delta files amortize the read-time fold
@@ -198,11 +213,14 @@ def _fused_mor_apply(
                     glob.glob(os.path.join(d, "*.parquet"))
                 )
 
-        # per-table metrics in ONE aggregation job over the cached batch
+        # per-table metrics in ONE aggregation job over the cached
+        # batch, admitted by the SAME per-table predicate as the write
+        import functools
+        import operator as _op
+
         mdf = (
             batch.filter(
-                F.col(table_col).isin(list(todo))
-                & F.col("op").isin(list(DML_OPS))
+                functools.reduce(_op.or_, [_admit(t) for t in todo])
             )
             .groupBy(table_col)
             .agg(

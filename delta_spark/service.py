@@ -249,14 +249,20 @@ class DiagnosticsService:
 
         class Handler(BaseHTTPRequestHandler):
             def _reply(self, method):
-                body = None
+                body, status, payload = None, None, None
                 if method == "POST":
                     n = int(self.headers.get("Content-Length") or 0)
-                    body = json.loads(self.rfile.read(n) or b"{}")
-                try:
-                    status, payload = svc.handle(method, self.path, body)
-                except Exception as e:  # keep the connection answering
-                    status, payload = 500, {"error": repr(e)}
+                    try:
+                        body = json.loads(self.rfile.read(n) or b"{}")
+                    except json.JSONDecodeError as e:
+                        # a malformed body must get an HTTP answer, not
+                        # kill the connection with a server-side raise
+                        status, payload = 400, {"error": f"bad JSON body: {e}"}
+                if status is None:
+                    try:
+                        status, payload = svc.handle(method, self.path, body)
+                    except Exception as e:  # keep the connection answering
+                        status, payload = 500, {"error": repr(e)}
                 data = json.dumps(payload).encode()
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")

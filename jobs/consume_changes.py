@@ -83,7 +83,13 @@ def consume_once(spark, table_path: str, out_dir: str, offset_file: str) -> int:
     _drop_stale_partials(out_dir, last)
     try:
         changes = t.read_changes(last, cur)
-    except ValueError:  # offset expired: resync from the beginning
+    except ValueError:
+        # offset expired: a from-the-beginning read emits only INSERTS
+        # (no tombstones for keys deleted since the lost offset), so
+        # appending it after the old partitions would leave those keys
+        # live downstream forever — a resync must REBOOTSTRAP: drop the
+        # whole feed and restart it from the current full state
+        _drop_stale_partials(out_dir, None)
         changes = t.read_changes(None, cur)
     n = changes.count()
     if n:

@@ -307,3 +307,29 @@ def test_post_rename_events_use_new_name(spark, tmp_path):
     apply_batch(t, legacy, "w1", "b2")
     rows = {r["turn_idx"]: r["tool_name"] for r in t.read().collect()}
     assert rows[3] == "curl"
+
+
+def test_rewrite_chained_rename_name_collision(spark, tmp_path):
+    """Chained renames where one field's CURRENT name equals another
+    field's ORIGINAL name (v0 (text, tool); tool->aux then text->tool):
+    a batch addressing pure current names {tool, aux} must map each
+    column to itself — the coverage sniff must not fall back to the v0
+    map just because 'tool' also hits it."""
+    from delta_spark.apply import _rewrite_to_current
+    from delta_spark.lake import LakeTable
+    from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        "conv_id", 4,
+    )
+    t.apply_ddl({"op": "RENAME_COLUMN", "column": "tool", "new_name": "aux"})
+    t.apply_ddl({"op": "RENAME_COLUMN", "column": "text", "new_name": "tool"})
+    batch = spark.createDataFrame(
+        [("c1", 0, "user", "TEXTVAL", "AUXVAL", None, "INSERT", 1)],
+        "conv_id string, turn_idx int, role string, tool string, aux string, "
+        "ts timestamp, op string, seq long",
+    )
+    row = _rewrite_to_current(batch, t).collect()[0]
+    assert row["tool"] == "TEXTVAL"  # current 'tool' (was text) from batch col tool
+    assert row["aux"] == "AUXVAL"    # current 'aux' (was tool) from batch col aux

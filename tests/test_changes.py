@@ -241,3 +241,42 @@ def test_changes_sql_matches_engine(spark, tmp_path):
     assert_pdf_equal(
         all_eng.sort_index(axis=1), all_duck.sort_index(axis=1), key
     )
+
+
+def test_changes_removal_only_commit_emits_deletes(spark, tmp_path):
+    """A commit that only REMOVES files (truncate = empty snapshot)
+    still deletes every key — the touched-bucket derivation must
+    consider removed files, not just added ones."""
+    t = _mk(spark, str(tmp_path / "t"), n=12)
+    sid = t.metadata["current_snapshot_id"]
+    t._commit_snapshot([], {"operation": "truncate"})
+    ch = t.read_changes(sid).toPandas()
+    assert len(ch) == 12
+    assert set(ch["_change_type"]) == {"delete"}
+    assert set(ch["conv_id"]) == {f"c{i}" for i in range(12)}
+    # parity: the Spark-free SQL formulation agrees
+    import duckdb
+
+    from conftest import assert_pdf_equal
+    from delta_spark.lake.interop import changes_sql
+
+    duck = duckdb.sql(
+        changes_sql(str(tmp_path / "t"), sid, t.metadata["current_snapshot_id"])
+    ).df()
+    assert_pdf_equal(
+        ch.sort_index(axis=1), duck.sort_index(axis=1), ["conv_id", "turn_idx"]
+    )
+
+
+def test_changes_ddl_without_data_commit_uses_current_names(spark, tmp_path):
+    """A rename DDL with NO data commit after it: the current-state
+    change feed must speak the CURRENT schema (matching read() and
+    changes_sql), not the last snapshot's."""
+    t = _mk(spark, str(tmp_path / "t"), n=6)
+    sid = t.metadata["current_snapshot_id"]
+    t.apply_ddl({"op": "RENAME_COLUMN", "column": "text", "new_name": "body"})
+    cols = set(t.read_changes(sid).columns)
+    assert "body" in cols and "text" not in cols
+    from delta_spark.lake.interop import changes_sql
+
+    assert '"body"' in changes_sql(str(tmp_path / "t"), sid)

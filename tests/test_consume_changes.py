@@ -101,3 +101,33 @@ def test_consumer_drops_stale_partial_partition(spark, tmp_path):
     assert feed.count() == 6
     assert cc._read_offset(off) == t.metadata["current_snapshot_id"]
     assert sid0 < cc._read_offset(off)
+
+def test_consumer_expired_offset_rebootstraps(spark, tmp_path):
+    """An expired offset can't be diffed — and a from-the-beginning
+    read emits only inserts (no tombstones for keys deleted since),
+    so the consumer must REBOOTSTRAP: wipe the feed and restart it
+    from the current full state, never append inserts over stale
+    partitions that still expose deleted keys."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        "conv_id", 4,
+    )
+    out = str(tmp_path / "cdc")
+    off = os.path.join(out, "_consumer_offset.json")
+    os.makedirs(out)
+
+    def batch(rows, bid):
+        t.merge(spark.createDataFrame(rows, DDL), "w", bid)
+
+    batch([(f"c{i}", 0, "user", f"v{i}", "", TS, "INSERT", i + 1) for i in range(5)], "b0")
+    assert cc.consume_once(spark, t.path, out, off) == 5
+    # delete c1, then expire history so the consumer's offset is gone
+    batch([("c1", 0, None, None, None, None, "DELETE", 100)], "b1")
+    batch([("c2", 0, "user", "v2b", "", TS, "UPDATE", 101)], "b2")
+    t.expire_snapshots(keep_last=1)
+    n = cc.consume_once(spark, t.path, out, off)
+    assert n == 4  # full rebootstrap: the 4 live keys
+    feed = spark.read.parquet(out)
+    assert feed.count() == 4  # old partitions wiped — c1 not exposed
+    assert set(r["conv_id"] for r in feed.collect()) == {"c0", "c2", "c3", "c4"}
+    assert cc.consume_once(spark, t.path, out, off) == 0

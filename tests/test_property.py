@@ -67,3 +67,88 @@ def test_merge_equals_oracle_property(
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@given(
+    seed=st.integers(0, 2**20),
+    n_events=st.integers(60, 400),
+    n_convs=st.integers(2, 30),
+    n_batches=st.integers(2, 5),
+    mode=st.sampled_from(["cow", "mor", "auto"]),
+    rebucket_to=st.sampled_from([None, 3, 16]),
+    data=st.data(),
+)
+@settings(max_examples=8, deadline=None)
+def test_read_changes_equals_state_diff_property(
+    spark, seed, n_events, n_convs, n_batches, mode, rebucket_to, data
+):
+    """Property: for ANY merge history (random batch splits, CoW/MoR,
+    optional mid-history rebucket + compact) and ANY retained snapshot
+    pair (a, b), read_changes(a, b) equals the brute-force diff of the
+    two time-travel reads — same keys, same classification, same
+    payloads, and applying the feed to state(a) reproduces state(b)."""
+    import pandas as pd
+
+    log = generate_changelog(
+        ChangelogSpec(
+            n_events=n_events, n_convs=n_convs, seed=seed, include_ddl=False
+        )
+    )
+    d = tempfile.mkdtemp(prefix="prop_ch_")
+    try:
+        t = LakeTable.create(
+            spark, f"{d}/t", TRANSCRIPT_SCHEMA,
+            ["conv_id", "turn_idx"], "conv_id", 4,
+        )
+        bounds = [round(i * len(log) / n_batches) for i in range(n_batches + 1)]
+        for i in range(n_batches):
+            chunk = log.iloc[bounds[i]:bounds[i + 1]]
+            if not chunk.empty:
+                t.merge(
+                    spark.createDataFrame(chunk[COLS], DDL), "w", f"b{i}", mode=mode
+                )
+            if rebucket_to and i == n_batches // 2:
+                t.rebucket(rebucket_to)
+                t.compact(max_files_per_bucket=1)
+        sids = [s["id"] for s in t.metadata["snapshots"]]
+        if len(sids) < 2:
+            return
+        a = data.draw(st.sampled_from(sids[:-1]), label="from_sid")
+        b = data.draw(st.sampled_from([s for s in sids if s > a]), label="to_sid")
+
+        key = ["conv_id", "turn_idx"]
+        sa = t.read(snapshot_id=a, include_system=True).toPandas()
+        sb = t.read(snapshot_id=b, include_system=True).toPandas()
+        sa_live = sa[~sa._deleted].set_index(key)
+        sb_live = sb[~sb._deleted].set_index(key)
+        feed = t.read_changes(a, b).toPandas().set_index(key)
+
+        ins = set(sb_live.index) - set(sa_live.index)
+        dels = set(sa_live.index) - set(sb_live.index)
+        both = set(sa_live.index) & set(sb_live.index)
+        upd = {
+            k for k in both
+            if sa_live.loc[k, "_seq"] != sb_live.loc[k, "_seq"]
+            or (sa_live.loc[k, "_sort"] != sb_live.loc[k, "_sort"])
+        }
+        assert set(feed.index[feed._change_type == "insert"]) == ins
+        assert set(feed.index[feed._change_type == "delete"]) == dels
+        assert set(feed.index[feed._change_type == "update"]) == upd
+        # payloads: inserts/updates carry state(b); deletes carry state(a)
+        for k in ins | upd:
+            assert feed.loc[k, "text"] == sb_live.loc[k, "text"], k
+        for k in dels:
+            assert feed.loc[k, "text"] == sa_live.loc[k, "text"], k
+        # applying the feed onto state(a) reproduces state(b)
+        applied = sa_live.drop(
+            index=[k for k in feed.index if k in sa_live.index]
+        )
+        live_feed = feed[feed._change_type != "delete"]
+        applied = pd.concat(
+            [applied[["text"]], live_feed[["text"]]]
+        ).sort_index()
+        pd.testing.assert_frame_equal(
+            applied, sb_live[["text"]].sort_index(), check_dtype=False
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
