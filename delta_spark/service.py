@@ -136,10 +136,24 @@ class DiagnosticsService:
             "key_cols": [by_id[i] for i in m["key_ids"]],
             "bucket_col": by_id[m["bucket_id"]],
             "num_buckets": m["num_buckets"],
+            "bucket_spec_id": m.get("bucket_spec_id", 0),
+            "bucket_specs": m.get("bucket_specs", {"0": m["num_buckets"]}),
+            # files still on a pre-rebucket spec (migrated by compact)
+            "foreign_spec_files": self._foreign_spec_files(m, path),
             "snapshots": len(snaps),
             "current_snapshot_id": m["current_snapshot_id"],
             "last_commit": snaps[-1]["summary"] if snaps else None,
         }
+
+    @staticmethod
+    def _foreign_spec_files(m: dict, path: str) -> int:
+        from .lake.interop import resolve_snapshot
+
+        snap = resolve_snapshot(m, path)
+        if snap is None:
+            return 0
+        cur_spec = int(m.get("bucket_spec_id", 0))
+        return sum(1 for f in snap["files"] if int(f.get("spec", 0)) != cur_spec)
 
     @staticmethod
     def _offsets(meta: dict, writer: str | None) -> dict:

@@ -234,3 +234,32 @@ def test_pipeline_rebucket_mid_stream_equivalent(spark, tmp_path):
     plain = run("plain", split=False)
     rebkt = run("rebkt", split=True)
     assert_pdf_equal(rebkt, plain, ["conv_id", "turn_idx"])
+
+
+def test_changes_sql_parity_across_rebucket(spark, tmp_path):
+    """The Spark-free changes_sql full-diffs both snapshots (it never
+    bucket-prunes), so it must agree with the engine's bucket-pruned
+    read_changes even when the range crosses a bucket-spec change."""
+    from delta_spark.lake.interop import changes_sql
+
+    t = _mk(spark, str(tmp_path / "t"), n=25, buckets=4)
+    sid_a = t.metadata["current_snapshot_id"]
+    t.rebucket(16)
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("c1", 0, "user", "v2", "", TS, "UPDATE", 900),
+                ("c2", 0, None, None, None, None, "DELETE", 901),
+                ("n1", 0, "user", "new", "", TS, "INSERT", 902),
+            ],
+            DDL,
+        ),
+        "w", "b1", mode="mor",
+    )
+    t.compact(max_files_per_bucket=1)
+    sid_b = t.metadata["current_snapshot_id"]
+    eng = t.read_changes(sid_a, sid_b).toPandas()
+    duck = duckdb.sql(changes_sql(str(tmp_path / "t"), sid_a, sid_b)).df()
+    assert_pdf_equal(
+        eng.sort_index(axis=1), duck.sort_index(axis=1), ["conv_id", "turn_idx"]
+    )
