@@ -329,6 +329,40 @@ ALL_ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(i / (sa.n_sh + sb.n_sh - i), 4) >= 0.4
     """,
+    # transitive closure over the verified-duplicate edge set: DuckDB's
+    # recursive CTE floods every member id through the component; the
+    # min per vertex is exactly the engine's min-label fixpoint
+    "neardup_clusters": _MINHASH_SIGS.replace("WITH ", "WITH RECURSIVE ", 1) + """
+        , e AS (
+          SELECT doc_id, 0 AS band, mh0::VARCHAR || ':' || mh1::VARCHAR AS bh FROM sigs
+          UNION ALL
+          SELECT doc_id, 1 AS band, mh2::VARCHAR || ':' || mh3::VARCHAR AS bh FROM sigs),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM e l JOIN e r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+        shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM shd a
+          JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+          JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+          GROUP BY 1, 2),
+        verified AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(i / (sa.n_sh + sb.n_sh - i), 4) >= 0.4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM verified),
+        reach(v, l) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT g.dst, r.l FROM reach r JOIN edges g ON g.src = r.v)
+        SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
+    """,
     "simhash16": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
         tok AS (SELECT DISTINCT doc_id, t FROM toks, unnest(w) AS u(t)),

@@ -321,6 +321,26 @@ def ngram_jaccard_dups(spark, sf_dir):
     )
 
 
+def neardup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS — the step a training-data pipeline
+    actually acts on (keep one doc per cluster): LSH proposes candidate
+    pairs, exact n-gram Jaccard verifies them, and connected components
+    (min-label propagation over the verified edge list) groups
+    transitive duplicates. cluster_id = smallest doc_id in the cluster.
+    At 100 TB the edge list is a tiny fraction of the corpus, so the
+    iterative step shuffles edges, never documents."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = neardup.minhash_signatures(d, "doc_id", "text", num_hashes=4, k=3)
+    cand = neardup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=2)
+    verified = neardup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.4, candidates=cand
+    )
+    return (
+        neardup.connected_components(verified)
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+    )
+
+
 def simhash16(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return neardup.simhash(d, "doc_id", "text", bits=16)
@@ -861,6 +881,7 @@ ALL_QUERIES = {
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_dups": ngram_jaccard_dups,
+    "neardup_clusters": neardup_clusters,
     "simhash16": simhash16,
     "lang_id": lang_id,
     "text_quality": text_quality,

@@ -152,3 +152,56 @@ def test_read_changes_equals_state_diff_property(
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@given(
+    seed=st.integers(0, 2**20),
+    n_events=st.integers(80, 400),
+    n_convs=st.integers(2, 30),
+    n_batches=st.integers(1, 4),
+    mode=st.sampled_from(["cow", "mor", "auto"]),
+)
+@settings(max_examples=6, deadline=None)
+def test_apply_batch_with_ddl_equals_oracle_property(
+    spark, seed, n_events, n_convs, n_batches, mode
+):
+    """Property: the FULL apply path (DDL-boundary sub-batches, schema
+    evolution mid-stream, rename rewrite, lineage) over an arbitrary
+    DDL-bearing changelog in arbitrary micro-batch splits equals the
+    pandas oracle — the apply machinery, not just the merge algebra."""
+    from delta_spark.apply import apply_batch
+
+    log = generate_changelog(
+        ChangelogSpec(
+            n_events=n_events, n_convs=n_convs, seed=seed, include_ddl=True
+        )
+    )
+    d = tempfile.mkdtemp(prefix="prop_ddl_")
+    try:
+        t = LakeTable.create(
+            spark, f"{d}/t", TRANSCRIPT_SCHEMA,
+            ["conv_id", "turn_idx"], "conv_id", 8,
+        )
+        cols = [c for c in log.columns]
+        bounds = [round(i * len(log) / n_batches) for i in range(n_batches + 1)]
+        for i in range(n_batches):
+            chunk = log.iloc[bounds[i]:bounds[i + 1]]
+            if chunk.empty:
+                continue
+            apply_batch(
+                t,
+                spark.createDataFrame(chunk[cols]),
+                writer_id="w",
+                batch_id=f"b{i}",
+                merge_mode=mode,
+            )
+        got = t.refresh().read().toPandas()
+        want = oracle_apply(log)
+        assert sorted(got.columns) == sorted(want.columns)
+        assert_pdf_equal(
+            got.sort_index(axis=1),
+            want.sort_index(axis=1),
+            ["conv_id", "turn_idx"],
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -238,3 +238,20 @@ def test_media_frame_sample_plan(spark):
         idx = list(r["frame_indices"])
         assert idx == list(range(0, max(n - 1, 0) + 1, 10))  # stride + clamp
         assert idx[-1] <= n - 1 or n == 0
+
+
+def test_connected_components_transitive_and_multi(spark):
+    """Min-label propagation: a 4-chain (1-2, 2-3, 3-4) collapses to
+    ONE cluster labeled by its smallest id even though (1,4) never
+    shared an LSH band; disjoint components keep separate labels."""
+    from delta_spark.functions.neardup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
