@@ -281,3 +281,39 @@ def test_progress_logger_persists_stats(spark, tmp_path):
         assert sum(r["numInputRows"] for r in rows) >= len(raw)
     finally:
         spark.streams.removeListener(lst)
+
+
+def test_stream_kill_rebucket_resume(spark, tmp_path):
+    """Kill mid-stream, REBUCKET while down (4 → 16, metadata-only),
+    resume from the same checkpoint: replayed epochs hit their markers,
+    the tail lands under the new spec, the final state is exact, and a
+    follow-up compact migrates every pre-rebucket file without changing
+    the data."""
+    spec = ChangelogSpec(n_events=2500, n_convs=40, seed=29, n_files=8)
+    raw, cfg = _mk(spark, tmp_path, spec, max_files_per_trigger=2, num_buckets=4)
+
+    p1 = Pipeline(spark, cfg)
+    q = p1.run_stream(available_now=True)
+    while not p1.stats:
+        q.awaitTermination(1)
+    q.stop()
+    q.awaitTermination(60)
+    assert len(p1.stats) < 4  # genuinely mid-stream
+
+    t = LakeTable.load(spark, cfg.table_path)
+    assert t.rebucket(16) is True
+
+    p2 = Pipeline(spark, cfg)  # same generation -> same checkpoint+writer
+    p2.run_stream_to_completion()
+    t = LakeTable.load(spark, cfg.table_path)
+    want = oracle_apply(raw)
+    assert_pdf_equal(t.read().toPandas(), want, ["conv_id", "turn_idx"])
+    # no double-applied epoch
+    batch_ids = [s["batch-id"] for s in t.snapshot_summaries() if "batch-id" in s]
+    assert len(batch_ids) == len(set(batch_ids))
+    # both specs present (old base + new-spec tail), then compact migrates
+    specs = {t._entry_spec(f) for f in t.current_snapshot["files"]}
+    assert specs == {0, 1}
+    t.compact(max_files_per_bucket=1)
+    assert {t._entry_spec(f) for f in t.current_snapshot["files"]} == {1}
+    assert_pdf_equal(t.read().toPandas(), want, ["conv_id", "turn_idx"])
