@@ -123,17 +123,23 @@ print(round(time.time()-t0,1))
 
 
 def fit_per_level(points: dict[int, dict[int, float]], n_lo: int, n_hi: int):
-    """Per-level linear model T_c(E) = a_c + b_c·E from the two input
-    sizes (exactly determined; noise already reduced by interleaved
-    best-of-N). a_c = per-run fixed seconds (JVM/scan setup, driver
-    commits); b_c = marginal seconds/event. The MARGINAL efficiency
-    (b_lo / b_hi) / (n_hi / n_lo) removes every fixed cost and is the
-    number that survives to a long-running 10^10-event replay."""
-    e1, e2 = sorted(points)
+    """Per-level linear model T_c(E) = a_c + b_c·E, least-squares over
+    every measured input size (2 sizes → exactly determined; noise
+    already reduced by interleaved best-of-N). a_c = per-run fixed
+    seconds (JVM/scan setup, driver commits); b_c = marginal
+    seconds/event. The MARGINAL efficiency (b_lo / b_hi) / (n_hi / n_lo)
+    removes every fixed cost and is the number that survives to a
+    long-running 10^10-event replay."""
+    es = sorted(points)
     fit = {}
     for c in (n_lo, n_hi):
-        b = (points[e2][c] - points[e1][c]) / (e2 - e1)
-        a = points[e1][c] - b * e1
+        ys = [points[e][c] for e in es]
+        n = len(es)
+        mx = sum(es) / n
+        my = sum(ys) / n
+        sxx = sum((x - mx) ** 2 for x in es)
+        b = sum((x - mx) * (y - my) for x, y in zip(es, ys)) / sxx
+        a = my - b * mx
         fit[c] = {"a": max(0.0, a), "b": max(1e-12, b)}
     return fit
 

@@ -77,6 +77,53 @@ def _type_of(name: str) -> T.DataType:
         return T.StructType.fromDDL(f"x {name}")[0].dataType
 
 
+def _stat_encode(type_str: str, v):
+    """Encode a column value (parquet-footer statistic or user-supplied
+    range bound) into the JSON-safe, totally-ordered domain manifests
+    store stats in: ints/floats as-is, strings as-is (dropped when
+    > 256 chars — an over-long bound can't be stored compactly and a
+    missing stat only disables skipping, never correctness), timestamps
+    as epoch-MICROS ints. Returns None for values that can't be
+    bounded (the file is then never skipped on this column)."""
+    if v is None:
+        return None
+    import datetime
+
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except Exception:
+            return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return (v - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+            microseconds=1
+        )
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v if len(v) <= 256 else None
+    return None
+
+
+def _stats_exclude(st, lo, hi) -> bool:
+    """True iff a file whose [min, max] is ``st`` can hold NO value in
+    [lo, hi] (either bound may be None = open). Any doubt → False."""
+    if not st or st[0] is None or st[1] is None:
+        return False
+    try:
+        if hi is not None and st[0] > hi:
+            return True
+        if lo is not None and st[1] < lo:
+            return True
+    except TypeError:  # mixed-type comparison: never skip
+        return False
+    return False
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, path: str, metadata: dict):
         self.spark = spark
@@ -93,6 +140,7 @@ class LakeTable:
         key_cols: list[str],
         bucket_col: str | None = None,
         num_buckets: int = 16,
+        stats_cols: list[str] | None = None,
     ) -> "LakeTable":
         os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -101,12 +149,18 @@ class LakeTable:
             for i, f in enumerate(schema.fields)
         ]
         name_to_id = {f["name"]: f["id"] for f in fields}
+        key_ids = [name_to_id[c] for c in key_cols]
+        stat_ids = list(key_ids)
+        for c in stats_cols or ():
+            if name_to_id[c] not in stat_ids:
+                stat_ids.append(name_to_id[c])
         meta = {
             "format_version": 1,
             "table_uuid": str(uuid.uuid4()),
             "version": 0,
             "num_buckets": num_buckets,
-            "key_ids": [name_to_id[c] for c in key_cols],
+            "key_ids": key_ids,
+            "stats_ids": stat_ids,
             "bucket_id": name_to_id[bucket_col or key_cols[0]],
             "schema_version": 0,
             "schemas": {"0": fields},
@@ -255,6 +309,13 @@ class LakeTable:
     def bucket_expr(self, col: str | None = None):
         return F.pmod(F.xxhash64(F.col(col or self.bucket_col)), F.lit(self.num_buckets))
 
+    @property
+    def stats_ids(self) -> list[int]:
+        """Field ids whose per-file min/max go into manifest entries
+        (Iceberg column bounds analog; keyed by id so stats survive
+        renames). Pre-stats tables default to the key columns."""
+        return self.metadata.get("stats_ids", self.metadata["key_ids"])
+
     # ------------------------------------------------------ snapshots
     #
     # Split manifests (Iceberg's manifest lists, rebuilt): a snapshot
@@ -399,12 +460,24 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_system: bool = False,
         snapshot_id: int | None = None,
+        ranges: dict[str, tuple] | None = None,
         _align_schema_version: int | None = None,
     ) -> DataFrame:
         """Read the current snapshot (optionally pruned to buckets),
         aligned to the current schema. Files written under older schema
         versions are aligned by column id: renamed columns re-aliased,
         widened columns cast, added columns filled with NULL.
+
+        ``ranges`` maps column name → (lo, hi) inclusive bounds (either
+        side None = open): rows outside every range are excluded, and —
+        the scale point — files whose manifest min/max stats exclude the
+        range are SKIPPED driver-side without being opened (Iceberg
+        column-bounds pruning). Key-column ranges also push into the
+        parquet scan pre-fold (row-group skipping inside kept files,
+        tight after a sorted ``compact``). Non-key ranges are applied
+        AFTER the MoR fold — an updated row is judged by its LATEST
+        value — so their file-skip is only taken on delta-free
+        snapshots, where one file row = one live row.
 
         System columns ``_seq`` (version guard) and ``_deleted``
         (tombstone) are stored in every data file; default reads hide
@@ -451,8 +524,32 @@ class LakeTable:
             #     compact() migrates them)
             bset = set(buckets)
         return self._scan_entries(
-            files, cur, bset=bset, include_system=include_system
+            files, cur, bset=bset, include_system=include_system, ranges=ranges
         )
+
+    def lookup(self, values: list) -> DataFrame:
+        """Point lookup by bucket-column value(s): bucket-hash file
+        pruning + manifest-stats file skipping + exact row filter — the
+        touched file count is O(len(values)), independent of table
+        size (a 100 TB table answers a conv_id lookup from a handful of
+        files, planned entirely driver-side from the manifest)."""
+        if not values:
+            return self.spark.createDataFrame([], self.schema)
+        values = list(values)
+        bcol = self.bucket_col
+        btype = next(f["type"] for f in self.fields if f["name"] == bcol)
+        vdf = self.spark.createDataFrame(
+            [(v,) for v in values],
+            T.StructType([T.StructField(bcol, _type_of(btype))]),
+        )
+        buckets = [
+            r[0]
+            for r in vdf.select(self.bucket_expr().alias("b")).distinct().collect()
+        ]
+        out = self.read(
+            buckets=buckets, ranges={bcol: (min(values), max(values))}
+        )
+        return out.filter(F.col(bcol).isin(values))
 
     def _scan_entries(
         self,
@@ -461,12 +558,20 @@ class LakeTable:
         bset: set[int] | None = None,
         include_system: bool = False,
         exclude_foreign: bool = False,
+        ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Scan manifest entries aligned to the ``cur`` field list,
         applying the key-predicate row filters ``read`` documents.
         ``exclude_foreign`` drops foreign-spec per-bucket files from the
         scan entirely (the CoW merge reads those separately, WHOLE —
-        they are being replaced, so row-filtering them would lose rows)."""
+        they are being replaced, so row-filtering them would lose rows).
+        ``ranges`` prunes as ``read`` documents: manifest-stats file
+        skip (key columns always — every version of a key shares its
+        value, so dropping out-of-range files drops only out-of-range
+        keys; non-key columns only when the snapshot holds no delta
+        files, since a base row may be superseded by a delta row whose
+        value re-enters the range), key-range row filters pre-fold,
+        non-key row filters post-fold."""
         cur_spec = self.bucket_spec_id
         cur_n = self.num_buckets
         bname = self._bucket_name_in(cur)
@@ -486,6 +591,34 @@ class LakeTable:
                 or self._entry_spec(f) != cur_spec
                 or f["bucket"] in bset
             ]
+        pre_filters = []
+        post_filters = []
+        if ranges:
+            by_name = {f["name"]: f for f in cur}
+            key_ids = set(self.metadata["key_ids"])
+            has_delta_any = any(f.get("kind") == "delta" for f in files)
+            for colname, (lo, hi) in ranges.items():
+                fld = by_name.get(colname)
+                if fld is None:
+                    raise ValueError(f"range column {colname!r} not in schema")
+                lo_e = _stat_encode(fld["type"], lo)
+                hi_e = _stat_encode(fld["type"], hi)
+                is_key = fld["id"] in key_ids
+                if is_key or not has_delta_any:
+                    fid = str(fld["id"])
+                    files = [
+                        f
+                        for f in files
+                        if not _stats_exclude(f.get("stats", {}).get(fid), lo_e, hi_e)
+                    ]
+                cond = None
+                c = F.col(colname)
+                if lo is not None:
+                    cond = c >= F.lit(lo)
+                if hi is not None:
+                    cond = (c <= F.lit(hi)) if cond is None else cond & (c <= F.lit(hi))
+                if cond is not None:
+                    (pre_filters if is_key else post_filters).append(cond)
         # group by (schema_version, spanning?, spec) — spanning files
         # carry a physical _bucket column used for row-level pruning
         by_sv: dict[tuple[int, bool, int], list[str]] = {}
@@ -524,6 +657,8 @@ class LakeTable:
                         [int(b) for b in bset]
                     )
                 )
+            for cond in pre_filters:  # key ranges: exact pre-fold
+                part = part.filter(cond)
             parts.append(part)
         out = parts[0]
         for p in parts[1:]:
@@ -536,6 +671,8 @@ class LakeTable:
             by_id = {f["id"]: f["name"] for f in cur}
             keys = [by_id[i] for i in self.metadata["key_ids"]]
             out = lww_collapse(out, keys, "_seq", sort_cols=("_sort",))
+        for cond in post_filters:  # non-key ranges: judge the LATEST value
+            out = out.filter(cond)
         if not include_system:
             out = out.filter(~F.col("_deleted")).drop("_seq", "_sort", "_deleted")
         return out
@@ -761,43 +898,78 @@ class LakeTable:
 
     def _write_data(
         self, df: DataFrame, snap_tag: str, kind: str = "base",
-        read_footers: bool | None = None,
+        read_footers: bool | None = None, sort_by: list[str] | None = None,
     ) -> list[dict]:
         """Write df (which must carry ``_bucket``) as one parquet
         directory per bucket under data/<snap_tag>/; returns manifest
         entries. repartition by _bucket keeps each output file inside a
         single bucket; partitionBy splits hash-colliding buckets.
+        ``sort_by`` additionally orders rows inside each file (after the
+        bucket repartition — no extra shuffle): sorted files get tight
+        parquet row-group statistics, so key-predicate reads skip row
+        groups inside the files the manifest stats couldn't skip.
 
-        ``read_footers`` controls the per-file row-count stat (parquet
-        footer read). Defaults on for base files, OFF for delta files —
-        the streaming hot path must not pay a serial driver-side file
-        open per bucket per micro-batch (on a real cluster counts come
-        from task commit messages)."""
+        ``read_footers`` controls the per-file stats (row count +
+        min/max of the ``stats_ids`` columns — Iceberg column bounds).
+        Defaults on for base files, OFF for delta files — the streaming
+        hot path must not pay a serial driver-side file open per bucket
+        per micro-batch (on a real cluster these come from task commit
+        messages)."""
         out_dir = os.path.join(self.path, "data", snap_tag)
         n_parts = max(1, df.sparkSession.sparkContext.defaultParallelism)
-        (
-            df.repartition(n_parts, "_bucket")
-            .write.mode("errorifexists")
-            .partitionBy("_bucket")
-            .parquet(out_dir)
-        )
+        part = df.repartition(n_parts, "_bucket")
+        if sort_by:
+            part = part.sortWithinPartitions("_bucket", *sort_by)
+        part.write.mode("errorifexists").partitionBy("_bucket").parquet(out_dir)
         if read_footers is None:
             read_footers = kind == "base"
         paths = sorted(glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet")))
         rows_of: dict[str, int | None] = dict.fromkeys(paths)
+        stats_of: dict[str, dict] = {p: {} for p in paths}
         if read_footers and paths:
             from concurrent.futures import ThreadPoolExecutor
 
             import pyarrow.parquet as pq
 
+            sv_fields = {f["id"]: f for f in self.fields}
+            stat_fields = [
+                (str(i), sv_fields[i]["name"], sv_fields[i]["type"])
+                for i in self.stats_ids
+                if i in sv_fields
+            ]
+
             def _rows(p):
                 try:
-                    return p, pq.ParquetFile(p).metadata.num_rows
+                    md = pq.ParquetFile(p).metadata
+                    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                    stats = {}
+                    for fid, name, typ in stat_fields:
+                        if name not in idx:
+                            continue
+                        mn = mx = None
+                        ok = True
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(idx[name]).statistics
+                            if st is None or not st.has_min_max:
+                                ok = False
+                                break
+                            lo = _stat_encode(typ, st.min)
+                            hi = _stat_encode(typ, st.max)
+                            if lo is None or hi is None:
+                                ok = False
+                                break
+                            mn = lo if mn is None else min(mn, lo)
+                            mx = hi if mx is None else max(mx, hi)
+                        if ok and mn is not None:
+                            stats[fid] = [mn, mx]
+                    return p, md.num_rows, stats
                 except Exception:
-                    return p, None
+                    return p, None, {}
 
             with ThreadPoolExecutor(min(16, len(paths))) as ex:
-                rows_of.update(ex.map(_rows, paths))
+                for p, rows, stats in ex.map(_rows, paths):
+                    rows_of[p] = rows
+                    stats_of[p] = stats
         sv = self.metadata["schema_version"]
         spec = self.bucket_spec_id
         entries = []
@@ -811,6 +983,7 @@ class LakeTable:
                     "rows": rows_of[p],
                     "kind": kind,
                     **({"spec": spec} if spec else {}),
+                    **({"stats": stats_of[p]} if stats_of[p] else {}),
                 }
             )
         return entries
@@ -1565,7 +1738,11 @@ class LakeTable:
         data = self.read(buckets=crowded, include_system=True).withColumn(
             "_bucket", self.bucket_expr()
         )
-        files_new = self._write_data(data, f"compact-{uuid.uuid4().hex[:12]}")
+        # sort within files by key: tight parquet row-group stats, so
+        # key-range reads skip row groups (Iceberg sort-order rewrite)
+        files_new = self._write_data(
+            data, f"compact-{uuid.uuid4().hex[:12]}", sort_by=self.key_cols
+        )
         kept = [
             f for f in cur["files"]
             if f["bucket"] != -1

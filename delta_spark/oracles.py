@@ -171,6 +171,27 @@ ALL_ORACLES: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
             AND NOT del
     """,
+    # stats-pruned scan: same LWW state, then the two range predicates
+    # applied to the LATEST row (tombstones already excluded) — exactly
+    # what read(ranges=) computes via file skip + pre/post-fold filters
+    "stats_pruned_scan": """
+        WITH log AS (
+            SELECT 'c' || user_id AS conv_id,
+                   CAST(event_id % 20 AS INT) AS turn_idx,
+                   event_type AS role, props AS text,
+                   CAST(NULL AS VARCHAR) AS tool, ts,
+                   event_id AS seq,
+                   (event_type = 'error') AS del
+            FROM events)
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM (
+            SELECT * FROM log
+            QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
+                AND NOT del
+        )
+        WHERE conv_id >= 'c2' AND conv_id <= 'c5'
+          AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+    """,
     # rebucket must be invisible to readers: the two-phase replay with
     # a mid-run bucket-spec change answers to the SAME LWW oracle as
     # the single-shot replay

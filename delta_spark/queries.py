@@ -654,6 +654,51 @@ def transcript_replay_lww(spark, sf_dir):
     )
 
 
+def stats_pruned_scan(spark, sf_dir):
+    """Manifest column-bounds scan planning E2E WITH a SQL oracle
+    (Iceberg column-stats pruning analog, lake/table.py read(ranges=)):
+    the mapped transcript changelog is LWW-merged into a stats-enabled
+    lake table (per-file min/max of conv_id, turn_idx, ts recorded from
+    parquet footers at commit time), then read back through
+    ``read(ranges=...)`` with a key range AND a non-key ts bound — so
+    driver-side file skipping, pre-fold key row filters, and post-fold
+    latest-value filtering are all hash-checked against DuckDB running
+    the same predicates over a plain LWW window. At 100 TB this is the
+    difference between planning a selective read from the manifest and
+    opening every file to ask."""
+    import datetime
+    import tempfile
+
+    from .lake import LakeTable
+    from .schema import TRANSCRIPT_SCHEMA
+
+    d = tempfile.mkdtemp(prefix="stats_scan_")
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.select(
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.col("event_id").cast("long").alias("seq"),
+    )
+    t = LakeTable.create(
+        spark, f"{d}/tbl", TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        "conv_id", 8, stats_cols=["ts"],
+    )
+    t.merge(batch, "w", "b0")
+    return t.read(
+        ranges={
+            "conv_id": ("c2", "c5"),
+            "ts": (datetime.datetime(2024, 1, 10), None),
+        }
+    ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def rebucket_replay_lww(spark, sf_dir):
     """Bucket-spec evolution E2E WITH a SQL oracle: the SAME mapped
     changelog as ``transcript_replay_lww``, replayed in two halves with
@@ -894,6 +939,7 @@ ALL_QUERIES = {
     "multi_table_replay": multi_table_replay,
     "table_ddl_replay": table_ddl_replay,
     "transcript_replay_lww": transcript_replay_lww,
+    "stats_pruned_scan": stats_pruned_scan,
     "rebucket_replay_lww": rebucket_replay_lww,
     "cdc_replay_stream_lww": cdc_replay_stream_lww,
     "table_changes_feed": table_changes_feed,

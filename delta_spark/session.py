@@ -53,6 +53,10 @@ def build_session(
         # erratic). Throughput GC is the right choice for batch anyway.
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.session.timeZone", "UTC")
+        # micros-annotated int64 timestamps (not legacy INT96): INT96
+        # carries no parquet min/max statistics, which would blind the
+        # manifest column-bounds stats + row-group skipping on ts
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
