@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "region_customer_rollup",
     "order_priority_revenue",
     "table_changes_feed",
+    "stats_pruned_scan",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash16",

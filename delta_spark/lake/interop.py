@@ -28,9 +28,26 @@ delta_spark — the ~60 lines of metadata resolution ARE the format spec.
 
 from __future__ import annotations
 
+import datetime
 import glob
 import json
 import os
+
+try:  # stdlib-only sibling: keeps this module Spark-free
+    from .stats import prune_files
+except ImportError:
+    # loaded standalone by file path (a consumer may vendor just this
+    # file + stats.py; tested by the import-poisoned subprocess test) —
+    # resolve the sibling by path
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "_delta_spark_lake_stats",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "stats.py"),
+    )
+    _mod = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
+    prune_files = _mod.prune_files
 
 # ---------------------------------------------------------- metadata
 # Mirrors LakeTable._read_metadata / _resolve_files (the format's
@@ -109,20 +126,48 @@ def _file_has_column(path: str, col: str) -> bool:
     return col in pq.read_schema(path).names
 
 
+def _sql_lit(v) -> str:
+    if isinstance(v, datetime.datetime):
+        return "TIMESTAMP '" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    raise ValueError(f"no SQL literal for {type(v).__name__}")
+
+
+def _range_cond(expr: str, lo, hi) -> str | None:
+    conds = []
+    if lo is not None:
+        conds.append(f"{expr} >= {_sql_lit(lo)}")
+    if hi is not None:
+        conds.append(f"{expr} <= {_sql_lit(hi)}")
+    return " AND ".join(conds) if conds else None
+
+
 def read_sql(
     table_path: str,
     buckets: list[int] | None = None,
     snapshot_id: int | None = None,
     include_system: bool = False,
     align_schema_version: int | None = None,
+    ranges: dict[str, tuple] | None = None,
 ) -> str:
     """Return one DuckDB SQL statement equivalent to
-    ``LakeTable.read(buckets, include_system, snapshot_id)``.
+    ``LakeTable.read(buckets, include_system, snapshot_id, ranges)``.
 
     ``align_schema_version`` overrides the output schema (the analog
     of ``LakeTable.read(_align_schema_version=...)``): used by
     ``changes_sql`` so both sides of a cross-snapshot diff speak the
-    TO snapshot's column names even across renames."""
+    TO snapshot's column names even across renames.
+
+    ``ranges`` (column name → inclusive (lo, hi), either side None)
+    plans the same manifest-stats file skipping as the Spark reader —
+    lake/stats.py is the shared planner — so a selective DuckDB read
+    also opens only the files whose bounds intersect the predicate;
+    key-column row filters apply pre-fold, non-key post-fold."""
     table_path = os.path.abspath(table_path)
     meta = read_metadata(table_path)
     snap = resolve_snapshot(meta, table_path, snapshot_id)
@@ -171,6 +216,23 @@ def read_sql(
         if not files:
             return empty_sql()
 
+    pre_ranges: list[tuple[dict, tuple]] = []  # key-column ranges, pre-fold
+    post_conds: list[str] = []  # non-key ranges judge the LATEST value
+    if ranges:
+        key_ids = set(meta["key_ids"])
+        files = prune_files(files, cur, key_ids, ranges)
+        if not files:
+            return empty_sql()
+        by_name = {f["name"]: f for f in cur}
+        for colname, (lo, hi) in ranges.items():
+            fld = by_name[colname]
+            if fld["id"] in key_ids:
+                pre_ranges.append((fld, (lo, hi)))
+            else:
+                cond = _range_cond(_q(colname), lo, hi)
+                if cond:
+                    post_conds.append(cond)
+
     # group by (schema_version, spanning?) exactly like LakeTable.read
     by_sv: dict[tuple[int, bool], list[str]] = {}
     has_delta = False
@@ -191,12 +253,25 @@ def read_sql(
             else:
                 cols.append(f"CAST(NULL AS {dt}) AS {_q(f['name'])}")
         cols.append("_seq")
-        where = ""
+        conds = []
         if spanning and bset is not None:
-            where = (
-                f" WHERE _bucket IN ({', '.join(str(b) for b in bset)})"
-                if bset else " WHERE FALSE"
+            conds.append(
+                f"_bucket IN ({', '.join(str(b) for b in bset)})" if bset else "FALSE"
             )
+        for fld, (lo, hi) in pre_ranges:
+            # condition on the SOURCE expression (this schema version's
+            # physical name); a version without the column yields NULL,
+            # which a range predicate excludes — matching the Spark side
+            dt = _duck_type(fld["type"])
+            expr = (
+                f"CAST({_q(old[fld['id']]['name'])} AS {dt})"
+                if fld["id"] in old
+                else f"CAST(NULL AS {dt})"
+            )
+            cond = _range_cond(expr, lo, hi)
+            if cond:
+                conds.append(cond)
+        where = f" WHERE {' AND '.join(conds)}" if conds else ""
         # pre-sort-column files read as _sort = 0 (format evolution) —
         # checked PER FILE: old and new files may coexist within one
         # schema version, and read_parquet over a mixed list would
@@ -225,7 +300,8 @@ def read_sql(
             f"SELECT *, row_number() OVER (PARTITION BY {keys} "
             f"ORDER BY _seq DESC, _sort DESC) AS __rn FROM (\n{u}\n)\n) WHERE __rn = 1"
         )
-    return f"SELECT {names} FROM (\n{u}\n) WHERE NOT _deleted"
+    tail = "".join(f" AND {c}" for c in post_conds)
+    return f"SELECT {names} FROM (\n{u}\n) WHERE NOT _deleted{tail}"
 
 
 def changes_sql(
@@ -324,12 +400,15 @@ def read_duckdb(
     con=None,
     buckets: list[int] | None = None,
     snapshot_id: int | None = None,
+    ranges: dict[str, tuple] | None = None,
 ):
     """Read a lake table through DuckDB; returns a DuckDB relation
     (``.df()`` / ``.fetchall()`` to materialize)."""
     import duckdb
 
-    sql = read_sql(table_path, buckets=buckets, snapshot_id=snapshot_id)
+    sql = read_sql(
+        table_path, buckets=buckets, snapshot_id=snapshot_id, ranges=ranges
+    )
     if con is not None:
         return con.sql(sql)
     # module-level default connection: outlives this frame (a locally

@@ -77,51 +77,10 @@ def _type_of(name: str) -> T.DataType:
         return T.StructType.fromDDL(f"x {name}")[0].dataType
 
 
-def _stat_encode(type_str: str, v):
-    """Encode a column value (parquet-footer statistic or user-supplied
-    range bound) into the JSON-safe, totally-ordered domain manifests
-    store stats in: ints/floats as-is, strings as-is (dropped when
-    > 256 chars — an over-long bound can't be stored compactly and a
-    missing stat only disables skipping, never correctness), timestamps
-    as epoch-MICROS ints. Returns None for values that can't be
-    bounded (the file is then never skipped on this column)."""
-    if v is None:
-        return None
-    import datetime
-
-    if isinstance(v, bytes):
-        try:
-            v = v.decode("utf-8")
-        except Exception:
-            return None
-    if isinstance(v, datetime.datetime):
-        if v.tzinfo is not None:
-            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-        return (v - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
-            microseconds=1
-        )
-    if isinstance(v, bool):
-        return None
-    if isinstance(v, (int, float)):
-        return v
-    if isinstance(v, str):
-        return v if len(v) <= 256 else None
-    return None
-
-
-def _stats_exclude(st, lo, hi) -> bool:
-    """True iff a file whose [min, max] is ``st`` can hold NO value in
-    [lo, hi] (either bound may be None = open). Any doubt → False."""
-    if not st or st[0] is None or st[1] is None:
-        return False
-    try:
-        if hi is not None and st[0] > hi:
-            return True
-        if lo is not None and st[1] < lo:
-            return True
-    except TypeError:  # mixed-type comparison: never skip
-        return False
-    return False
+# manifest column-bounds stats: shared Spark-free helpers (the DuckDB
+# interop reader plans file skips from the same functions)
+from .stats import prune_files as _prune_files  # noqa: E402
+from .stats import stat_encode as _stat_encode  # noqa: E402
 
 
 class LakeTable:
@@ -596,21 +555,8 @@ class LakeTable:
         if ranges:
             by_name = {f["name"]: f for f in cur}
             key_ids = set(self.metadata["key_ids"])
-            has_delta_any = any(f.get("kind") == "delta" for f in files)
+            files = _prune_files(files, cur, key_ids, ranges)
             for colname, (lo, hi) in ranges.items():
-                fld = by_name.get(colname)
-                if fld is None:
-                    raise ValueError(f"range column {colname!r} not in schema")
-                lo_e = _stat_encode(fld["type"], lo)
-                hi_e = _stat_encode(fld["type"], hi)
-                is_key = fld["id"] in key_ids
-                if is_key or not has_delta_any:
-                    fid = str(fld["id"])
-                    files = [
-                        f
-                        for f in files
-                        if not _stats_exclude(f.get("stats", {}).get(fid), lo_e, hi_e)
-                    ]
                 cond = None
                 c = F.col(colname)
                 if lo is not None:
@@ -618,6 +564,7 @@ class LakeTable:
                 if hi is not None:
                     cond = (c <= F.lit(hi)) if cond is None else cond & (c <= F.lit(hi))
                 if cond is not None:
+                    is_key = by_name[colname]["id"] in key_ids
                     (pre_filters if is_key else post_filters).append(cond)
         # group by (schema_version, spanning?, spec) — spanning files
         # carry a physical _bucket column used for row-level pruning

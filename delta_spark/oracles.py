@@ -192,6 +192,31 @@ ALL_ORACLES: dict[str, str] = {
         WHERE conv_id >= 'c2' AND conv_id <= 'c5'
           AND ts >= TIMESTAMP '2024-01-10 00:00:00'
     """,
+    # the stateful streaming sessionizer must equal batch SQL
+    # gap-sessionization: lag() marks breaks (> 30 min), a running sum
+    # numbers sessions, one aggregate row per (conv, session). chars is
+    # cast back to BIGINT (DuckDB sums BIGINT into HUGEINT).
+    "stateful_sessions_stream": """
+        WITH e AS (
+            SELECT 'c' || user_id AS conv_id, ts, props AS text FROM events),
+        b AS (
+            SELECT conv_id, ts, text,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY conv_id ORDER BY ts)),
+        s AS (
+            SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM b)
+        SELECT conv_id,
+               count(*) AS n_turns,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS chars,
+               date_diff('microsecond', min(ts), max(ts)) / 1000000.0 AS duration_s
+        FROM s GROUP BY conv_id, sid
+    """,
     # rebucket must be invisible to readers: the two-phase replay with
     # a mid-run bucket-spec change answers to the SAME LWW oracle as
     # the single-shot replay

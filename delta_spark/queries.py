@@ -699,6 +699,68 @@ def stats_pruned_scan(spark, sf_dir):
     ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def stateful_sessions_stream(spark, sf_dir):
+    """Custom stateful streaming operator E2E WITH a SQL oracle:
+    the events table, mapped to (conv_id, ts, text), streams through
+    ``stateful.conversation_sessions`` (applyInPandasWithState,
+    per-conversation running state, event-time gap splits + event-time
+    timeout flush) in ts-ordered micro-batches. Because the operator
+    decides session boundaries purely in EVENT time, its emitted rows
+    must equal DuckDB's batch gap-sessionization (lag + cumulative-sum
+    window) over the same events — a hash-checked equivalence between
+    a stateful stream and its batch-SQL semantics."""
+    import datetime
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from .stateful import conversation_sessions
+
+    d = tempfile.mkdtemp(prefix="stateful_sessions_")
+    src_dir = f"{d}/src"
+    os.makedirs(src_dir)
+    ev = _t(spark, sf_dir, "events")
+    mapped = ev.select(
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("props").alias("text"),
+    )
+    # ts-ordered chunks written sequentially (distinct mtimes): the
+    # watermark then advances monotonically between micro-batches and
+    # no event is ever late-dropped — the stream sees exactly the rows
+    # the batch oracle sees
+    chunked = mapped.withColumn("ck", F.ntile(4).over(Window.orderBy("ts")))
+    for i in range(1, 5):
+        chunked.filter(F.col("ck") == i).drop("ck").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        time.sleep(0.05)
+    hi = mapped.agg(F.max("ts")).collect()[0][0]
+    spark.createDataFrame(
+        [("__flush__", hi + datetime.timedelta(days=30), "x")],
+        "conv_id string, ts timestamp, text string",
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("conv_id string, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src_dir)
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        conversation_sessions(stream, gap="30 minutes", watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).filter(F.col("conv_id") != "__flush__")
+
+
 def rebucket_replay_lww(spark, sf_dir):
     """Bucket-spec evolution E2E WITH a SQL oracle: the SAME mapped
     changelog as ``transcript_replay_lww``, replayed in two halves with
@@ -940,6 +1002,7 @@ ALL_QUERIES = {
     "table_ddl_replay": table_ddl_replay,
     "transcript_replay_lww": transcript_replay_lww,
     "stats_pruned_scan": stats_pruned_scan,
+    "stateful_sessions_stream": stateful_sessions_stream,
     "rebucket_replay_lww": rebucket_replay_lww,
     "cdc_replay_stream_lww": cdc_replay_stream_lww,
     "table_changes_feed": table_changes_feed,

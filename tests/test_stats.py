@@ -142,6 +142,28 @@ def test_ranges_compose_with_buckets_and_mor(spark, tmp_path):
     assert [r["text"] for r in got] == ["c3 t0", "v2", "c3 t2", "c3 t3", "c3 t4"]
 
 
+def test_interop_ranges_match_spark(spark, tmp_path):
+    """The DuckDB reader plans the SAME file skips (shared planner in
+    lake/stats.py) and returns the same rows for a ranged read — with a
+    MoR delta in play so the non-key bound is judged post-fold there
+    too."""
+    from delta_spark.lake.interop import read_duckdb, read_sql
+
+    t = _mk(spark, str(tmp_path / "t"))
+    upd = spark.createDataFrame(
+        [("c3", 0, "user", "moved", "", _ts(5, month=6), "UPDATE", 10_000)], DDL
+    )
+    t.merge(upd, "w", "b1", mode="mor")
+    ranges = {"conv_id": ("c3", "c4"), "ts": (_ts(2), None)}
+    sp = sorted(map(tuple, t.read(ranges=ranges).collect()))
+    du = sorted(map(tuple, read_duckdb(t.path, ranges=ranges).fetchall()))
+    assert sp == du and len(sp) > 0
+    # and the emitted SQL itself plans fewer files under a key range
+    full = read_sql(t.path).count(".parquet'")
+    pruned = read_sql(t.path, ranges={"conv_id": ("c3", "c4")}).count(".parquet'")
+    assert 0 < pruned < full
+
+
 def test_compact_sorts_within_files(spark, tmp_path):
     """Compaction rewrites files sorted by key so parquet row-group
     stats become tight (scan-relevant at real file sizes; asserted here
