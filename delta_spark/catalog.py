@@ -173,6 +173,7 @@ class Catalog:
         bucket_col: str | None = None,
         num_buckets: int = 16,
         create_seq: int = -1,
+        stats_cols: list[str] | None = None,
     ) -> bool:
         """CREATE TABLE IF NOT EXISTS. A recreate after DROP gets a
         FRESH directory; ``create_seq`` fences replayed pre-create DML
@@ -183,6 +184,7 @@ class Catalog:
         LakeTable.create(
             self.spark, os.path.join(self.root, rel), schema, key_cols,
             bucket_col=bucket_col, num_buckets=num_buckets,
+            stats_cols=stats_cols,
         )
 
         def mutate(meta):

@@ -98,6 +98,9 @@ class PipelineConfig:
     expire_every: int = 50                 # snapshots; 0 disables
     expire_keep_last: int = 10
     transforms: object = None              # Callable[[DataFrame], DataFrame]
+    stats_cols: tuple = ("ts",)            # extra manifest column-bounds
+    # stats beyond the key columns (lake/stats.py) — ts by default so
+    # time-range reads of the applied table plan from the manifest
 
     def __post_init__(self):
         if self.generation is None:
@@ -134,6 +137,7 @@ class Pipeline:
             key_cols=KEY_COLS,
             bucket_col="conv_id",
             num_buckets=self.cfg.num_buckets,
+            stats_cols=list(self.cfg.stats_cols),
         )
 
     # ---------------------------------------------------- batch mode

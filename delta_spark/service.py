@@ -178,6 +178,50 @@ class DiagnosticsService:
         return {"pipeline": "OK", "tables": {}, "error": None, "updated_ms": 0}
 
     @staticmethod
+    def _plan(path: str, q: dict) -> dict:
+        """Dry-run scan planning from manifest column-bounds stats
+        (Iceberg's plan-files surface as a diagnostics endpoint): how
+        many files would a range read open, without opening any."""
+        from .lake.interop import resolve_snapshot
+        from .lake.stats import prune_files
+
+        m = _load_table_meta(path)
+        snap = resolve_snapshot(m, path)
+        files = snap["files"] if snap else []
+        cur = m["schemas"][str(m["schema_version"])]
+        col = q["col"]
+        fld = next((f for f in cur if f["name"] == col), None)
+        if fld is None:
+            raise KeyError(f"no column {col}")
+
+        def conv(s):
+            if s is None:
+                return None
+            t = fld["type"]
+            if t in ("int", "bigint", "smallint", "tinyint"):
+                return int(s)
+            if t in ("float", "double"):
+                return float(s)
+            if t == "timestamp":
+                import datetime as dt
+
+                return dt.datetime.fromisoformat(s)
+            return s
+
+        planned = prune_files(
+            files, cur, m["key_ids"], {col: (conv(q.get("lo")), conv(q.get("hi")))}
+        )
+        return {
+            "column": col,
+            "lo": q.get("lo"),
+            "hi": q.get("hi"),
+            "files_total": len(files),
+            "files_planned": len(planned),
+            "files_skipped": len(files) - len(planned),
+            "rows_planned": sum(f.get("rows") or 0 for f in planned),
+        }
+
+    @staticmethod
     def _lineage(path: str) -> list[dict]:
         recs = []
         for p in sorted(glob.glob(os.path.join(path, "metadata", "lineage", "*.json"))):
@@ -247,6 +291,8 @@ class DiagnosticsService:
                         return 200, self._state(path, q.get("pipeline", "transcripts"))
                     if sub == "lineage":
                         return 200, {"lineage": self._lineage(path)}
+                    if sub == "plan":
+                        return 200, self._plan(path, q)
             elif method == "POST":
                 if parts == ["v1", "assessTable"]:
                     return 200, self._assess_one(body or {})

@@ -156,6 +156,86 @@ def test_read_changes_equals_state_diff_property(
 
 @given(
     seed=st.integers(0, 2**20),
+    n_events=st.integers(60, 400),
+    n_convs=st.integers(2, 30),
+    n_batches=st.integers(1, 4),
+    mode=st.sampled_from(["cow", "mor", "auto"]),
+    data=st.data(),
+)
+@settings(max_examples=8, deadline=None)
+def test_read_ranges_equals_filter_property(
+    spark, seed, n_events, n_convs, n_batches, mode, data
+):
+    """Property: for ANY merge history and ANY combination of range
+    predicates (key and non-key, open/closed/inverted bounds),
+    ``read(ranges=...)`` — manifest-stats file skipping included —
+    equals the brute-force pandas filter of the full read, and the
+    DuckDB interop reader returns the same rows. File skipping must
+    never lose a row, whatever the MoR/CoW layout."""
+    from delta_spark.lake.interop import read_duckdb
+
+    log = generate_changelog(
+        ChangelogSpec(
+            n_events=n_events, n_convs=n_convs, seed=seed, include_ddl=False
+        )
+    )
+    d = tempfile.mkdtemp(prefix="prop_rng_")
+    try:
+        t = LakeTable.create(
+            spark, f"{d}/t", TRANSCRIPT_SCHEMA,
+            ["conv_id", "turn_idx"], "conv_id", 4, stats_cols=["ts"],
+        )
+        bounds = [round(i * len(log) / n_batches) for i in range(n_batches + 1)]
+        for i in range(n_batches):
+            chunk = log.iloc[bounds[i]:bounds[i + 1]]
+            if not chunk.empty:
+                t.merge(
+                    spark.createDataFrame(chunk[COLS], DDL), "w", f"b{i}", mode=mode
+                )
+        full = t.read().toPandas()
+        if full.empty:
+            return
+        convs = sorted(full.conv_id.unique())
+        opt = lambda s: st.one_of(st.none(), s)  # noqa: E731
+        c_lo = data.draw(opt(st.sampled_from(convs)), label="conv_lo")
+        c_hi = data.draw(opt(st.sampled_from(convs)), label="conv_hi")
+        t_lo = data.draw(
+            opt(st.integers(0, int(full.turn_idx.max()))), label="turn_lo"
+        )
+        ts_vals = sorted(full.ts.dropna().unique())
+        ts_lo = (
+            data.draw(opt(st.sampled_from(ts_vals)), label="ts_lo")
+            if ts_vals
+            else None
+        )
+        ranges, mask = {}, full.conv_id.notna()
+        if c_lo is not None or c_hi is not None:
+            ranges["conv_id"] = (c_lo, c_hi)
+            if c_lo is not None:
+                mask &= full.conv_id >= c_lo
+            if c_hi is not None:
+                mask &= full.conv_id <= c_hi
+        if t_lo is not None:
+            ranges["turn_idx"] = (t_lo, None)
+            mask &= full.turn_idx >= t_lo
+        if ts_lo is not None:
+            import pandas as pd
+
+            ranges["ts"] = (pd.Timestamp(ts_lo).to_pydatetime(), None)
+            mask &= full.ts >= ts_lo
+        if not ranges:
+            return
+        want = full[mask].reset_index(drop=True)
+        got = t.read(ranges=ranges).toPandas()
+        assert_pdf_equal(got, want, ["conv_id", "turn_idx"])
+        duck = read_duckdb(t.path, ranges=ranges).df()
+        assert_pdf_equal(duck, want, ["conv_id", "turn_idx"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@given(
+    seed=st.integers(0, 2**20),
     n_events=st.integers(80, 400),
     n_convs=st.integers(2, 30),
     n_batches=st.integers(1, 4),

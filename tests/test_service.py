@@ -78,6 +78,16 @@ def test_service_end_to_end_over_http(spark, tmp_path):
         StateStore(cfg.table_path, "transcripts").set_failing("boom")
         assert _get(port, "/v1/tables/transcripts/state")[1]["pipeline"] == "FAILING"
 
+        # scan planning from manifest stats: a narrow key range plans
+        # fewer files than the full table, a no-op range plans all
+        code, plan = _get(port, "/v1/tables/transcripts/plan?col=conv_id&lo=c1&hi=c1")
+        assert code == 200
+        assert 0 < plan["files_planned"] < plan["files_total"]
+        assert plan["files_skipped"] == plan["files_total"] - plan["files_planned"]
+        code, full = _get(port, "/v1/tables/transcripts/plan?col=conv_id")
+        assert code == 200 and full["files_planned"] == full["files_total"]
+        assert _get(port, "/v1/tables/transcripts/plan?col=nope")[0] == 400
+
         assert _get(port, "/v1/tables/nope")[0] == 404
     finally:
         svc.stop()
