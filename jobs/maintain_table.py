@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""spark-submit entry point for lake-table maintenance — the
+Iceberg-procedures surface (rewrite_data_files / expire_snapshots /
+remove_orphan_files) as one scheduled job:
+
+    spark-submit --py-files delta_spark.zip jobs/maintain_table.py \
+        --table /mnt/shared/transcripts \
+        --compact-pressure 4 --expire-keep-last 10 --orphan-age-s 3600
+
+Runs, in order:
+  1. ``migrate_inline_manifests`` — one-shot legacy-metadata upgrade
+     (no-op on current-format tables);
+  2. ``compact`` — folds merge-on-read delta files into per-bucket
+     base files (sorted by key: tight row-group stats for range
+     reads) and migrates pre-rebucket files to the current spec;
+  3. ``expire_snapshots`` — bounds metadata history (exactly-once
+     markers survive);
+  4. ``remove_orphans`` — deletes crash-leaked data files older than
+     the age guard.
+
+Each step is independently safe and idempotent (maintenance commits
+carry no writer/batch markers), so the job can run beside a live
+streaming writer — a lost CommitConflict race simply means the writer
+advanced; rerun on the next schedule. Prints one JSON line of what it
+did. Pass --dry-run to only report (orphans listed, nothing deleted,
+no compaction/expiry commits).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def maintain(
+    spark,
+    table_path: str,
+    compact_pressure: int = 4,
+    expire_keep_last: int = 10,
+    orphan_age_s: float = 3600.0,
+    dry_run: bool = False,
+) -> dict:
+    from delta_spark.lake import LakeTable
+
+    t = LakeTable.load(spark, table_path)
+    out: dict = {"table": table_path, "dry_run": dry_run}
+    if dry_run:
+        cur = t.current_snapshot
+        files = cur["files"] if cur else []
+        out["files"] = len(files)
+        out["delta_files"] = sum(1 for f in files if f.get("kind") == "delta")
+        out["snapshots"] = len(t.metadata["snapshots"])
+        out["orphans"] = len(t.remove_orphans(orphan_age_s, dry_run=True))
+        return out
+    out["migrated_manifests"] = t.migrate_inline_manifests()
+    if compact_pressure >= 0:
+        out["compacted_buckets"] = t.compact(max_files_per_bucket=compact_pressure)
+    if expire_keep_last > 0:
+        out["expired_snapshots"] = t.expire_snapshots(keep_last=expire_keep_last)
+    out["orphans_removed"] = len(t.remove_orphans(orphan_age_s))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--compact-pressure", type=int, default=4,
+                    help="max files per bucket before a rewrite (-1 skips compaction)")
+    ap.add_argument("--expire-keep-last", type=int, default=10,
+                    help="snapshots to retain (0 skips expiry)")
+    ap.add_argument("--orphan-age-s", type=float, default=3600.0,
+                    help="only delete unreferenced files older than this")
+    ap.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args()
+
+    from delta_spark.lake.commit import ObjectStoreCommit, protocol_for
+
+    try:
+        proto = protocol_for(args.table)
+    except ValueError as e:
+        sys.exit(f"error: --table {args.table}: {e}")
+    if isinstance(proto, ObjectStoreCommit):
+        sys.exit(
+            f"error: --table {args.table}: metadata commits on {proto.scheme} "
+            "need a conditional-put adapter (contract in delta_spark/lake/"
+            "commit.py)"
+        )
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("delta_spark-maintain")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    print(
+        json.dumps(
+            maintain(
+                spark,
+                args.table,
+                compact_pressure=args.compact_pressure,
+                expire_keep_last=args.expire_keep_last,
+                orphan_age_s=args.orphan_age_s,
+                dry_run=args.dry_run,
+            )
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

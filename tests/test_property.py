@@ -160,18 +160,21 @@ def test_read_changes_equals_state_diff_property(
     n_convs=st.integers(2, 30),
     n_batches=st.integers(1, 4),
     mode=st.sampled_from(["cow", "mor", "auto"]),
+    rebucket_to=st.sampled_from([None, 3, 16]),
     data=st.data(),
 )
 @settings(max_examples=8, deadline=None)
 def test_read_ranges_equals_filter_property(
-    spark, seed, n_events, n_convs, n_batches, mode, data
+    spark, seed, n_events, n_convs, n_batches, mode, rebucket_to, data
 ):
-    """Property: for ANY merge history and ANY combination of range
-    predicates (key and non-key, open/closed/inverted bounds),
-    ``read(ranges=...)`` — manifest-stats file skipping included —
-    equals the brute-force pandas filter of the full read, and the
-    DuckDB interop reader returns the same rows. File skipping must
-    never lose a row, whatever the MoR/CoW layout."""
+    """Property: for ANY merge history (optionally spanning a mid-run
+    rebucket — stats are value-based so spec evolution must not affect
+    them) and ANY combination of range predicates (key and non-key,
+    open/closed/inverted bounds), ``read(ranges=...)`` —
+    manifest-stats file skipping included — equals the brute-force
+    pandas filter of the full read, and the DuckDB interop reader
+    returns the same rows. File skipping must never lose a row,
+    whatever the MoR/CoW layout."""
     from delta_spark.lake.interop import read_duckdb
 
     log = generate_changelog(
@@ -192,6 +195,9 @@ def test_read_ranges_equals_filter_property(
                 t.merge(
                     spark.createDataFrame(chunk[COLS], DDL), "w", f"b{i}", mode=mode
                 )
+            if rebucket_to and i == n_batches // 2:
+                t.rebucket(rebucket_to)
+                t.compact(max_files_per_bucket=1)
         full = t.read().toPandas()
         if full.empty:
             return
