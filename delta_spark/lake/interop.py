@@ -32,22 +32,30 @@ import datetime
 import glob
 import json
 import os
+import uuid
 
-try:  # stdlib-only sibling: keeps this module Spark-free
-    from .stats import prune_files
-except ImportError:
-    # loaded standalone by file path (a consumer may vendor just this
-    # file + stats.py; tested by the import-poisoned subprocess test) —
-    # resolve the sibling by path
-    import importlib.util as _ilu
+def _sibling(name: str):
+    """Import a stdlib-only sibling module, working both as a package
+    member and when this file is loaded standalone by path (a consumer
+    may vendor just these files; tested by the import-poisoned
+    subprocess test)."""
+    try:
+        from importlib import import_module
 
-    _spec = _ilu.spec_from_file_location(
-        "_delta_spark_lake_stats",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "stats.py"),
-    )
-    _mod = _ilu.module_from_spec(_spec)
-    _spec.loader.exec_module(_mod)
-    prune_files = _mod.prune_files
+        return import_module(f".{name}", package=__package__ or None)
+    except (ImportError, TypeError):
+        import importlib.util as ilu
+
+        spec = ilu.spec_from_file_location(
+            f"_delta_spark_lake_{name}",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), f"{name}.py"),
+        )
+        mod = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+
+prune_files = _sibling("stats").prune_files
 
 # ---------------------------------------------------------- metadata
 # Mirrors LakeTable._read_metadata / _resolve_files (the format's
@@ -414,3 +422,213 @@ def read_duckdb(
     # module-level default connection: outlives this frame (a locally
     # created connection would be GC'd with the relation still open)
     return duckdb.sql(sql)
+
+
+# ---------------------------------------------------------- writing
+#
+# The format is engine-neutral in BOTH directions: a producer with no
+# Spark at all can commit exactly-once merge-on-read deltas into a
+# LIVE table that a Spark pipeline keeps merging/compacting. Possible
+# because every moving part is already engine-free — the bucket
+# function is plain XXH64 (lake/xxh.py, pinned bit-for-bit against
+# Spark), the data files are parquet DuckDB can write, and the commit
+# is the same atomic version claim (lake/commit.py) the Spark writer
+# uses, so concurrent writers conflict-and-retry instead of corrupting.
+# Reference analog: any number of CDC workers share one offset store
+# (DBReplicationOffsetStore.java) — here the table IS the store.
+
+
+def _is_applied(meta: dict, writer_id: str, batch_id: str) -> bool:
+    if str(batch_id) in meta.get("applied_markers", {}).get(writer_id, []):
+        return True
+    return any(
+        s["summary"].get("writer-id") == writer_id
+        and s["summary"].get("batch-id") == str(batch_id)
+        for s in meta["snapshots"]
+    )
+
+
+def _write_json_once(path: str, payload) -> None:
+    tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _make_bucket_udf(bucket_of, n):
+    def f(v):
+        return int(bucket_of(v, n))
+
+    return f
+
+
+def write_delta_duckdb(
+    table_path: str,
+    con,
+    select_sql: str,
+    writer_id: str,
+    batch_id: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    delete_op: str = "DELETE",
+    sort_col: str | None = None,
+) -> dict | None:
+    """Commit one merge-on-read delta batch from DuckDB — no Spark.
+
+    ``select_sql`` must yield the table's CURRENT payload columns (by
+    name) plus ``op_col`` and ``seq_col`` (and ``sort_col`` if given —
+    single column only; composite sortKeys need the Spark writer).
+    Rows are staged as ONE spanning parquet delta file with the same
+    system columns the Spark MoR writer produces (``_seq``/``_sort``/
+    ``_deleted``/``_bucket`` — the bucket computed by the Spark-equal
+    XXH64), then committed with an O(batch) manifest append under the
+    atomic version claim. Idempotent by (writer-id, batch-id); returns
+    None on replay, commit stats otherwise. Readers (Spark, DuckDB)
+    fold it like any delta; ``compact()`` migrates it to base files.
+    """
+    commit = _sibling("commit")
+    bucket_of = _sibling("xxh").bucket_of
+
+    table_path = os.path.abspath(table_path)
+    meta = read_metadata(table_path)
+    if _is_applied(meta, writer_id, batch_id):
+        return None
+    cur = meta["schemas"][str(meta["schema_version"])]
+    bname = next(f["name"] for f in cur if f["id"] == meta["bucket_id"])
+    btype = next(f["type"] for f in cur if f["id"] == meta["bucket_id"])
+    n_buckets = int(meta["num_buckets"])
+    spec_id = int(meta.get("bucket_spec_id", 0))
+
+    import duckdb
+    import duckdb.typing as dt
+
+    argtype = dt.BIGINT if btype in ("int", "bigint") else dt.VARCHAR
+    # deterministic name, registered once per connection (create_function
+    # refuses to run inside an open transaction, so never re-register)
+    fname = f"xxb_{str(argtype).lower()}_{n_buckets}"
+    try:
+        con.create_function(
+            fname, _make_bucket_udf(bucket_of, n_buckets), [argtype], dt.INTEGER
+        )
+    except (duckdb.CatalogException, duckdb.NotImplementedException):
+        pass  # already registered on this connection
+    if sort_col is None:
+        sort_expr = "CAST(0 AS BIGINT)"
+    else:
+        s_type = next((f["type"] for f in cur if f["name"] == sort_col), "bigint")
+        raw = (
+            f"epoch_us({_q(sort_col)})"
+            if s_type == "timestamp"
+            else f"CAST({_q(sort_col)} AS BIGINT)"
+        )
+        sort_expr = f"COALESCE({raw}, {-(1 << 62)})"
+    cols = [
+        f"CAST({_q(f['name'])} AS {_duck_type(f['type'])}) AS {_q(f['name'])}"
+        for f in cur
+    ]
+    staged = (
+        f"SELECT {', '.join(cols)}, "
+        f"CAST({_q(seq_col)} AS BIGINT) AS _seq, "
+        f"{sort_expr} AS _sort, "
+        f"({_q(op_col)} = {_sql_lit(delete_op)}) AS _deleted, "
+        f"{fname}({_q(bname)}) AS _bucket "
+        f"FROM ({select_sql})"
+    )
+    tag = f"delta-duck-{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(table_path, "data", tag)
+    os.makedirs(out_dir)
+    fpath = os.path.join(out_dir, "part-00000.parquet")
+    con.execute(f"COPY ({staged}) TO {_lit_path(fpath)} (FORMAT PARQUET)")
+    n, dels, max_seq = con.execute(
+        f"SELECT count(*), count(*) FILTER (WHERE _deleted), max(_seq) "
+        f"FROM read_parquet({_lit_path(fpath)})"
+    ).fetchall()[0]
+    if n == 0:
+        os.unlink(fpath)
+        os.rmdir(out_dir)
+        return {"files": 0, "upserts": 0, "deletes": 0}
+    entry = {
+        "path": os.path.relpath(fpath, table_path),
+        "bucket": -1,
+        "schema_version": meta["schema_version"],
+        "rows": int(n),
+        "max_seq": int(max_seq),
+        "kind": "delta",
+        **({"spec": spec_id} if spec_id else {}),
+    }
+    mdir = os.path.join(table_path, "metadata", "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    man_rel = os.path.join("metadata", "manifests", f"m-{uuid.uuid4().hex[:16]}.json")
+    _write_json_once(os.path.join(table_path, man_rel), [entry])
+
+    proto = commit.protocol_for(table_path)
+    for _ in range(50):
+        meta = read_metadata(table_path)
+        if _is_applied(meta, writer_id, batch_id):
+            return None  # another replay of us won
+        if int(meta.get("bucket_spec_id", 0)) != spec_id or int(
+            meta["num_buckets"]
+        ) != n_buckets:
+            raise commit.CommitConflict(
+                "bucket spec changed while staging — recompute and retry"
+            )
+        if meta["schema_version"] != entry["schema_version"]:
+            raise commit.CommitConflict(
+                "schema changed while staging — recompute and retry"
+            )
+        parent_id = meta["current_snapshot_id"]
+        parent = next(
+            (s for s in meta["snapshots"] if s["id"] == parent_id), None
+        )
+        if parent is None:
+            refs = []
+        elif "files" in parent:  # legacy inline parent → split once
+            legacy_rel = os.path.join(
+                "metadata", "manifests", f"m-{uuid.uuid4().hex[:16]}.json"
+            )
+            _write_json_once(os.path.join(table_path, legacy_rel), parent["files"])
+            refs = [legacy_rel]
+        else:
+            refs = list(parent.get("manifests", ()))
+        snap = {
+            "id": (parent_id or 0) + 1,
+            "parent": parent_id,
+            "timestamp_ms": int(
+                (datetime.datetime.now(datetime.timezone.utc)
+                 - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc))
+                .total_seconds() * 1000
+            ),
+            "schema_version": meta["schema_version"],
+            "summary": {
+                "operation": "merge-mor",
+                "writer-id": writer_id,
+                "batch-id": str(batch_id),
+                "upserts": int(n) - int(dels),
+                "deletes": int(dels),
+                "max-seq": int(max_seq),
+            },
+            "manifests": [*refs, man_rel],
+        }
+        new_version = meta["version"] + 1
+        payload = {
+            **meta,
+            "version": new_version,
+            "snapshots": [*meta["snapshots"], snap],
+            "current_snapshot_id": snap["id"],
+        }
+        try:
+            proto.claim(
+                os.path.join(table_path, "metadata"), f"v{new_version}.json", payload
+            )
+            return {
+                "files": 1,
+                "upserts": int(n) - int(dels),
+                "deletes": int(dels),
+                "max_seq": int(max_seq),
+                "snapshot_id": snap["id"],
+            }
+        except commit.CommitConflict:
+            continue  # a concurrent writer advanced the version — re-read
+    raise commit.CommitConflict("lost the version race 50 times; giving up")
