@@ -50,6 +50,11 @@ class ApplyStats:
     max_seq: int = -1
     latency_s: float | None = None
     wall_ms: int = 0
+    late_events: int = 0  # delivered at/below the writer's committed
+    # high-water mark: replays (dropped/tied) or cross-batch reorders
+    # (resolved by the seq-guarded merge) — the silent exactly-once
+    # machinery surfaced as a metric (streaming analog per key:
+    # stateful.stale_event_audit)
 
 
 def _rewrite_to_current(
@@ -202,8 +207,9 @@ def apply_batch(
     # SourceProperties.java:29-32); with reordered delivery an event
     # below the committed max-seq may be new, so correctness then
     # rests on the seq-guarded MERGE, not on dropping.
+    committed_hwm = table.last_committed_seq(writer_id)
     if assume_ordered:
-        batch = drop_seen(batch, table.last_committed_seq(writer_id))
+        batch = drop_seen(batch, committed_hwm)
     # duplicate-seq replays need no explicit dedup pass: they tie in
     # the merge's argmax-by-seq with identical payloads (one shuffle
     # saved; lineage rows_in counts raw delivered rows)
@@ -244,6 +250,9 @@ def apply_batch(
             F.count(F.lit(1)).alias("n"),
             *[F.count_if(F.col("op") == op).alias(op) for op in DML_OPS],
             F.max("seq").alias("max_seq"),
+            # events at/below the committed high-water mark (0 when
+            # assume_ordered already dropped them pre-observe)
+            F.count_if(F.col("seq") <= F.lit(committed_hwm)).alias("late"),
         ]
         byte_cols = [
             f.name
@@ -291,6 +300,7 @@ def apply_batch(
                     if m[op]:
                         stats.op_counts[op] = stats.op_counts.get(op, 0) + m[op]
                 stats.bytes_in += m.get("bytes") or 0
+                stats.late_events += m.get("late") or 0
                 stats.max_seq = max(stats.max_seq, m["max_seq"] or -1)
                 if m.get("oldest") is not None:
                     stats.latency_s = max(0.0, time.time() - m["oldest"])
@@ -399,6 +409,7 @@ def write_lineage(table: LakeTable, stats: ApplyStats) -> None:
         "sub_batches": stats.sub_batches,
         "ddls_applied": stats.ddls_applied,
         "max_seq": stats.max_seq,
+        "late_events": stats.late_events,
         "latency_s": stats.latency_s,
         "wall_ms": stats.wall_ms,
         "committed_at_ms": int(time.time() * 1000),

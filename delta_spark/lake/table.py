@@ -497,14 +497,21 @@ class LakeTable:
         values = list(values)
         bcol = self.bucket_col
         btype = next(f["type"] for f in self.fields if f["name"] == bcol)
-        vdf = self.spark.createDataFrame(
-            [(v,) for v in values],
-            T.StructType([T.StructField(bcol, _type_of(btype))]),
-        )
-        buckets = [
-            r[0]
-            for r in vdf.select(self.bucket_expr().alias("b")).distinct().collect()
-        ]
+        if all(isinstance(v, (str, int)) and not isinstance(v, bool) for v in values):
+            # Spark-equal XXH64 in Python (lake/xxh.py): plan the
+            # buckets driver-side with NO Spark job
+            from .xxh import bucket_of
+
+            buckets = sorted({bucket_of(v, self.num_buckets) for v in values})
+        else:  # exotic bucket-col type: one tiny job computes the hashes
+            vdf = self.spark.createDataFrame(
+                [(v,) for v in values],
+                T.StructType([T.StructField(bcol, _type_of(btype))]),
+            )
+            buckets = [
+                r[0]
+                for r in vdf.select(self.bucket_expr().alias("b")).distinct().collect()
+            ]
         out = self.read(
             buckets=buckets, ranges={bcol: (min(values), max(values))}
         )

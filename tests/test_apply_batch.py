@@ -99,6 +99,48 @@ def test_lineage_written(spark, tmp_path):
     assert rec["op_counts"]["INSERT"] > 0 and rec["bytes_in"] > 0
 
 
+def test_late_events_surfaced_in_lineage(spark, tmp_path):
+    """The seq-guarded merge resolves replayed / cross-batch-reordered
+    events silently; lineage now counts them (late_events) so a retry
+    storm is visible — the per-batch analog of stateful.stale_event_audit."""
+    import datetime
+
+    from delta_spark.apply import apply_batch
+    from delta_spark.lake import LakeTable
+    from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+    ts = datetime.datetime(2026, 1, 1)
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long"
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        "conv_id", 4,
+    )
+    b0 = [(f"c{i}", 0, "user", f"v{i}", "", ts, "INSERT", i + 1) for i in range(10)]
+    st0 = apply_batch(t, spark.createDataFrame(b0, ddl), "w", "b0")
+    assert st0.late_events == 0 and st0.max_seq == 10
+    # redelivery storm: two stale events (seq 2, 3 — at/below the
+    # committed high-water mark 10) mixed with one genuinely new one
+    b1 = [
+        ("c1", 0, "user", "stale", "", ts, "UPDATE", 2),
+        ("c2", 0, "user", "stale", "", ts, "UPDATE", 3),
+        ("c3", 0, "user", "fresh", "", ts, "UPDATE", 11),
+    ]
+    st1 = apply_batch(
+        t, spark.createDataFrame(b1, ddl), "w", "b1", assume_ordered=False
+    )
+    assert st1.late_events == 2 and st1.max_seq == 11
+    rec = json.load(
+        open(os.path.join(t.path, "metadata", "lineage", "w-b1.json"))
+    )
+    assert rec["late_events"] == 2
+    # and the guard held: stale updates did not regress the rows
+    got = {r["conv_id"]: r["text"] for r in t.read().collect()}
+    assert got["c1"] == "v1" and got["c2"] == "v2" and got["c3"] == "fresh"
+
+
 def test_op_blacklist(spark, tmp_path):
     """F1: blacklisted DELETE ops are dropped before apply (reference:
     QueueingEventEmitter.shouldIgnore)."""
