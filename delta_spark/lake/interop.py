@@ -162,9 +162,16 @@ def read_sql(
     include_system: bool = False,
     align_schema_version: int | None = None,
     ranges: dict[str, tuple] | None = None,
+    bucket_udf: str | None = None,
 ) -> str:
     """Return one DuckDB SQL statement equivalent to
     ``LakeTable.read(buckets, include_system, snapshot_id, ranges)``.
+
+    ``bucket_udf`` names a registered scalar function mapping a bucket
+    column value to its CURRENT-spec bucket id (``read_duckdb``
+    registers the Spark-equal XXH64 from lake/xxh.py); it enables
+    bucket-pruned reads across bucket-spec evolution, where foreign-spec
+    rows must recompute the hash.
 
     ``align_schema_version`` overrides the output schema (the analog
     of ``LakeTable.read(_align_schema_version=...)``): used by
@@ -208,19 +215,33 @@ def read_sql(
 
     files = snap["files"]
     bset = None
+    cur_spec = int(meta.get("bucket_spec_id", 0))
     if buckets is not None:
-        cur_spec = int(meta.get("bucket_spec_id", 0))
-        if any(int(f.get("spec", 0)) != cur_spec for f in files):
+        if (
+            any(int(f.get("spec", 0)) != cur_spec for f in files)
+            and bucket_udf is None
+        ):
             # pruning a file written under an older bucket spec needs
-            # Spark's xxhash64 recomputed per row — DuckDB can't; the
-            # FULL read stays exact regardless of specs
+            # Spark's xxhash64 recomputed per row — pure SQL can't;
+            # read_duckdb registers the Spark-equal XXH64 UDF
+            # (lake/xxh.py) and passes bucket_udf, and the FULL read
+            # stays exact regardless of specs
             raise NotImplementedError(
                 "bucket-pruned interop read across bucket-spec evolution: "
+                "use read_duckdb(buckets=...) (registers the hash UDF), "
                 "run LakeTable.compact() to migrate pre-rebucket files, "
                 "or read without bucket pruning"
             )
         bset = sorted({int(b) for b in buckets})
-        files = [f for f in files if f["bucket"] in bset or f["bucket"] == -1]
+        # file-level pruning only for CURRENT-spec per-bucket files;
+        # spanning and foreign-spec files are kept and row-filtered
+        files = [
+            f
+            for f in files
+            if f["bucket"] == -1
+            or int(f.get("spec", 0)) != cur_spec
+            or f["bucket"] in bset
+        ]
         if not files:
             return empty_sql()
 
@@ -241,17 +262,17 @@ def read_sql(
                 if cond:
                     post_conds.append(cond)
 
-    # group by (schema_version, spanning?) exactly like LakeTable.read
-    by_sv: dict[tuple[int, bool], list[str]] = {}
+    # group by (schema_version, spanning?, spec) exactly like
+    # LakeTable._scan_entries
+    by_sv: dict[tuple[int, bool, int], list[str]] = {}
     has_delta = False
     for f in files:
         has_delta = has_delta or f.get("kind") == "delta"
-        by_sv.setdefault((f["schema_version"], f["bucket"] == -1), []).append(
-            os.path.join(table_path, f["path"])
-        )
+        key = (f["schema_version"], f["bucket"] == -1, int(f.get("spec", 0)))
+        by_sv.setdefault(key, []).append(os.path.join(table_path, f["path"]))
 
     parts = []
-    for (sv, spanning), paths in sorted(by_sv.items()):
+    for (sv, spanning, spec), paths in sorted(by_sv.items()):
         old = {f["id"]: f for f in meta["schemas"][str(sv)]}
         cols = []
         for f in cur:
@@ -262,10 +283,20 @@ def read_sql(
                 cols.append(f"CAST(NULL AS {dt}) AS {_q(f['name'])}")
         cols.append("_seq")
         conds = []
-        if spanning and bset is not None:
-            conds.append(
-                f"_bucket IN ({', '.join(str(b) for b in bset)})" if bset else "FALSE"
-            )
+        if bset is not None:
+            in_list = ", ".join(str(b) for b in bset)
+            if spec != cur_spec:
+                # foreign-spec rows: recompute the CURRENT-spec bucket
+                # with the registered Spark-equal hash UDF (the exact
+                # analog of the Spark reader's row filter)
+                bname_sv = old[meta["bucket_id"]]["name"]
+                conds.append(
+                    f"{bucket_udf}({_q(bname_sv)}) IN ({in_list})"
+                    if bset
+                    else "FALSE"
+                )
+            elif spanning:
+                conds.append(f"_bucket IN ({in_list})" if bset else "FALSE")
         for fld, (lo, hi) in pre_ranges:
             # condition on the SOURCE expression (this schema version's
             # physical name); a version without the column yields NULL,
@@ -403,6 +434,31 @@ def changes_sql(
     )
 
 
+def _register_bucket_udf(con, meta: dict) -> str:
+    """Register (idempotently) the Spark-equal XXH64 bucket function
+    for this table's CURRENT spec on ``con`` (a connection, or the
+    duckdb module for its default connection); returns the name."""
+    import duckdb
+    import duckdb.typing as dt
+
+    bucket_of = _sibling("xxh").bucket_of
+    n = int(meta["num_buckets"])
+    cur = meta["schemas"][str(meta["schema_version"])]
+    btype = next(f["type"] for f in cur if f["id"] == meta["bucket_id"])
+    argtype = dt.BIGINT if btype in ("int", "bigint") else dt.VARCHAR
+    fname = f"xxb_{str(argtype).lower()}_{n}"
+    try:
+        # BIGINT: Spark's spanning files store _bucket as int64
+        # (pmod over xxhash64) — matching physical types keeps mixed
+        # spark-written + duck-written file scans schema-consistent
+        con.create_function(
+            fname, _make_bucket_udf(bucket_of, n), [argtype], dt.BIGINT
+        )
+    except (duckdb.CatalogException, duckdb.NotImplementedException):
+        pass  # already registered on this connection
+    return fname
+
+
 def read_duckdb(
     table_path: str,
     con=None,
@@ -411,11 +467,28 @@ def read_duckdb(
     ranges: dict[str, tuple] | None = None,
 ):
     """Read a lake table through DuckDB; returns a DuckDB relation
-    (``.df()`` / ``.fetchall()`` to materialize)."""
+    (``.df()`` / ``.fetchall()`` to materialize). Unlike the pure-SQL
+    ``read_sql``, this handles bucket-pruned reads across bucket-spec
+    evolution by registering the Spark-equal hash UDF."""
     import duckdb
 
+    bucket_udf = None
+    if buckets is not None:
+        meta = read_metadata(os.path.abspath(table_path))
+        snap = resolve_snapshot(meta, os.path.abspath(table_path), snapshot_id)
+        cur_spec = int(meta.get("bucket_spec_id", 0))
+        if snap is not None and any(
+            int(f.get("spec", 0)) != cur_spec for f in snap["files"]
+        ):
+            bucket_udf = _register_bucket_udf(
+                con if con is not None else duckdb, meta
+            )
     sql = read_sql(
-        table_path, buckets=buckets, snapshot_id=snapshot_id, ranges=ranges
+        table_path,
+        buckets=buckets,
+        snapshot_id=snapshot_id,
+        ranges=ranges,
+        bucket_udf=bucket_udf,
     )
     if con is not None:
         return con.sql(sql)
@@ -489,7 +562,6 @@ def write_delta_duckdb(
     fold it like any delta; ``compact()`` migrates it to base files.
     """
     commit = _sibling("commit")
-    bucket_of = _sibling("xxh").bucket_of
 
     table_path = os.path.abspath(table_path)
     meta = read_metadata(table_path)
@@ -497,23 +569,10 @@ def write_delta_duckdb(
         return None
     cur = meta["schemas"][str(meta["schema_version"])]
     bname = next(f["name"] for f in cur if f["id"] == meta["bucket_id"])
-    btype = next(f["type"] for f in cur if f["id"] == meta["bucket_id"])
     n_buckets = int(meta["num_buckets"])
     spec_id = int(meta.get("bucket_spec_id", 0))
 
-    import duckdb
-    import duckdb.typing as dt
-
-    argtype = dt.BIGINT if btype in ("int", "bigint") else dt.VARCHAR
-    # deterministic name, registered once per connection (create_function
-    # refuses to run inside an open transaction, so never re-register)
-    fname = f"xxb_{str(argtype).lower()}_{n_buckets}"
-    try:
-        con.create_function(
-            fname, _make_bucket_udf(bucket_of, n_buckets), [argtype], dt.INTEGER
-        )
-    except (duckdb.CatalogException, duckdb.NotImplementedException):
-        pass  # already registered on this connection
+    fname = _register_bucket_udf(con, meta)
     if sort_col is None:
         sort_expr = "CAST(0 AS BIGINT)"
     else:

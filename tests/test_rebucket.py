@@ -160,9 +160,18 @@ def test_interop_full_read_exact_across_specs_pruned_raises(spark, tmp_path):
     assert_pdf_equal(
         duck.sort_index(axis=1), eng.sort_index(axis=1), ["conv_id", "turn_idx"]
     )
+    # pure-SQL pruning can't recompute the hash for foreign-spec rows…
     with pytest.raises(NotImplementedError):
         read_sql(t.path, buckets=[0])
-    # after compact the pruned interop read works again
+    # …but read_duckdb registers the Spark-equal XXH64 UDF and prunes
+    # exactly across the spec boundary
+    from delta_spark.lake.interop import read_duckdb
+
+    con = duckdb.connect()
+    sp0 = sorted(map(tuple, t.read(buckets=[0]).collect()))
+    du0 = sorted(map(tuple, read_duckdb(t.path, con=con, buckets=[0]).fetchall()))
+    assert du0 == sp0 and len(sp0) > 0
+    # after compact the pure-SQL pruned read works again
     t.compact(max_files_per_bucket=1)
     duckdb.sql(read_sql(t.path, buckets=[0])).df()
 
