@@ -217,6 +217,21 @@ ALL_ORACLES: dict[str, str] = {
                date_diff('microsecond', min(ts), max(ts)) / 1000000.0 AS duration_s
         FROM s GROUP BY conv_id, sid
     """,
+    # the stale-event audit over a 4-chunk stream + chunk-1 redelivery:
+    # flagged rows are exactly the redelivered (conv, seq) pairs, each
+    # 'late' against the conversation's overall max(seq) — chunk
+    # membership is recomputed with the same ntile(4) ORDER BY seq
+    "stale_audit_stream": """
+        WITH e AS (
+            SELECT 'c' || user_id AS conv_id, event_id AS seq FROM events),
+        m AS (SELECT conv_id, max(seq) AS mx FROM e GROUP BY conv_id),
+        c1 AS (
+            SELECT conv_id, seq FROM (
+                SELECT conv_id, seq, ntile(4) OVER (ORDER BY seq) AS ck FROM e)
+            WHERE ck = 1)
+        SELECT c1.conv_id, c1.seq, 'late' AS kind, m.mx AS max_seq_seen
+        FROM c1 JOIN m USING (conv_id)
+    """,
     # rebucket must be invisible to readers: the two-phase replay with
     # a mid-run bucket-spec change answers to the SAME LWW oracle as
     # the single-shot replay

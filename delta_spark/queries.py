@@ -761,6 +761,61 @@ def stateful_sessions_stream(spark, sf_dir):
     return spark.table(name).filter(F.col("conv_id") != "__flush__")
 
 
+def stale_audit_stream(spark, sf_dir):
+    """Per-key stale-event audit E2E WITH a SQL oracle: the events
+    table streams in four seq-ordered chunks, then the FIRST chunk is
+    redelivered whole (a retry storm). ``stateful.stale_event_audit``
+    must flag exactly the redelivered events as ``late`` — each seq
+    sits at/below its conversation's committed max — with
+    ``max_seq_seen`` equal to the conversation's overall high-water
+    mark, which DuckDB computes as a plain join of chunk-1 events
+    against per-conversation max(seq). The exactly-once machinery's
+    silent drops, proven observable and exact."""
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from .stateful import stale_event_audit
+
+    d = tempfile.mkdtemp(prefix="stale_audit_")
+    src_dir = f"{d}/src"
+    os.makedirs(src_dir)
+    ev = _t(spark, sf_dir, "events")
+    mapped = ev.select(
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.col("event_id").cast("long").alias("seq"),
+    )
+    chunked = mapped.withColumn("ck", F.ntile(4).over(Window.orderBy("seq")))
+    for i in range(1, 5):
+        chunked.filter(F.col("ck") == i).drop("ck").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        time.sleep(0.05)
+    # redeliver chunk 1 (distinct mtime → processed LAST)
+    chunked.filter(F.col("ck") == 1).drop("ck").coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("conv_id string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src_dir)
+    )
+    name = f"audit_{uuid.uuid4().hex[:8]}"
+    q = (
+        stale_event_audit(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name)
+
+
 def rebucket_replay_lww(spark, sf_dir):
     """Bucket-spec evolution E2E WITH a SQL oracle: the SAME mapped
     changelog as ``transcript_replay_lww``, replayed in two halves with
@@ -1003,6 +1058,7 @@ ALL_QUERIES = {
     "transcript_replay_lww": transcript_replay_lww,
     "stats_pruned_scan": stats_pruned_scan,
     "stateful_sessions_stream": stateful_sessions_stream,
+    "stale_audit_stream": stale_audit_stream,
     "rebucket_replay_lww": rebucket_replay_lww,
     "cdc_replay_stream_lww": cdc_replay_stream_lww,
     "table_changes_feed": table_changes_feed,
