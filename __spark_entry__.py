@@ -44,7 +44,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL mirror for every SQL-expressible query.
-    Omitted keys (approximate ANN, synthesized-changelog E2E, pandas-UDF
-    media stub) get the driver's rows-only check."""
+    """DuckDB-runnable ANSI SQL mirror for every SQL-expressible query
+    (36 of 39, including both custom stateful streaming operators and
+    the real-engine replay paths). The 3 omitted keys — the two
+    honestly-approximate ANN indexes and the pandas-UDF media stub —
+    get the driver's rows-only check."""
     return dict(ALL_ORACLES)
