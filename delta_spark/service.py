@@ -222,6 +222,31 @@ class DiagnosticsService:
         }
 
     @staticmethod
+    def _changes(path: str, q: dict) -> dict:
+        """Change-feed summary between two snapshots, computed
+        Spark-free via the interop CDC-out SQL (DuckDB): counts by
+        change type plus the snapshot range actually used — the
+        "what happened between these two commits" ops question."""
+        import duckdb
+
+        from .lake.interop import changes_sql, read_metadata
+
+        meta = read_metadata(path)
+        frm = int(q["from"]) if "from" in q else None
+        to = int(q["to"]) if "to" in q else None
+        sql = changes_sql(path, frm, to)
+        rows = duckdb.sql(
+            f"SELECT _change_type, count(*) AS n, max(_seq) AS max_seq "
+            f"FROM (\n{sql}\n) GROUP BY _change_type"
+        ).fetchall()
+        return {
+            "from": frm,
+            "to": to if to is not None else meta["current_snapshot_id"],
+            "counts": {r[0]: r[1] for r in rows},
+            "max_seq": max((r[2] for r in rows), default=None),
+        }
+
+    @staticmethod
     def _lineage(path: str) -> list[dict]:
         recs = []
         for p in sorted(glob.glob(os.path.join(path, "metadata", "lineage", "*.json"))):
@@ -293,6 +318,8 @@ class DiagnosticsService:
                         return 200, {"lineage": self._lineage(path)}
                     if sub == "plan":
                         return 200, self._plan(path, q)
+                    if sub == "changes":
+                        return 200, self._changes(path, q)
             elif method == "POST":
                 if parts == ["v1", "assessTable"]:
                     return 200, self._assess_one(body or {})

@@ -78,6 +78,14 @@ def test_service_end_to_end_over_http(spark, tmp_path):
         StateStore(cfg.table_path, "transcripts").set_failing("boom")
         assert _get(port, "/v1/tables/transcripts/state")[1]["pipeline"] == "FAILING"
 
+        # change-feed summary, Spark-free via interop CDC-out SQL:
+        # from=None..current over a fresh replay = all inserts
+        code, ch = _get(port, "/v1/tables/transcripts/changes")
+        assert code == 200
+        assert ch["to"] == 1 and ch["counts"].get("insert", 0) > 0
+        assert "update" not in ch["counts"] and "delete" not in ch["counts"]
+        assert ch["max_seq"] == st.max_seq
+
         # scan planning from manifest stats: a narrow key range plans
         # fewer files than the full table, a no-op range plans all
         code, plan = _get(port, "/v1/tables/transcripts/plan?col=conv_id&lo=c1&hi=c1")
