@@ -55,7 +55,9 @@ def _sibling(name: str):
         return mod
 
 
-prune_files = _sibling("stats").prune_files
+_stats = _sibling("stats")
+prune_files = _stats.prune_files
+normalize_ranges = _stats.normalize_ranges
 
 # ---------------------------------------------------------- metadata
 # Mirrors LakeTable._read_metadata / _resolve_files (the format's
@@ -153,6 +155,18 @@ def _range_cond(expr: str, lo, hi) -> str | None:
     if hi is not None:
         conds.append(f"{expr} <= {_sql_lit(hi)}")
     return " AND ".join(conds) if conds else None
+
+
+def _union_cond(expr: str, ivals: list[tuple]) -> str | None:
+    """OR of per-interval conditions; None if any interval is fully
+    open (then the union filters nothing)."""
+    parts = []
+    for lo, hi in ivals:
+        c = _range_cond(expr, lo, hi)
+        if c is None:
+            return None
+        parts.append(f"({c})" if len(ivals) > 1 else c)
+    return " OR ".join(parts) if parts else None
 
 
 def read_sql(
@@ -253,12 +267,12 @@ def read_sql(
         if not files:
             return empty_sql()
         by_name = {f["name"]: f for f in cur}
-        for colname, (lo, hi) in ranges.items():
+        for colname, ivals in normalize_ranges(ranges).items():
             fld = by_name[colname]
             if fld["id"] in key_ids:
-                pre_ranges.append((fld, (lo, hi)))
+                pre_ranges.append((fld, ivals))
             else:
-                cond = _range_cond(_q(colname), lo, hi)
+                cond = _union_cond(_q(colname), ivals)
                 if cond:
                     post_conds.append(cond)
 
@@ -297,7 +311,7 @@ def read_sql(
                 )
             elif spanning:
                 conds.append(f"_bucket IN ({in_list})" if bset else "FALSE")
-        for fld, (lo, hi) in pre_ranges:
+        for fld, ivals in pre_ranges:
             # condition on the SOURCE expression (this schema version's
             # physical name); a version without the column yields NULL,
             # which a range predicate excludes — matching the Spark side
@@ -307,9 +321,9 @@ def read_sql(
                 if fld["id"] in old
                 else f"CAST(NULL AS {dt})"
             )
-            cond = _range_cond(expr, lo, hi)
+            cond = _union_cond(expr, ivals)
             if cond:
-                conds.append(cond)
+                conds.append(f"({cond})" if " OR " in cond else cond)
         where = f" WHERE {' AND '.join(conds)}" if conds else ""
         # pre-sort-column files read as _sort = 0 (format evolution) —
         # checked PER FILE: old and new files may coexist within one
@@ -437,7 +451,19 @@ def changes_sql(
 def _register_bucket_udf(con, meta: dict) -> str:
     """Register (idempotently) the Spark-equal XXH64 bucket function
     for this table's CURRENT spec on ``con`` (a connection, or the
-    duckdb module for its default connection); returns the name."""
+    duckdb module for its default connection); returns the name.
+
+    The hash is dispatched on the bucket column's DECLARED type —
+    Spark hashes an IntegerType column via the 4-byte hashInt path and
+    a LongType column via 8-byte hashLong, so one Python int has two
+    different buckets depending on the column type. Only string /
+    bigint / int columns are supported here; anything else raises
+    rather than hashing wrong (callers fall back to a Spark read).
+    Registered with ``null_handling='special'``: DuckDB's default
+    short-circuits NULL inputs to NULL without calling the UDF, but
+    Spark's ``xxhash64(NULL)`` yields the seed — a NULL bucket key
+    belongs in bucket ``pmod(42, n)``, and a NULL ``_bucket`` would be
+    silently dropped by every ``_bucket IN (...)`` pruned read."""
     import duckdb
     import duckdb.typing as dt
 
@@ -445,14 +471,29 @@ def _register_bucket_udf(con, meta: dict) -> str:
     n = int(meta["num_buckets"])
     cur = meta["schemas"][str(meta["schema_version"])]
     btype = next(f["type"] for f in cur if f["id"] == meta["bucket_id"])
-    argtype = dt.BIGINT if btype in ("int", "bigint") else dt.VARCHAR
-    fname = f"xxb_{str(argtype).lower()}_{n}"
+    if btype == "string":
+        argtype = dt.VARCHAR
+    elif btype == "bigint":
+        argtype = dt.BIGINT
+    elif btype == "int":
+        argtype = dt.INTEGER
+    else:
+        raise NotImplementedError(
+            f"DuckDB interop bucket hashing supports string/bigint/int "
+            f"bucket columns; this table buckets by {btype!r} — use the "
+            f"Spark reader/writer for it"
+        )
+    fname = f"xxb_{btype}_{n}"
     try:
-        # BIGINT: Spark's spanning files store _bucket as int64
+        # return BIGINT: Spark's spanning files store _bucket as int64
         # (pmod over xxhash64) — matching physical types keeps mixed
         # spark-written + duck-written file scans schema-consistent
         con.create_function(
-            fname, _make_bucket_udf(bucket_of, n), [argtype], dt.BIGINT
+            fname,
+            _make_bucket_udf(bucket_of, n, btype),
+            [argtype],
+            dt.BIGINT,
+            null_handling="special",
         )
     except (duckdb.CatalogException, duckdb.NotImplementedException):
         pass  # already registered on this connection
@@ -530,9 +571,13 @@ def _write_json_once(path: str, payload) -> None:
     os.replace(tmp, path)
 
 
-def _make_bucket_udf(bucket_of, n):
+def _make_bucket_udf(bucket_of, n, coltype):
+    # DuckDB hands an INTEGER arg over as a Python int — the declared
+    # column type (captured here), not the value's Python type, picks
+    # the Spark hash variant. None reaches us because the function is
+    # registered with null_handling='special' (Spark: NULL → seed).
     def f(v):
-        return int(bucket_of(v, n))
+        return int(bucket_of(v, n, coltype=coltype))
 
     return f
 
@@ -592,7 +637,11 @@ def write_delta_duckdb(
         f"CAST({_q(seq_col)} AS BIGINT) AS _seq, "
         f"{sort_expr} AS _sort, "
         f"({_q(op_col)} = {_sql_lit(delete_op)}) AS _deleted, "
-        f"{fname}({_q(bname)}) AS _bucket "
+        # hash the DECLARED-type value (a producer yielding BIGINT for
+        # an int column must hash 4 bytes, not 8)
+        f"{fname}(CAST({_q(bname)} AS "
+        f"{_duck_type(next(f['type'] for f in cur if f['name'] == bname))}"
+        f")) AS _bucket "
         f"FROM ({select_sql})"
     )
     tag = f"delta-duck-{uuid.uuid4().hex[:12]}"

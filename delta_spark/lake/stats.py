@@ -58,25 +58,58 @@ def stats_exclude(st, lo, hi) -> bool:
     return False
 
 
+def normalize_ranges(ranges: dict) -> dict[str, list[tuple]]:
+    """Normalize a ranges spec to column → list of inclusive (lo, hi)
+    intervals (UNION semantics). Accepted per-column values: one
+    ``(lo, hi)`` tuple, or a list of such tuples. A point-lookup over k
+    values passes ``[(v, v) for v in values]`` so stats pruning skips
+    every file whose bounds straddle none of the k points — a single
+    (min, max) envelope spanning the key domain would skip nothing."""
+    out: dict[str, list[tuple]] = {}
+    for colname, spec in ranges.items():
+        if isinstance(spec, tuple) and len(spec) == 2:
+            ivals = [spec]
+        elif isinstance(spec, list) and spec and all(
+            isinstance(iv, tuple) and len(iv) == 2 for iv in spec
+        ):
+            ivals = list(spec)
+        else:
+            raise ValueError(
+                f"range for {colname!r} must be a (lo, hi) tuple or a "
+                f"non-empty list of them, got {spec!r}"
+            )
+        out[colname] = ivals
+    return out
+
+
 def prune_files(files: list[dict], cur_fields: list[dict], key_ids, ranges: dict) -> list[dict]:
     """Apply range file-skipping to a manifest entry list under the
     MoR safety rules: key columns always (every version of a key shares
     its value), non-key columns only when the snapshot holds no delta
     files (a base row may be superseded by a delta row whose new value
-    re-enters the range). Row-level filtering stays the caller's job."""
+    re-enters the range). A column's spec may be a single (lo, hi) or a
+    list of intervals (union): a file survives if ANY interval
+    intersects its bounds. Row-level filtering stays the caller's job."""
     by_name = {f["name"]: f for f in cur_fields}
     key_ids = set(key_ids)
     has_delta = any(f.get("kind") == "delta" for f in files)
-    for colname, (lo, hi) in ranges.items():
+    for colname, ivals in normalize_ranges(ranges).items():
         fld = by_name.get(colname)
         if fld is None:
             raise ValueError(f"range column {colname!r} not in schema")
         if not (fld["id"] in key_ids or not has_delta):
             continue
-        lo_e = stat_encode(fld["type"], lo)
-        hi_e = stat_encode(fld["type"], hi)
+        enc = [
+            (stat_encode(fld["type"], lo), stat_encode(fld["type"], hi))
+            for lo, hi in ivals
+        ]
         fid = str(fld["id"])
         files = [
-            f for f in files if not stats_exclude(f.get("stats", {}).get(fid), lo_e, hi_e)
+            f
+            for f in files
+            if not all(
+                stats_exclude(f.get("stats", {}).get(fid), lo_e, hi_e)
+                for lo_e, hi_e in enc
+            )
         ]
     return files

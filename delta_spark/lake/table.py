@@ -79,8 +79,37 @@ def _type_of(name: str) -> T.DataType:
 
 # manifest column-bounds stats: shared Spark-free helpers (the DuckDB
 # interop reader plans file skips from the same functions)
+from .stats import normalize_ranges as _normalize_ranges  # noqa: E402
 from .stats import prune_files as _prune_files  # noqa: E402
 from .stats import stat_encode as _stat_encode  # noqa: E402
+
+
+def _footer_stats(md, idx: dict, stat_fields: list[tuple]) -> dict:
+    """Per-file column bounds from an open parquet footer: min/max of
+    each stats column across row groups, encoded into the manifest
+    stats domain (lake/stats.py). A column with any unbounded row group
+    is omitted — a missing stat only disables skipping."""
+    stats: dict[str, list] = {}
+    for fid, name, typ in stat_fields:
+        if name not in idx:
+            continue
+        mn = mx = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[name]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = _stat_encode(typ, st.min)
+            hi = _stat_encode(typ, st.max)
+            if lo is None or hi is None:
+                ok = False
+                break
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        if ok and mn is not None:
+            stats[fid] = [mn, mx]
+    return stats
 
 
 class LakeTable:
@@ -497,12 +526,29 @@ class LakeTable:
         values = list(values)
         bcol = self.bucket_col
         btype = next(f["type"] for f in self.fields if f["name"] == bcol)
-        if all(isinstance(v, (str, int)) and not isinstance(v, bool) for v in values):
-            # Spark-equal XXH64 in Python (lake/xxh.py): plan the
-            # buckets driver-side with NO Spark job
+        # The driver-side XXH64 path is gated on the COLUMN's declared
+        # type, not the Python value types: an int value against a
+        # string column (or vice versa) must error, never hash wrong
+        # (the silent-miss bug class — a mismatched hash prunes to the
+        # wrong buckets and returns missing rows).
+        py_type = {"string": str, "bigint": int, "int": int}.get(btype)
+        if py_type is not None and not all(
+            isinstance(v, py_type) and not isinstance(v, bool) for v in values
+        ):
+            raise TypeError(
+                f"lookup values must all be {py_type.__name__} to match "
+                f"bucket column {bcol!r} ({btype}); got "
+                f"{sorted({type(v).__name__ for v in values})}"
+            )
+        if py_type is not None:
+            # Spark-equal XXH64 in Python (lake/xxh.py), dispatched by
+            # the DECLARED column type (int columns use Spark's 4-byte
+            # hashInt path): plan the buckets driver-side with NO job
             from .xxh import bucket_of
 
-            buckets = sorted({bucket_of(v, self.num_buckets) for v in values})
+            buckets = sorted(
+                {bucket_of(v, self.num_buckets, coltype=btype) for v in values}
+            )
         else:  # exotic bucket-col type: one tiny job computes the hashes
             vdf = self.spark.createDataFrame(
                 [(v,) for v in values],
@@ -512,8 +558,11 @@ class LakeTable:
                 r[0]
                 for r in vdf.select(self.bucket_expr().alias("b")).distinct().collect()
             ]
+        # per-value interval union: a 2-value lookup spanning the key
+        # domain still stats-skips every file holding neither value (a
+        # single (min, max) envelope would degenerate to a full scan)
         out = self.read(
-            buckets=buckets, ranges={bcol: (min(values), max(values))}
+            buckets=buckets, ranges={bcol: [(v, v) for v in set(values)]}
         )
         return out.filter(F.col(bcol).isin(values))
 
@@ -563,14 +612,23 @@ class LakeTable:
             by_name = {f["name"]: f for f in cur}
             key_ids = set(self.metadata["key_ids"])
             files = _prune_files(files, cur, key_ids, ranges)
-            for colname, (lo, hi) in ranges.items():
-                cond = None
+            for colname, ivals in _normalize_ranges(ranges).items():
                 c = F.col(colname)
-                if lo is not None:
-                    cond = c >= F.lit(lo)
-                if hi is not None:
-                    cond = (c <= F.lit(hi)) if cond is None else cond & (c <= F.lit(hi))
-                if cond is not None:
+                ors = []
+                for lo, hi in ivals:
+                    cond = None
+                    if lo is not None:
+                        cond = c >= F.lit(lo)
+                    if hi is not None:
+                        cond = (c <= F.lit(hi)) if cond is None else cond & (c <= F.lit(hi))
+                    if cond is None:  # fully open interval: no filter
+                        ors = []
+                        break
+                    ors.append(cond)
+                if ors:
+                    cond = ors[0]
+                    for o in ors[1:]:
+                        cond = cond | o
                     is_key = by_name[colname]["id"] in key_ids
                     (pre_filters if is_key else post_filters).append(cond)
         # group by (schema_version, spanning?, spec) — spanning files
@@ -850,6 +908,15 @@ class LakeTable:
         meta["current_snapshot_id"] = sid
         self._write_metadata(meta, expected_version=self.metadata["version"])
 
+    def _stat_fields(self) -> list[tuple]:
+        """(field_id_str, current_name, type) for the stats columns."""
+        sv_fields = {f["id"]: f for f in self.fields}
+        return [
+            (str(i), sv_fields[i]["name"], sv_fields[i]["type"])
+            for i in self.stats_ids
+            if i in sv_fields
+        ]
+
     def _write_data(
         self, df: DataFrame, snap_tag: str, kind: str = "base",
         read_footers: bool | None = None, sort_by: list[str] | None = None,
@@ -885,38 +952,13 @@ class LakeTable:
 
             import pyarrow.parquet as pq
 
-            sv_fields = {f["id"]: f for f in self.fields}
-            stat_fields = [
-                (str(i), sv_fields[i]["name"], sv_fields[i]["type"])
-                for i in self.stats_ids
-                if i in sv_fields
-            ]
+            stat_fields = self._stat_fields()
 
             def _rows(p):
                 try:
                     md = pq.ParquetFile(p).metadata
                     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-                    stats = {}
-                    for fid, name, typ in stat_fields:
-                        if name not in idx:
-                            continue
-                        mn = mx = None
-                        ok = True
-                        for rg in range(md.num_row_groups):
-                            st = md.row_group(rg).column(idx[name]).statistics
-                            if st is None or not st.has_min_max:
-                                ok = False
-                                break
-                            lo = _stat_encode(typ, st.min)
-                            hi = _stat_encode(typ, st.max)
-                            if lo is None or hi is None:
-                                ok = False
-                                break
-                            mn = lo if mn is None else min(mn, lo)
-                            mx = hi if mx is None else max(mx, hi)
-                        if ok and mn is not None:
-                            stats[fid] = [mn, mx]
-                    return p, md.num_rows, stats
+                    return p, md.num_rows, _footer_stats(md, idx, stat_fields)
                 except Exception:
                     return p, None, {}
 
@@ -978,6 +1020,8 @@ class LakeTable:
 
         import pyarrow.parquet as pq
 
+        stat_fields = self._stat_fields()
+
         def _rows(p):
             try:
                 md = pq.ParquetFile(p).metadata
@@ -988,15 +1032,21 @@ class LakeTable:
                         st = md.row_group(rg).column(idx["_seq"]).statistics
                         if st is not None and st.has_min_max:
                             max_seq = st.max if max_seq is None else max(max_seq, st.max)
-                return p, md.num_rows, max_seq
+                # column bounds for delta files too — the footer is
+                # already open, so this is free, and it lets lookups /
+                # key-range reads skip delta files whose key ranges miss
+                # (safe: every version of a key carries the same key
+                # value; non-key bounds are ignored by the planner while
+                # any delta file exists)
+                return p, md.num_rows, max_seq, _footer_stats(md, idx, stat_fields)
             except Exception:
-                return p, None, None
+                return p, None, None, {}
 
         sv = self.metadata["schema_version"]
         spec = self.bucket_spec_id
         entries = []
         with ThreadPoolExecutor(min(16, max(1, len(paths)))) as ex:
-            for p, rows, max_seq in ex.map(_rows, paths):
+            for p, rows, max_seq, stats in ex.map(_rows, paths):
                 if rows == 0:
                     os.unlink(p)
                     continue
@@ -1009,6 +1059,7 @@ class LakeTable:
                         "max_seq": max_seq,
                         "kind": "delta",
                         **({"spec": spec} if spec else {}),
+                        **({"stats": stats} if stats else {}),
                     }
                 )
         return entries

@@ -74,17 +74,47 @@ def xxh64(data: bytes, seed: int = 42) -> int:
     return h
 
 
-def spark_xxhash64(value, seed: int = 42) -> int:
+# Column types Spark's XxHash64 expression feeds through the 4-byte
+# hashInt path (XXH64 over the value's 4-byte little-endian encoding;
+# byte/short are widened to int first) vs the 8-byte hashLong path.
+_INT_TYPES = frozenset({"int", "integer", "smallint", "tinyint", "date"})
+_LONG_TYPES = frozenset({"bigint", "long", "timestamp"})
+
+
+def spark_xxhash64(value, seed: int = 42, coltype: str | None = None) -> int:
     """Spark's ``xxhash64(value)`` → SIGNED 64-bit int (what the
-    expression returns). Supports the types the engine buckets by:
-    str (UTF-8 bytes), int (8-byte little-endian long), bytes."""
+    expression returns). ``coltype`` is the DECLARED lake column type
+    ('string' | 'bigint' | 'int' | ...); it matters because Spark
+    hashes an IntegerType column via the 4-byte hashInt path but a
+    LongType column via the 8-byte hashLong path — the same Python int
+    hashes DIFFERENTLY depending on the column's type. Callers that
+    know the column type must pass it; the legacy default (None) infers
+    str→UTF-8 bytes and int→8-byte long, which is only correct for
+    string/bigint columns."""
     if value is None:
         # Spark: a NULL input leaves the running hash at the seed
         return seed - (1 << 64) if seed >= (1 << 63) else seed
-    if isinstance(value, str):
-        data = value.encode("utf-8")
-    elif isinstance(value, bool):
+    if isinstance(value, bool):
         raise TypeError("boolean bucket keys are not supported")
+    if coltype is not None:
+        t = coltype.lower()
+        if t in ("string", "varchar"):
+            if not isinstance(value, str):
+                raise TypeError(f"string column got {type(value).__name__}")
+            data = value.encode("utf-8")
+        elif t in _LONG_TYPES:
+            if not isinstance(value, int):
+                raise TypeError(f"{t} column got {type(value).__name__}")
+            data = struct.pack("<q", value)
+        elif t in _INT_TYPES:
+            if not isinstance(value, int):
+                raise TypeError(f"{t} column got {type(value).__name__}")
+            # Spark XXH64.hashInt == XXH64 of the 4-byte LE encoding
+            data = struct.pack("<i", value)
+        else:
+            raise TypeError(f"no Spark hash mapping for column type {t!r}")
+    elif isinstance(value, str):
+        data = value.encode("utf-8")
     elif isinstance(value, int):
         data = struct.pack("<q", value)
     elif isinstance(value, (bytes, bytearray)):
@@ -95,7 +125,7 @@ def spark_xxhash64(value, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-def bucket_of(value, num_buckets: int, seed: int = 42) -> int:
+def bucket_of(value, num_buckets: int, seed: int = 42, coltype: str | None = None) -> int:
     """``pmod(xxhash64(value), num_buckets)`` — the engine's bucket
     function, Spark-free. Python's ``%`` on a signed int IS pmod."""
-    return spark_xxhash64(value, seed) % num_buckets
+    return spark_xxhash64(value, seed, coltype=coltype) % num_buckets
