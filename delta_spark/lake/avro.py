@@ -204,8 +204,17 @@ def _decode(buf, schema, names: dict):
 _MAGIC = b"Obj\x01"
 
 
-def write_ocf(path: str, schema: dict, records: list[dict], sync: bytes | None = None) -> None:
-    """Write records as a null-codec Avro Object Container File."""
+def write_ocf(
+    path: str,
+    schema: dict,
+    records: list[dict],
+    sync: bytes | None = None,
+    meta: dict | None = None,
+) -> None:
+    """Write records as a null-codec Avro Object Container File.
+    ``meta`` adds file-metadata entries (str or bytes values) — Iceberg
+    manifests carry e.g. ``schema`` / ``partition-spec`` / ``content``
+    header properties that readers inspect."""
     if sync is None:
         sync = os.urandom(16)
     body = io.BytesIO()
@@ -215,15 +224,13 @@ def write_ocf(path: str, schema: dict, records: list[dict], sync: bytes | None =
     out = io.BytesIO()
     out.write(_MAGIC)
     meta_schema = {"type": "map", "values": "bytes"}
-    _encode(
-        out,
-        meta_schema,
-        {
-            "avro.schema": json.dumps(schema).encode("utf-8"),
-            "avro.codec": b"null",
-        },
-        {},
-    )
+    all_meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": b"null",
+    }
+    for k, v in (meta or {}).items():
+        all_meta[k] = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+    _encode(out, meta_schema, all_meta, {})
     out.write(sync)
     if records:
         write_long(out, len(records))

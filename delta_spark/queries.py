@@ -1023,6 +1023,52 @@ def media_frame_plan(spark, sf_dir):
     ).select("media_id", F.col("fi").cast("long").alias("frame_idx"))
 
 
+def iceberg_export_read(spark, sf_dir):
+    """Iceberg-ecosystem readability E2E WITH a SQL oracle: the mapped
+    transcript changelog is LWW-merged into a lake table in two batches
+    (CoW base + MoR delta, so the export exercises BOTH the zero-copy
+    base path and the winners + equality-delete path), exported as a
+    standard Iceberg v2 table (lake/iceberg.py: metadata.json + Avro
+    manifests + equality deletes), and read back THROUGH THE EXPORTED
+    ICEBERG METADATA ONLY (read_iceberg_spark — the plan a
+    Spark+Iceberg runtime produces for a v2 MoR read). DuckDB
+    reproduces the final state as a windowed LWW, hash-checking the
+    whole export→consume contract. Reference analog: targets must be
+    consumable by the wider ecosystem (EventConsumer.java:39-76)."""
+    import tempfile
+
+    from .lake import LakeTable
+    from .lake.iceberg import export_iceberg, read_iceberg_spark
+    from .schema import TRANSCRIPT_SCHEMA
+
+    d = tempfile.mkdtemp(prefix="iceberg_export_")
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.select(
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.col("event_id").cast("long").alias("seq"),
+    )
+    t = LakeTable.create(
+        spark, f"{d}/tbl", TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        "conv_id", 8,
+    )
+    # any deterministic split works — the merge is seq-guarded, so the
+    # final LWW state is split-invariant (exactly what the oracle says)
+    t.merge(batch.filter(F.col("seq") % 3 != 0), "w", "b0")
+    t.merge(batch.filter(F.col("seq") % 3 == 0), "w", "b1", mode="mor")
+    mp = export_iceberg(t.refresh(), f"{d}/ice")
+    return read_iceberg_spark(mp, spark).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 ALL_QUERIES = {
     "changelog_scan_filter": changelog_scan_filter,
     "lww_latest_state": lww_latest_state,
@@ -1062,6 +1108,7 @@ ALL_QUERIES = {
     "rebucket_replay_lww": rebucket_replay_lww,
     "cdc_replay_stream_lww": cdc_replay_stream_lww,
     "table_changes_feed": table_changes_feed,
+    "iceberg_export_read": iceberg_export_read,
     "media_features": media_features,
     "media_frame_plan": media_frame_plan,
 }

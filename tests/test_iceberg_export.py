@@ -1,0 +1,267 @@
+"""Iceberg-compatible export (lake/iceberg.py): a LakeTable snapshot
+published as a standard Iceberg v2 table — metadata.json + Avro
+manifest list/manifests + parquet data and equality-delete files —
+and read back row-equal by an INDEPENDENT consumer that walks ONLY
+the exported Iceberg structures (no pyiceberg ships in this sandbox;
+the consumer is the constructive ecosystem-readability proof).
+
+Reference analog: targets must be consumable by the wider ecosystem
+(delta-api/.../EventConsumer.java:39-76)."""
+
+import datetime
+import json
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from delta_spark.lake import LakeTable
+from delta_spark.lake.avro import read_ocf
+from delta_spark.lake.iceberg import (
+    export_iceberg,
+    iceberg_scan_sql,
+    read_iceberg_duckdb,
+    scan_files,
+)
+from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+TS = datetime.datetime(2026, 3, 1)
+DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, op string, seq long"
+)
+
+
+def _mk(spark, path, n=6):
+    t = LakeTable.create(
+        spark, path, TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], "conv_id", 8
+    )
+    rows = [
+        (f"c{i}", j, "user", f"v1 {i}.{j}", "", TS, "INSERT", i * 10 + j + 1)
+        for i in range(n)
+        for j in range(3)
+    ]
+    t.merge(spark.createDataFrame(rows, DDL), "w", "b0")
+    return t
+
+
+def _rows_equal(spark_df, duck_rel):
+    want = sorted(tuple(r) for r in spark_df.collect())
+    got = sorted(tuple(r) for r in duck_rel.fetchall())
+    assert len(want) == len(got), (len(want), len(got))
+    for a, b in zip(want, got):
+        assert a == b, (a, b)
+
+
+def test_zero_copy_export_of_cow_table(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    mp = export_iceberg(t, str(tmp_path / "ice"))
+    _rows_equal(t.read(), read_iceberg_duckdb(mp))
+    # pure CoW snapshot: no winners / deletes, sequence stays 1, and
+    # every data file is a HARD LINK of the lake's own file (zero-copy)
+    with open(mp) as f:
+        md = json.load(f)
+    assert md["format-version"] == 2
+    assert md["last-sequence-number"] == 1
+    scan = scan_files(mp)
+    assert scan["deletes"] == []
+    src_inodes = {
+        os.stat(os.path.join(t.path, e["path"])).st_ino
+        for e in t.current_snapshot["files"]
+    }
+    for p, _seq in scan["data"]:
+        assert os.stat(p).st_ino in src_inodes, p
+
+
+def test_export_mor_tombstones_and_rename(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    upd = [
+        ("c1", 0, "assistant", "v2", "", TS, "UPDATE", 1000),
+        ("c2", 1, None, None, None, None, "DELETE", 1001),
+        ("c9", 0, "user", "new", "", TS, "INSERT", 1002),
+    ]
+    t.merge(spark.createDataFrame(upd, DDL), "w", "b1", mode="mor")
+    t.apply_ddl(
+        {"op": "RENAME_COLUMN", "column": "conv_id", "new_name": "conversation_id"}
+    )
+    t = t.refresh()
+    mp = export_iceberg(t, str(tmp_path / "ice"))
+    _rows_equal(t.read(), read_iceberg_duckdb(mp))
+    # the Spark-side consumer (what a Spark+Iceberg runtime plans)
+    # agrees with both the DuckDB consumer and the engine read
+    from delta_spark.lake.iceberg import read_iceberg_spark
+
+    got_spark = sorted(tuple(r) for r in read_iceberg_spark(mp, spark).collect())
+    want = sorted(tuple(r) for r in t.read().collect())
+    assert got_spark == want
+    scan = scan_files(mp)
+    # equality deletes at sequence 2 suppress the superseded base rows
+    assert scan["deletes"] and all(seq == 2 for _p, seq, _ids in scan["deletes"])
+    key_ids = t.metadata["key_ids"]
+    assert all(ids == key_ids for _p, _seq, ids in scan["deletes"])
+    # name mapping carries the pre-rename name for the zero-copy files
+    with open(mp) as f:
+        md = json.load(f)
+    mapping = json.loads(md["properties"]["schema.name-mapping.default"])
+    m = next(e for e in mapping if "conversation_id" in e["names"])
+    assert "conv_id" in m["names"]
+
+
+def test_export_after_compact_suppresses_base_tombstones(spark, tmp_path):
+    """Post-compact the table is delta-free but base files RETAIN
+    tombstones (the seq guard); the export must find them via the
+    _deleted footer stats and emit the equality delete."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.merge(
+        spark.createDataFrame(
+            [("c2", 1, None, None, None, None, "DELETE", 900)], DDL
+        ),
+        "w",
+        "b1",
+        mode="mor",
+    )
+    assert t.compact(max_files_per_bucket=1) > 0
+    t = t.refresh()
+    assert all(f.get("kind") != "delta" for f in t.current_snapshot["files"])
+    mp = export_iceberg(t, str(tmp_path / "ice"))
+    _rows_equal(t.read(), read_iceberg_duckdb(mp))
+    got = read_iceberg_duckdb(mp).df()
+    assert not ((got["conv_id"] == "c2") & (got["turn_idx"] == 1)).any()
+
+
+def test_export_across_rebucket_spec_evolution(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    assert t.rebucket(16)
+    t = t.refresh()
+    t.merge(
+        spark.createDataFrame(
+            [("c3", 0, "user", "post-rebucket", "", TS, "UPDATE", 5000)], DDL
+        ),
+        "w",
+        "b1",
+        mode="mor",
+    )
+    t = t.refresh()
+    mp = export_iceberg(t, str(tmp_path / "ice"))
+    _rows_equal(t.read(), read_iceberg_duckdb(mp))
+
+
+def test_export_time_travel_snapshot(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    sid = t.metadata["current_snapshot_id"]
+    t.merge(
+        spark.createDataFrame(
+            [("c0", 0, "user", "after", "", TS, "UPDATE", 7000)], DDL
+        ),
+        "w",
+        "b1",
+        mode="mor",
+    )
+    t = t.refresh()
+    mp = export_iceberg(t, str(tmp_path / "ice"), snapshot_id=sid)
+    _rows_equal(t.read(snapshot_id=sid), read_iceberg_duckdb(mp))
+    got = read_iceberg_duckdb(mp).df()
+    assert "after" not in set(got["text"])
+
+
+def test_export_empty_table(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], "conv_id", 8,
+    )
+    mp = export_iceberg(t, str(tmp_path / "ice"))
+    assert read_iceberg_duckdb(mp).fetchall() == []
+
+
+def test_manifest_list_avro_structure(spark, tmp_path):
+    """Decode the manifest list through the independent Avro reader
+    and check the spec-required v2 fields and their values."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("c1", 1, None, None, None, None, "DELETE", 999),
+                ("c2", 0, "user", "v2", "", TS, "UPDATE", 998),
+            ],
+            DDL,
+        ),
+        "w",
+        "b1",
+        mode="mor",
+    )
+    mp = export_iceberg(t.refresh(), str(tmp_path / "ice"))
+    with open(mp) as f:
+        md = json.load(f)
+    snap = md["snapshots"][0]
+    assert snap["snapshot-id"] == md["current-snapshot-id"]
+    schema, manifests = read_ocf(snap["manifest-list"][len("file://"):])
+    assert schema["name"] == "manifest_file"
+    by_fid = {f["field-id"]: f["name"] for f in schema["fields"]}
+    assert by_fid[500] == "manifest_path" and by_fid[517] == "content"
+    contents = sorted(m["content"] for m in manifests)
+    assert contents == [0, 0, 1]  # base data, winners data, deletes
+    for m in manifests:
+        assert os.path.getsize(m["manifest_path"][len("file://"):]) == (
+            m["manifest_length"]
+        )
+        assert m["added_snapshot_id"] == snap["snapshot-id"]
+        # manifest header carries the spec-required properties
+        import io
+
+        from delta_spark.lake.avro import _MAGIC, _decode
+
+        with open(m["manifest_path"][len("file://"):], "rb") as f:
+            buf = io.BytesIO(f.read())
+        assert buf.read(4) == _MAGIC
+        hdr = _decode(buf, {"type": "map", "values": "bytes"}, {})
+        assert hdr["format-version"] == b"2"
+        assert hdr["content"] in (b"data", b"deletes")
+        assert json.loads(hdr["schema"])["type"] == "struct"
+
+
+def test_equality_delete_sequence_is_strict(spark, tmp_path):
+    """Winners live at the SAME sequence as the delete file; the
+    strictly-greater rule must keep them (a >= comparison would wipe
+    every re-emitted row)."""
+    t = _mk(spark, str(tmp_path / "t"), n=2)
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 0, "user", "v2 winner", "", TS, "UPDATE", 800)], DDL
+        ),
+        "w",
+        "b1",
+        mode="mor",
+    )
+    mp = export_iceberg(t.refresh(), str(tmp_path / "ice"))
+    sql = iceberg_scan_sql(mp)
+    assert "x.__seq > d.__seq" in sql
+    got = duckdb.sql(sql).df().set_index(["conv_id", "turn_idx"])
+    assert got.loc[("c1", 0), "text"] == "v2 winner"
+
+
+def test_export_widened_column_promotion(spark, tmp_path):
+    """Files written before a WIDEN (int→bigint) read through Iceberg
+    type promotion: table schema says long, old files store int32."""
+    t = _mk(spark, str(tmp_path / "t"), n=3)
+    t.apply_ddl({"op": "WIDEN_COLUMN", "column": "turn_idx", "new_type": "bigint"})
+    t = t.refresh()
+    t.merge(
+        spark.createDataFrame(
+            [("c9", 2**33, "user", "wide", "", TS, "INSERT", 9000)],
+            "conv_id string, turn_idx long, role string, text string, "
+            "tool string, ts timestamp, op string, seq long",
+        ),
+        "w",
+        "b1",
+        mode="mor",
+    )
+    t = t.refresh()
+    mp = export_iceberg(t, str(tmp_path / "ice"))
+    _rows_equal(t.read(), read_iceberg_duckdb(mp))
+    with open(mp) as f:
+        md = json.load(f)
+    fld = next(
+        f for f in md["schemas"][0]["fields"] if f["name"] == "turn_idx"
+    )
+    assert fld["type"] == "long"
