@@ -86,6 +86,26 @@ def run_cdc_replay(spark, n_events: int, num_buckets: int, work_dir: str) -> dic
     return {"events": n, "sec": wall, "events_per_sec": n / wall, "runs": walls}
 
 
+def cpu_control(spark) -> float:
+    """In-session pure-compute weather gauge (hash+sum over range, no
+    I/O, no Python workers): the same fixed work measured before and
+    after the query loop detects host CPU-steal windows — this box
+    shows 4-40x noise bursts, and a benchmark artifact must carry the
+    evidence of the window it was taken in (round-3 lesson: a degraded
+    window published 2-9x inflated tail queries). Best of 2."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        spark.range(4 * 10**9, numPartitions=CPUS * 4).select(
+            F.sum(F.hash(F.col("id")).cast("double"))
+        ).collect()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def warmup(spark) -> None:
     """First-touch costs (codegen JIT, parquet footer cache, Python
     worker spawn) don't belong in per-query steady-state numbers."""
@@ -135,6 +155,10 @@ def main() -> None:
     warmup(spark)
     timings: dict[str, float] = {}
 
+    # weather gate leg 0: before the CDC headline (the controls bracket
+    # EVERYTHING that lands in the artifact)
+    controls = [cpu_control(spark)]
+
     # headline: CDC apply throughput — batch backfill AND streaming
     # tail over the SAME generated changelog (identical input)
     n_events = int(os.environ.get("BENCH_CDC_EVENTS", str(int(4_000_000 * SF))))
@@ -149,19 +173,35 @@ def main() -> None:
 
     from delta_spark import queries as _q
 
-    for name in BENCH_QUERIES:
-        # bench-only variants (e.g. the double-typed q1) live in the
-        # queries module but not in the oracle-checked registry
-        fn = ALL_QUERIES.get(name) or getattr(_q, name)
-        # best of 2: this host shows 4-40x CPU-steal bursts between
-        # identical runs; interference only ever slows a run down
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+    def _one_pass(prev: dict[str, float] | None) -> dict[str, float]:
+        out = dict(prev or {})
+        for name in BENCH_QUERIES:
+            # bench-only variants (e.g. the double-typed q1) live in the
+            # queries module but not in the oracle-checked registry
+            fn = ALL_QUERIES.get(name) or getattr(_q, name)
+            # best of 2 per pass: this host shows 4-40x CPU-steal bursts
+            # between identical runs; interference only slows a run down
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                if name not in out or dt < out[name]:
+                    out[name] = dt
+        return out
+
+    # weather gate: the SAME pure-compute control measured again between
+    # the CDC headline and the query loop, and after it. If the window
+    # moved (either direction — a window can also RECOVER, leaving the
+    # early queries poisoned), one extra min-merged pass re-measures
+    # every operator query inside a checked window.
+    controls.append(cpu_control(spark))
+    per_q = _one_pass(None)
+    controls.append(cpu_control(spark))
+    degraded = max(controls) > 1.25 * min(controls)
+    if degraded:
+        per_q = _one_pass(per_q)
+        controls.append(cpu_control(spark))
+    timings.update({k: round(v, 3) for k, v in per_q.items()})
 
     total = round(sum(timings.values()), 3)
     print(
@@ -177,6 +217,12 @@ def main() -> None:
                 "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
                 "cdc_stream_events_per_sec": round(cdc_s["events_per_sec"], 1),
                 "cdc_stream_batches": cdc_s["batches"],
+                # pure-compute control (sec) before/after the query loop
+                # [+ after the retry pass]: a clean window shows ~equal
+                # values; inflated queries without an inflated control
+                # would indict the code, WITH one indict the weather
+                "cpu_control_sec": controls,
+                "window_degraded_retry": degraded,
             }
         )
     )

@@ -13,17 +13,21 @@ deployment choice, not a correctness assumption:
   typically shares. This is the implementation used here.
 
 * Object stores (s3://, gs://, abfs://) have NO atomic link/rename —
-  the same contract must come from a conditional put or an external
-  arbiter. The documented contract for a future adapter
-  (``ObjectStoreCommit``):
-    - S3:  PutObject with ``If-None-Match: *`` (supported since 2024)
-      on the version key, or a DynamoDB lock table (what Delta Lake's
-      S3DynamoDBLogStore does) when the bucket predates it.
-    - GCS: upload with ``x-goog-if-generation-match: 0``.
-    - Azure: Put Blob with ``If-None-Match: *``.
-  Everything else in the engine is already object-store-safe: data and
-  manifest files are written once under unique names and never
-  modified, so only THIS claim needs the stronger primitive.
+  the same contract comes from a conditional put. ``ObjectStoreCommit``
+  implements it over any ``ConditionalPutStore``; the shipped
+  ``HttpConditionalPut`` speaks the S3 flavor (PUT with
+  ``If-None-Match: *`` → 412 when another writer won; AWS S3 supports
+  the header natively since 2024, MinIO too; GCS uses
+  ``x-goog-if-generation-match: 0`` and Azure Put Blob the same
+  If-None-Match — both pluggable via headers/conflict codes). Buckets
+  predating conditional puts need an external arbiter instead (what
+  Delta Lake's S3DynamoDBLogStore does) — plug one in as a
+  ConditionalPutStore. Everything else in the engine is already
+  object-store-safe: data and manifest files are written once under
+  unique names and never modified, so only THIS claim needs the
+  stronger primitive. Both implementations pass one shared contract
+  test suite (tests/test_object_commit.py): single winner under
+  concurrent claimers, conflict on re-claim, payload durability.
 
 Reference analog: the reference delegates its commit arbitration to a
 transactional SQL offset store (delta-app/.../DBReplicationOffsetStore
@@ -67,32 +71,115 @@ class PosixLinkCommit(CommitProtocol):
             os.unlink(tmp)
 
 
-class ObjectStoreCommit(CommitProtocol):
-    """Placeholder adapter: carries the conditional-put contract above.
-    Instantiating it is an explicit, early, actionable failure — never
-    a silent fallback to non-atomic semantics."""
+class ConditionalPutStore:
+    """The one primitive an object store must supply: create-if-absent.
 
-    def __init__(self, scheme: str):
+    ``put_if_absent(key, body)`` → True when the key was created by
+    THIS call, False when the key already existed (someone else won).
+    Must be atomic and durable-on-True — exactly the semantics of S3
+    ``PutObject`` + ``If-None-Match: *`` (412 on existing), GCS
+    ``x-goog-if-generation-match: 0``, and Azure Put Blob +
+    ``If-None-Match: *``."""
+
+    def put_if_absent(self, key: str, body: bytes) -> bool:
+        raise NotImplementedError
+
+
+class HttpConditionalPut(ConditionalPutStore):
+    """Conditional put over plain HTTP against an S3-compatible
+    endpoint: ``PUT {endpoint}/{key}`` with ``If-None-Match: *``.
+    A 2xx means this writer created the object; 412 (AWS, Azure) or
+    409 (GCS precondition flavor) means another writer won.
+
+    ``headers`` lets deployments layer auth (a SigV4 signer, a
+    presigned-URL gateway, MinIO credentials) without this module
+    depending on any cloud SDK; ``extra_conflict_codes`` accommodates
+    stores that report the lost race differently. Retries are the
+    caller's job (the engine's commit loop already refresh-retries on
+    CommitConflict)."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        headers=None,
+        timeout: float = 10.0,
+        conflict_codes: tuple = (409, 412),
+    ):
+        self.endpoint = endpoint.rstrip("/")
+        self.headers = headers or {}
+        self.timeout = timeout
+        self.conflict_codes = tuple(conflict_codes)
+
+    def put_if_absent(self, key: str, body: bytes) -> bool:
+        import urllib.error
+        import urllib.request
+
+        headers = {
+            "If-None-Match": "*",
+            "Content-Type": "application/json",
+            **(self.headers() if callable(self.headers) else self.headers),
+        }
+        req = urllib.request.Request(
+            f"{self.endpoint}/{key.lstrip('/')}",
+            data=body,
+            method="PUT",
+            headers=headers,
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return 200 <= resp.status < 300
+        except urllib.error.HTTPError as e:
+            if e.code in self.conflict_codes:
+                return False
+            raise
+
+
+class ObjectStoreCommit(CommitProtocol):
+    """Version claim over a conditional-put object store. With no
+    ``store`` configured, instantiating-then-claiming is an explicit,
+    early, actionable failure — never a silent fallback to non-atomic
+    semantics. The claim key is the directory/filename path with the
+    URI scheme stripped (bucket-relative, path-style)."""
+
+    def __init__(self, scheme: str, store: ConditionalPutStore | None = None):
         self.scheme = scheme
+        self.store = store
+
+    @staticmethod
+    def _key(directory: str, filename: str) -> str:
+        d = directory
+        if "://" in d:
+            d = d.split("://", 1)[1]
+        return f"{d.rstrip('/')}/{filename}"
 
     def claim(self, directory: str, filename: str, payload: dict) -> None:
-        raise NotImplementedError(
-            f"object-store commit for {self.scheme} is not implemented in "
-            "this build: the metadata version claim needs a conditional "
-            "put (S3 If-None-Match:*, GCS if-generation-match:0, Azure "
-            "If-None-Match:*) or an external lock table — see "
-            "delta_spark/lake/commit.py for the contract. Run against a "
-            "POSIX path (local disk / NFS) instead."
-        )
+        if self.store is None:
+            raise NotImplementedError(
+                f"object-store commit for {self.scheme} needs a conditional"
+                "-put endpoint: set DELTA_SPARK_OBJECT_STORE_ENDPOINT (any "
+                "S3-compatible store honoring PUT + If-None-Match:*; AWS "
+                "S3 supports it natively, MinIO too) or construct "
+                "ObjectStoreCommit(scheme, HttpConditionalPut(endpoint)) "
+                "with your own auth headers — see delta_spark/lake/"
+                "commit.py for the contract. Without one, run against a "
+                "POSIX path (local disk / NFS) instead."
+            )
+        body = json.dumps(payload).encode("utf-8")
+        if not self.store.put_if_absent(self._key(directory, filename), body):
+            raise CommitConflict(f"{filename} already committed")
 
 
 def protocol_for(path: str) -> CommitProtocol:
     """Pick the commit protocol for a table/catalog root. Object-store
-    URIs fail fast HERE — before any data is written — rather than
-    corrupting exactly-once guarantees with a non-atomic fallback."""
+    URIs get the conditional-put protocol when an endpoint is
+    configured (DELTA_SPARK_OBJECT_STORE_ENDPOINT), else fail fast
+    HERE — before any data is written — rather than corrupting
+    exactly-once guarantees with a non-atomic fallback."""
     for scheme in _OBJECT_SCHEMES:
         if path.startswith(scheme):
-            return ObjectStoreCommit(scheme.rstrip(":/"))
+            endpoint = os.environ.get("DELTA_SPARK_OBJECT_STORE_ENDPOINT")
+            store = HttpConditionalPut(endpoint) if endpoint else None
+            return ObjectStoreCommit(scheme.rstrip(":/"), store)
     if "://" in path and not path.startswith("file://"):
         raise ValueError(
             f"unsupported storage scheme in {path!r}: the commit protocol "

@@ -83,11 +83,12 @@ def main() -> None:
         proto = protocol_for(args.table)
     except ValueError as e:
         sys.exit(f"error: --table {args.table}: {e}")
-    if isinstance(proto, ObjectStoreCommit):
+    if isinstance(proto, ObjectStoreCommit) and proto.store is None:
         sys.exit(
             f"error: --table {args.table}: metadata commits on {proto.scheme} "
-            "need a conditional-put adapter (contract in delta_spark/lake/"
-            "commit.py)"
+            "need a conditional-put endpoint — set "
+            "DELTA_SPARK_OBJECT_STORE_ENDPOINT (contract in "
+            "delta_spark/lake/commit.py)"
         )
 
     from pyspark.sql import SparkSession

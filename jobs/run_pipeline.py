@@ -70,12 +70,14 @@ def main() -> None:
             proto = protocol_for(p)
         except ValueError as e:
             sys.exit(f"error: {flag} {p}: {e}")
-        if isinstance(proto, ObjectStoreCommit):
+        if isinstance(proto, ObjectStoreCommit) and proto.store is None:
             sys.exit(
                 f"error: {flag} {p}: metadata commits on {proto.scheme} need "
-                "a conditional-put adapter (contract in delta_spark/lake/"
-                "commit.py) — point the table at a POSIX path (local disk "
-                "or a shared NFS mount) for this build"
+                "a conditional-put endpoint — set "
+                "DELTA_SPARK_OBJECT_STORE_ENDPOINT to an S3-compatible "
+                "store honoring PUT + If-None-Match:* (contract in "
+                "delta_spark/lake/commit.py), or point the table at a "
+                "POSIX path (local disk or a shared NFS mount)"
             )
 
     from pyspark.sql import SparkSession
