@@ -235,10 +235,13 @@ def apply_batch(
         else (lambda df: df)
     )
 
-    def apply_segment(dml, s_lo, s_hi, sub_id, precommit=None):
+    def apply_segment(dml, s_lo, s_hi, sub_id, precommit=None, wire_sv=None):
         """Observe-metered merge of the DML events in (s_lo, s_hi).
-        Returns the merge result: None when (writer, sub_id) already
-        committed, {'aborted': True} when ``precommit`` vetoed."""
+        ``wire_sv`` pins the segment's wire schema epoch for the exact
+        by-id column remap (known on the DDL-segmented slow path; the
+        fast path has no boundary information and sniffs). Returns the
+        merge result: None when (writer, sub_id) already committed,
+        {'aborted': True} when ``precommit`` vetoed."""
         if table.is_applied(writer_id, sub_id):
             return None
         obs = Observation()
@@ -282,7 +285,11 @@ def apply_batch(
         )
         keep = _sort_key_tuple(sort_key_col)
         res = table.merge(
-            pre(_rewrite_to_current(sub, table, keep=keep)),
+            pre(
+                _rewrite_to_current(
+                    sub, table, keep=keep, wire_schema_version=wire_sv
+                )
+            ),
             writer_id,
             sub_id,
             mode=merge_mode,
@@ -376,7 +383,20 @@ def apply_batch(
 
     for i, (s_lo, s_hi, ddl_after) in enumerate(segments):
         sub_id = f"{batch_id}.{i}" if len(segments) > 1 else batch_id
-        apply_segment(dml, s_lo, s_hi, sub_id)
+        # the segment's wire epoch IS the table schema in effect right
+        # now: DDL boundaries below s_lo were applied on earlier loop
+        # iterations (or in the crashed run — apply_ddl is idempotent
+        # and already-applied segments short-circuit on is_applied), so
+        # a source that honors its own DDLs addresses exactly these
+        # names. The exact by-id map replaces the global sniff — a
+        # batch that physically carries BOTH a column's pre- and
+        # post-rename names (values split by segment) lands each
+        # segment from its own epoch's column. Reference:
+        # DefaultMutableRowSchema.java:85-130 (exact, never heuristic).
+        apply_segment(
+            dml, s_lo, s_hi, sub_id,
+            wire_sv=table.metadata["schema_version"],
+        )
         stats.sub_batches += 1
         if ddl_after is not None:
             if table.apply_ddl(ddl_after):

@@ -357,10 +357,81 @@ def read_sql(
     return f"SELECT {names} FROM (\n{u}\n) WHERE NOT _deleted{tail}"
 
 
+def _touched_buckets(
+    table_path: str, meta: dict, from_snap: dict, to_snap: dict, con
+) -> tuple[list[int] | None, str | None]:
+    """Driver-side manifest diff → the bucket ids touched by commits in
+    (from, to] under the CURRENT spec (the engine's read_changes
+    pruning, Spark-free). Returns (buckets, bucket_udf_name);
+    (None, None) means "cannot prune, scan whole" — never wrong, only
+    slower. Cost: pure JSON except one DISTINCT over the single
+    ``_bucket``/key column of the touched delta files (O(changed
+    data), the thing being replicated anyway)."""
+    import duckdb
+
+    from_paths = {f["path"] for f in from_snap["files"]}
+    to_paths = {f["path"] for f in to_snap["files"]}
+    touched = [f for f in to_snap["files"] if f["path"] not in from_paths]
+    # removed files matter too: a commit that only drops files still
+    # deletes every key those files held
+    touched += [f for f in from_snap["files"] if f["path"] not in to_paths]
+    cur_spec = int(meta.get("bucket_spec_id", 0))
+    bset = {
+        int(f["bucket"])
+        for f in touched
+        if f["bucket"] != -1 and int(f.get("spec", 0)) == cur_spec
+    }
+    c = con if con is not None else duckdb
+    span = [
+        f
+        for f in touched
+        if f["bucket"] == -1 and int(f.get("spec", 0)) == cur_spec
+    ]
+    if span:  # spanning deltas STORE _bucket: one tiny column scan
+        lst = ", ".join(
+            _lit_path(os.path.join(table_path, f["path"])) for f in span
+        )
+        bset |= {
+            int(r[0])
+            for r in c.sql(
+                f"SELECT DISTINCT _bucket FROM read_parquet([{lst}])"
+            ).fetchall()
+        }
+    foreign = [f for f in touched if int(f.get("spec", 0)) != cur_spec]
+    udf = None
+    needs_udf = foreign or any(
+        int(f.get("spec", 0)) != cur_spec
+        for snap in (from_snap, to_snap)
+        for f in snap["files"]
+    )
+    if needs_udf:
+        # the range crosses a rebucket: recomputing current-spec ids
+        # (for touched foreign files AND the pruned read itself) needs
+        # the Spark-equal hash; unsupported bucket-column type → no
+        # pruning rather than a wrong hash
+        try:
+            udf = _register_bucket_udf(c, meta)
+        except NotImplementedError:
+            return None, None
+    for f in foreign:
+        sv = f["schema_version"]
+        flds = meta["schemas"][str(sv)]
+        bname = next(g["name"] for g in flds if g["id"] == meta["bucket_id"])
+        bset |= {
+            int(r[0])
+            for r in c.sql(
+                f"SELECT DISTINCT {udf}({_q(bname)}) FROM read_parquet("
+                f"{_lit_path(os.path.join(table_path, f['path']))})"
+            ).fetchall()
+        }
+    return sorted(bset), udf
+
+
 def changes_sql(
     table_path: str,
     from_snapshot_id: int | None = None,
     to_snapshot_id: int | None = None,
+    con=None,
 ) -> str:
     """One DuckDB SQL statement equivalent to
     ``LakeTable.read_changes(from, to)`` — Spark-free CDC-out. A
@@ -374,12 +445,14 @@ def changes_sql(
     folded out by ``read_sql``) FULL-JOINed on the keys —
       in TO only → insert; in both with a different winning
       (_seq, _sort) → update; in FROM only → delete.
-    That live-state diff is exactly the engine's emitted set (same
-    classification table, ``LakeTable.read_changes``); the engine
-    additionally prunes the scan to the buckets the range's commits
-    touched — a cost optimization, not a semantic one, so this
-    convenience reader scans both snapshots whole instead.
-    """
+    Like the engine's ``read_changes``, both sides are pruned to the
+    buckets the range's commits touched, named driver-side by the
+    manifest diff (plus one DISTINCT over the touched delta files'
+    stored ``_bucket`` column, run on ``con`` / the default DuckDB
+    connection): a 1-commit delta on a wide table generates SQL over
+    O(touched) files, not O(table). Untouched buckets are state-equal
+    on both sides by construction, so pruning never changes the
+    emitted set."""
     table_path = os.path.abspath(table_path)
     meta = read_metadata(table_path)
     to_sid = (
@@ -400,9 +473,16 @@ def changes_sql(
     keys = [by_id[i] for i in meta["key_ids"]]
     payload = [f["name"] for f in fields if f["name"] not in keys]
 
+    buckets = udf = None
+    if from_snapshot_id is not None and to_snap is not None:
+        from_snap = resolve_snapshot(meta, table_path, from_snapshot_id)
+        buckets, udf = _touched_buckets(
+            table_path, meta, from_snap, to_snap, con
+        )
+
     b_sql = read_sql(
         table_path, snapshot_id=to_sid, include_system=True,
-        align_schema_version=sv_to,
+        align_schema_version=sv_to, buckets=buckets, bucket_udf=udf,
     )
     if to_snap is None:
         # empty table: no changes
@@ -421,7 +501,7 @@ def changes_sql(
         )
     a_sql = read_sql(
         table_path, snapshot_id=from_snapshot_id, include_system=True,
-        align_schema_version=sv_to,
+        align_schema_version=sv_to, buckets=buckets, bucket_udf=udf,
     )
     on = " AND ".join(f"a.{_q(k)} = b.{_q(k)}" for k in keys)
     key_sel = ", ".join(

@@ -351,6 +351,57 @@ def test_post_rename_events_use_new_name(spark, tmp_path):
     assert rows[3] == "curl"
 
 
+def test_mixed_epoch_batch_lands_each_segment_by_its_own_names(spark, tmp_path):
+    """One micro-batch whose rows PHYSICALLY carry both a column's
+    pre-rename and post-rename names, values split by the in-batch
+    RENAME boundary: pre-rename rows populate 'tool' (tool_name NULL),
+    post-rename rows populate 'tool_name' (tool NULL). A global sniff
+    must pick one map and lose one side; the DDL-segment split knows
+    each segment's wire epoch and pins the exact by-id map, so BOTH
+    sides land (reference: DefaultMutableRowSchema.java:85-130 is
+    exact, never heuristic)."""
+    import json as _json
+
+    from delta_spark.apply import apply_batch
+    from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], "conv_id", 8,
+    )
+    ddl = _json.dumps(
+        {"op": "RENAME_COLUMN", "column": "tool", "new_name": "tool_name"}
+    )
+    wire = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, tool_name string, ts timestamp, op string, seq long, "
+        "ddl string"
+    )
+    rows = [
+        # epoch 0: source addresses 'tool'
+        ("c1", 0, "user", "t0", "grep", None, None, "INSERT", 1, None),
+        ("c2", 0, "user", "t1", "curl", None, None, "INSERT", 2, None),
+        # the rename boundary
+        (None, None, None, None, None, None, None, "RENAME_COLUMN", 3, ddl),
+        # epoch 1: source addresses 'tool_name'
+        ("c1", 1, "user", "t2", None, "bash", None, "INSERT", 4, None),
+        ("c2", 0, "user", "t1-upd", None, "sed", None, "UPDATE", 5, None),
+    ]
+    st = apply_batch(t, spark.createDataFrame(rows, wire), "w1", "b0")
+    assert st.ddls_applied == 1 and st.sub_batches == 2
+    t = t.refresh()
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["tool_name"] for r in t.read().collect()
+    }
+    assert got[("c1", 0)] == "grep"  # pre-rename value, old name
+    assert got[("c1", 1)] == "bash"  # post-rename value, new name
+    assert got[("c2", 0)] == "sed"  # updated across the boundary
+    # replaying the same batch stays a no-op (exactly-once across the
+    # segmented path)
+    st2 = apply_batch(t, spark.createDataFrame(rows, wire), "w1", "b0")
+    assert st2.upserts == 0 and st2.deletes == 0
+
+
 def test_rewrite_chained_rename_name_collision(spark, tmp_path):
     """Chained renames where one field's CURRENT name equals another
     field's ORIGINAL name (v0 (text, tool); tool->aux then text->tool):

@@ -268,6 +268,71 @@ def test_changes_removal_only_commit_emits_deletes(spark, tmp_path):
     )
 
 
+def test_changes_sql_prunes_to_touched_buckets(spark, tmp_path):
+    """A 1-commit delta on a many-bucket table: the generated SQL must
+    reference O(touched) data files — both snapshot sides pruned by
+    the driver-side manifest diff — and still emit the exact change
+    set. At 100 TB this is what keeps the Spark-free consumer usable
+    for small deltas."""
+    import duckdb
+
+    from conftest import assert_pdf_equal
+    from delta_spark.lake.interop import changes_sql, read_sql
+
+    t = _mk(spark, str(tmp_path / "t"), n=64)  # 64 convs over 16 buckets
+    sid_a = t.metadata["current_snapshot_id"]
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 0, "user", "v2", "", TS, "UPDATE", 500)], DDL
+        ),
+        "w", "b1", mode="mor",
+    )
+    sid_b = t.metadata["current_snapshot_id"]
+    sql = changes_sql(str(tmp_path / "t"), sid_a, sid_b)
+    full = read_sql(str(tmp_path / "t"), include_system=True).count(".parquet'")
+    touched = sql.count(".parquet'")
+    # two sides of the diff, each ~1 bucket file (+ the delta file)
+    assert 0 < touched <= 6 < full, (touched, full)
+    eng = t.read_changes(sid_a, sid_b).toPandas()
+    duck = duckdb.sql(sql).df()
+    assert len(eng) == len(duck) == 1
+    assert_pdf_equal(
+        eng.sort_index(axis=1), duck.sort_index(axis=1), ["conv_id", "turn_idx"]
+    )
+    # an empty range generates an empty (and tiny) statement
+    empty = duckdb.sql(changes_sql(str(tmp_path / "t"), sid_b, sid_b)).df()
+    assert len(empty) == 0
+
+
+def test_changes_sql_pruned_across_rebucket(spark, tmp_path):
+    """The range crosses a rebucket: touched foreign-spec files need
+    the Spark-equal hash UDF to name their current-spec buckets; the
+    pruned feed must still equal the engine's."""
+    import duckdb
+
+    from conftest import assert_pdf_equal
+    from delta_spark.lake.interop import changes_sql
+
+    t = _mk(spark, str(tmp_path / "t"), n=16)
+    sid_a = t.metadata["current_snapshot_id"]
+    assert t.rebucket(32)
+    t = t.refresh()
+    t.merge(
+        spark.createDataFrame(
+            [("c2", 0, "user", "post-rb", "", TS, "UPDATE", 600)], DDL
+        ),
+        "w", "b1", mode="mor",
+    )
+    sid_b = t.metadata["current_snapshot_id"]
+    con = duckdb.connect()
+    sql = changes_sql(str(tmp_path / "t"), sid_a, sid_b, con=con)
+    eng = t.read_changes(sid_a, sid_b).toPandas()
+    duck = con.sql(sql).df()
+    assert_pdf_equal(
+        eng.sort_index(axis=1), duck.sort_index(axis=1), ["conv_id", "turn_idx"]
+    )
+
+
 def test_changes_ddl_without_data_commit_uses_current_names(spark, tmp_path):
     """A rename DDL with NO data commit after it: the current-state
     change feed must speak the CURRENT schema (matching read() and
