@@ -45,8 +45,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL mirror for every SQL-expressible query
-    (36 of 39, including both custom stateful streaming operators and
-    the real-engine replay paths). The 3 omitted keys — the two
-    honestly-approximate ANN indexes and the pandas-UDF media stub —
-    get the driver's rows-only check."""
+    (including both custom stateful streaming operators, the
+    real-engine replay paths, and the real-codec multimodal decode).
+    The only omitted keys — the two honestly-approximate ANN indexes —
+    get the driver's rows-only check plus recall floors pinned in
+    tests/test_ann_recall.py."""
     return dict(ALL_ORACLES)

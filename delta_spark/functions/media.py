@@ -2,10 +2,26 @@
 typed metadata; decode / feature-extract as Arrow-batched pandas UDFs
 over ``mapInPandas``.
 
-The container ships no image/audio libraries, so the decode step is a
-clearly marked deterministic STUB (`_fake_decode`); the Spark-side
-plumbing — schema, batch iteration, partitioning, UDF signatures — is
-real and tested. Swapping in PIL/librosa is a one-function change.
+Round 4: the decode is REAL, not a stub. The synthesizer emits three
+genuine, fully specified binary formats — PPM ``P6`` images, canonical
+44-byte-header PCM WAV audio, and an ``RVID`` video container (12-byte
+header ``RVID`` + uint32-LE frame count + uint32-LE fps, followed by
+that many concatenated PPM frames) — and the extractor parses the
+BYTES: PPM headers for width/height, RIFF/fmt/data chunk walk for
+sample rate and duration, RVID header cross-checked by walking every
+frame. Formats that need external libraries (JPEG/MP3/MP4) raise
+``NotImplementedError`` at the same seam; swapping in PIL/soundfile/
+pyav replaces one function.
+
+Because every emitted byte is a deterministic function of
+``(doc_id, utf8_len(text))``, the decoded features have a closed-form
+ANSI-SQL mirror — the encode→parse round trip is oracle-checked end to
+end (oracles.py ``media_features``), unlike the round-3 stub.
+
+Reference analog: the CDAP Delta type system carries BYTES payloads
+opaquely end-to-end (delta-api DMLEvent.java:166-196); this module is
+the training-data-pipeline extension over the same binary-column
+plumbing.
 """
 
 from __future__ import annotations
@@ -39,55 +55,165 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+# Deterministic synthesis parameters. The SQL oracle mirrors these
+# closed-form (oracles.py); change them in BOTH places.
+AUDIO_RATE = 16000
+VIDEO_FPS = 24
+
 
 def synth_media_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Deterministic fake media: the text's bytes become the binary
-    payload; kind cycles by id. Stands in for real image/audio blobs
-    in tests and benches."""
-    kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col(id_col) % 3 + 1).cast("int"),
-    )
-    return df.select(
+    """Deterministic REAL media from text rows: kind cycles by id
+    (0→image, 1→audio, 2→video); dimensions/durations derive from
+    ``(id, utf8_len(text))``; pixel/sample content is a rotated
+    256-byte pattern (content is arbitrary filler — only its length is
+    contractual). Encoding runs in one Arrow-batched ``mapInPandas``
+    pass; the closure is self-contained so executors never need
+    ``delta_spark`` importable."""
+    src = df.select(
         F.col(id_col).cast("long").alias("media_id"),
-        kind.alias("kind"),
-        F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8").alias("payload"),
-        F.to_json(F.struct(F.col(id_col).alias("src_id"))).alias("meta"),
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8").alias("_tb"),
     )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+        import struct
+
+        pattern = bytes(range(256)) * 2  # slice [off : off+need] cheaply
+
+        def fill(n: int, off: int) -> bytes:
+            off %= 256
+            whole, rem = divmod(n, 256)
+            return pattern[off : off + 256] * whole + pattern[off : off + rem]
+
+        def ppm(w: int, h: int, off: int) -> bytes:
+            return b"P6\n%d %d\n255\n" % (w, h) + fill(3 * w * h, off)
+
+        def wav(n_samples: int, off: int) -> bytes:
+            data = fill(2 * n_samples, off)
+            return (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+                + b"data"
+                + struct.pack("<I", len(data))
+                + data
+            )
+
+        def rvid(nf: int, w: int, h: int, off: int) -> bytes:
+            frames = b"".join(ppm(w, h, off + i) for i in range(nf))
+            return b"RVID" + struct.pack("<II", nf, 24) + frames
+
+        for pdf in batches:
+            kinds, payloads, metas = [], [], []
+            for did, tb in zip(pdf["media_id"], pdf["_tb"]):
+                did = int(did)
+                b = len(tb or b"")
+                if did % 3 == 0:
+                    kinds.append("image")
+                    payloads.append(ppm(16 + b % 97, 16 + did % 53, did))
+                elif did % 3 == 1:
+                    kinds.append("audio")
+                    payloads.append(wav(b + 1, did))
+                else:
+                    kinds.append("video")
+                    payloads.append(rvid(1 + did % 61, 6 + b % 13, 6 + did % 11, did))
+                metas.append(json.dumps({"src_id": did, "src_bytes": b}))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": kinds,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return src.mapInPandas(_encode, MEDIA_SCHEMA)
 
 
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, Arrow batches
     out, one Python process per partition — never per-row Python.
 
-    The closure is fully self-contained (no references to this module)
-    so cloudpickle ships it by value and executors never need
-    ``delta_spark`` importable on their PYTHONPATH."""
+    The decode derives every feature FROM THE PAYLOAD BYTES ONLY,
+    dispatched by sniffing the magic (RIFF / P6 / RVID), never by
+    trusting the ``kind`` column. Unknown magics (real JPEG/MP3/MP4
+    would land here without PIL/soundfile/pyav in the container) raise
+    ``NotImplementedError`` — the honest seam for library-backed
+    decoders. The closure is fully self-contained (no references to
+    this module) so cloudpickle ships it by value."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import struct
 
-        def _fake_decode(kind: str, payload: bytes) -> dict:
-            # STUB decode — deterministic pseudo-metadata from the
-            # payload. A real deployment swaps in PIL.Image.open /
-            # soundfile.read / pyav frame iteration; the Arrow
-            # batching, schema, and partitioning around it are real.
-            n = len(payload or b"")
-            sha = hashlib.sha256(payload or b"").hexdigest()[:16]
-            seed = int(sha[:8], 16)
-            if kind == "image":
-                return {"width": 64 + seed % 1920, "height": 64 + (seed >> 8) % 1080,
-                        "duration_s": None, "n_frames": 1}
-            if kind == "audio":
-                return {"width": None, "height": None,
-                        "duration_s": round((n + 1) / 16000.0, 4), "n_frames": None}
-            return {"width": 64 + seed % 1280, "height": 64 + (seed >> 8) % 720,
-                    "duration_s": round((n + 1) / 24.0, 4), "n_frames": n % 600 + 1}
+        def parse_ppm(buf: bytes, off: int = 0) -> tuple[int, int, int]:
+            # returns (width, height, end_offset); raises on malformed
+            if buf[off : off + 3] != b"P6\n":
+                raise ValueError("not a P6 PPM")
+            nl = buf.index(b"\n", off + 3)
+            w_s, h_s = buf[off + 3 : nl].split(b" ")
+            w, h = int(w_s), int(h_s)
+            if buf[nl + 1 : nl + 5] != b"255\n":
+                raise ValueError("unsupported maxval")
+            end = nl + 5 + 3 * w * h
+            if end > len(buf):
+                raise ValueError("truncated PPM raster")
+            return w, h, end
+
+        def parse_wav(buf: bytes) -> float:
+            # canonical RIFF walk: find fmt + data chunks, compute
+            # duration from the actual header fields (not assumptions)
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("not RIFF/WAVE")
+            pos, rate, block_align, data_size = 12, None, None, None
+            while pos + 8 <= len(buf):
+                cid, sz = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+                if cid == b"fmt ":
+                    _, ch, rate, _, block_align, _ = struct.unpack(
+                        "<HHIIHH", buf[pos + 8 : pos + 24]
+                    )
+                elif cid == b"data":
+                    data_size = sz
+                pos += 8 + sz + (sz & 1)
+            if rate is None or data_size is None:
+                raise ValueError("missing fmt/data chunk")
+            return (data_size // block_align) / float(rate)
+
+        def decode(payload: bytes) -> dict:
+            if payload[:4] == b"RIFF":
+                return {
+                    "width": None,
+                    "height": None,
+                    "duration_s": parse_wav(payload),
+                    "n_frames": None,
+                }
+            if payload[:2] == b"P6":
+                w, h, _ = parse_ppm(payload)
+                return {"width": w, "height": h, "duration_s": None, "n_frames": 1}
+            if payload[:4] == b"RVID":
+                nf, fps = struct.unpack("<II", payload[4:12])
+                pos, w0, h0, seen = 12, None, None, 0
+                while pos < len(payload):
+                    w, h, pos = parse_ppm(payload, pos)
+                    if w0 is None:
+                        w0, h0 = w, h
+                    seen += 1
+                if seen != nf:
+                    raise ValueError(f"RVID header says {nf} frames, found {seen}")
+                return {
+                    "width": w0,
+                    "height": h0,
+                    "duration_s": nf / float(fps),
+                    "n_frames": nf,
+                }
+            raise NotImplementedError(
+                "unknown media magic %r — library-backed formats (JPEG/"
+                "MP3/MP4) need PIL/soundfile/pyav here" % payload[:4]
+            )
 
         for pdf in batches:
-            metas = [
-                _fake_decode(k, p) for k, p in zip(pdf["kind"], pdf["payload"])
-            ]
+            metas = [decode(p or b"") for p in pdf["payload"]]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -114,7 +240,9 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plan: which frame indices to decode per
-    video (the decode itself is the stubbed step). Pure column ops."""
+    video, every ``every_n``-th frame of the REAL (header-parsed,
+    frame-walk-verified) frame count. Pure column ops after the
+    extraction pass."""
     feats = extract_features(df).filter(F.col("kind") == "video")
     return feats.select(
         "media_id",

@@ -3,9 +3,11 @@
 Each statement is written to reproduce the Spark result BIT-FOR-BIT:
 identical tokenization regexes, md5-based hashes, exact DECIMAL
 summation before any float cast, identical rounding, identical
-tie-breaks. Keys absent here get the driver's weaker rows-only check
-(approximate ANN, the synthesized-changelog E2E, the pandas-UDF media
-stub).
+tie-breaks. The only keys absent are the two honestly-approximate ANN
+indexes (recall-floor-pinned in tests instead); even the multimodal
+decode is oracle-checked, because the synthesized binaries are
+closed-form in (doc_id, text length) while Spark genuinely parses the
+bytes back.
 """
 
 from __future__ import annotations
@@ -514,15 +516,54 @@ ALL_ORACLES: dict[str, str] = {
           GROUP BY label, id_a, id_b)
         SELECT label, id_a, id_b, sim FROM s WHERE sim >= 0.25
     """,
-    # media kind cycles image/audio/video by doc_id % 3 (synth_media_
-    # from_text); video's stub decode sets n_frames = octet_length % 600
-    # + 1 (functions/media.py); plan = every 30th frame, inclusive.
+    # media: synth_media_from_text emits REAL binaries whose every byte
+    # count is a closed-form function of (doc_id, utf8 byte length of
+    # text) — see functions/media.py synthesis parameters. The Spark
+    # side PARSES the bytes (PPM header, RIFF chunk walk, RVID frame
+    # walk); this SQL predicts what the parse must yield, checking the
+    # encode→decode round trip.
+    #   image (doc_id%3=0): PPM P6, w=16+b%97, h=16+doc_id%53,
+    #     bytes = 9 + digits(w) + digits(h) + 3wh
+    #   audio (doc_id%3=1): WAV PCM16 mono 16 kHz, n=b+1 samples,
+    #     bytes = 44 + 2n, duration = n/16000.0
+    #   video (doc_id%3=2): RVID, nf=1+doc_id%61 fps=24 frames of PPM
+    #     w=6+b%13 h=6+doc_id%11; bytes = 12 + nf*frame_bytes
+    "media_features": """
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS did,
+                 octet_length(encode(coalesce(text, ''))) AS b
+          FROM documents),
+        p AS (
+          SELECT did, b,
+                 16 + b % 97  AS iw, 16 + did % 53 AS ih,
+                 1 + did % 61 AS nf, 6 + b % 13 AS vw, 6 + did % 11 AS vh
+          FROM d)
+        SELECT did AS media_id,
+               CASE did % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               CAST(CASE did % 3
+                 WHEN 0 THEN 9 + length(CAST(iw AS VARCHAR))
+                             + length(CAST(ih AS VARCHAR)) + 3 * iw * ih
+                 WHEN 1 THEN 44 + 2 * (b + 1)
+                 ELSE 12 + nf * (9 + length(CAST(vw AS VARCHAR))
+                                 + length(CAST(vh AS VARCHAR)) + 3 * vw * vh)
+               END AS INTEGER) AS n_bytes,
+               CAST(CASE did % 3 WHEN 0 THEN iw WHEN 1 THEN NULL
+                    ELSE vw END AS INTEGER) AS width,
+               CAST(CASE did % 3 WHEN 0 THEN ih WHEN 1 THEN NULL
+                    ELSE vh END AS INTEGER) AS height,
+               CASE did % 3 WHEN 0 THEN NULL
+                 WHEN 1 THEN CAST(b + 1 AS DOUBLE) / 16000.0
+                 ELSE CAST(nf AS DOUBLE) / 24.0 END AS duration_s,
+               CAST(CASE did % 3 WHEN 0 THEN 1 WHEN 1 THEN NULL
+                    ELSE nf END AS INTEGER) AS n_frames
+        FROM p
+    """,
+    # plan = every 30th frame of the RVID-parsed count (1 + doc_id%61)
     "media_frame_plan": """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                UNNEST(generate_series(
-                 0,
-                 GREATEST((octet_length(encode(coalesce(text, ''))) % 600 + 1) - 1, 0),
-                 30)) AS frame_idx
+                 0, (1 + doc_id % 61) - 1, 30)) AS frame_idx
         FROM documents
         WHERE doc_id % 3 = 2
     """,

@@ -998,21 +998,29 @@ def table_changes_feed(spark, sf_dir):
 
 
 def media_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload column → mapInPandas
-    feature extraction (decode stubbed; rows-only)."""
+    """Multimodal decode E2E WITH a SQL oracle: documents → real PPM/
+    WAV/RVID binaries (mapInPandas encode) → header-parsing decode
+    (mapInPandas) → features. Every synthesized byte is a closed-form
+    function of (doc_id, utf8_len(text)), so DuckDB predicts the
+    decoded width/height/duration/frame-count/byte-length exactly —
+    the encode→parse round trip is hash-checked. Only the payload
+    sha (not closed-form in SQL) is projected out."""
     from .functions import media
 
     d = _t(spark, sf_dir, "documents")
     m = media.synth_media_from_text(d, "doc_id", "text")
-    return media.extract_features(m)
+    return media.extract_features(m).select(
+        "media_id", "kind", "n_bytes", "width", "height", "duration_s", "n_frames"
+    )
 
 
 def media_frame_plan(spark, sf_dir):
     """Video frame-sampling plan exploded to (media_id, frame_idx)
     rows — which frames a decoder would pull, every 30th up to the
-    (stub-decoded) frame count. Exploding makes the plan exactly
-    oracle-checkable even though the decode itself stays stubbed: the
-    fake n_frames is octet_length(text) % 600 + 1, pure SQL."""
+    REAL frame count parsed from the RVID container header (and
+    verified by walking every embedded PPM frame). The synthesized
+    count is 1 + doc_id % 61, so the plan stays exactly SQL-checkable
+    while the Spark side actually decodes bytes."""
     from .functions import media
 
     d = _t(spark, sf_dir, "documents")

@@ -162,6 +162,51 @@ def test_frame_sample_plan(spark):
     assert (plan["frame_indices"].map(len) >= 1).all()
 
 
+def test_media_codecs_real_decode(spark):
+    """The extractor must derive features by PARSING payload bytes —
+    proven by feeding hand-built binaries the synthesizer never emits
+    (non-canonical WAV chunk order, exotic dims) and malformed ones."""
+    import struct
+
+    from delta_spark.functions import media
+
+    def ppm(w, h):
+        return b"P6\n%d %d\n255\n" % (w, h) + bytes(3 * w * h)
+
+    # WAV with a LIST chunk between fmt and data — a naive offset-44
+    # reader breaks; a real RIFF chunk walk does not. 8000 Hz stereo.
+    data = bytes(4 * 250)  # 250 stereo 16-bit samples
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + 12 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rvid = b"RVID" + struct.pack("<II", 3, 10) + ppm(5, 4) * 3
+    rows = [
+        (1, "image", ppm(123, 7), None),
+        (2, "audio", wav, None),
+        (3, "video", rvid, None),
+    ]
+    df = spark.createDataFrame(rows, media.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in media.extract_features(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (123, 7, 1)
+    assert out[2]["duration_s"] == 250 / 8000.0 and out[2]["width"] is None
+    assert (out[3]["n_frames"], out[3]["width"], out[3]["height"]) == (3, 5, 4)
+    assert out[3]["duration_s"] == 3 / 10.0
+
+    import pytest as _pytest
+
+    for bad in [
+        (9, "video", b"RVID" + struct.pack("<II", 4, 10) + ppm(5, 4) * 3, None),
+        (10, "image", b"JFIF-not-a-real-format", None),
+        (11, "image", b"P6\n9 9\n255\n" + bytes(10), None),  # truncated raster
+    ]:
+        bad_df = spark.createDataFrame([bad], media.MEDIA_SCHEMA)
+        with _pytest.raises(Exception):
+            media.extract_features(bad_df).collect()
+
+
 def test_lsh_recall_vs_brute_force(spark):
     """LSH top-k must share most results with brute force on clustered
     vectors (sanity of the approximate path)."""
