@@ -266,6 +266,117 @@ def _bool_stat_may_be_true(path: str, col: str) -> bool:
         return True
 
 
+def _name_mapping(meta: dict, fields: list[dict]) -> list[dict]:
+    """``schema.name-mapping.default``: every name each field id ever
+    had (current first) — zero-copy files predating a rename resolve
+    by their old name."""
+    mapping = []
+    for f in fields:
+        names = [f["name"]]
+        for flds in meta["schemas"].values():
+            for g in flds:
+                if g["id"] == f["id"] and g["name"] not in names:
+                    names.append(g["name"])
+        mapping.append({"field-id": f["id"], "names": names})
+    return mapping
+
+
+def _ice_fields(fields: list[dict]) -> list[dict]:
+    return [
+        {
+            "id": f["id"],
+            "name": f["name"],
+            "required": False,
+            "type": _ice_type(f["type"]),
+        }
+        for f in fields
+    ]
+
+
+def _manifest_file(
+    meta_dir: str,
+    tag: str,
+    entries_files: list[tuple[str, int, int]],
+    content: int,
+    seq: int,
+    snapshot_id_out: int,
+    key_ids: list[int],
+    ice_schema: dict,
+) -> dict:
+    """Write one Avro manifest; return its manifest-list record.
+    ``content``: 0 data manifest / 1 delete manifest; the data_file
+    content code is 0 for data, 2 for equality deletes."""
+    recs = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id_out,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0 if content == 0 else 2,
+                "file_path": _uri(p),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": rows,
+                "file_size_in_bytes": size,
+                "equality_ids": list(key_ids) if content == 1 else None,
+                "sort_order_id": None,
+            },
+        }
+        for p, rows, size in entries_files
+    ]
+    path = os.path.join(meta_dir, f"m-{uuid.uuid4().hex}-{tag}.avro")
+    write_ocf(
+        path,
+        _manifest_entry_schema(),
+        recs,
+        meta={
+            "schema": json.dumps(ice_schema),
+            "schema-id": str(ice_schema.get("schema-id", 0)),
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data" if content == 0 else "deletes",
+        },
+    )
+    return {
+        "manifest_path": _uri(path),
+        "manifest_length": os.path.getsize(path),
+        "partition_spec_id": 0,
+        "content": content,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id_out,
+        "added_data_files_count": len(recs),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": sum(r for _, r, _ in entries_files),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": [],
+        "key_metadata": None,
+    }
+
+
+def _collect_parquet_dir(
+    tmp_dir: str, data_dir: str, prefix: str
+) -> list[tuple[str, int, int]]:
+    """Move a Spark parquet output dir's part files into ``data_dir``
+    under ``prefix``; return (path, rows, bytes) per non-empty file."""
+    out: list[tuple[str, int, int]] = []
+    for j, p in enumerate(
+        sorted(p for p in os.listdir(tmp_dir) if p.endswith(".parquet"))
+    ):
+        rows, size = _parquet_meta(os.path.join(tmp_dir, p))
+        if rows == 0:
+            continue
+        dst = os.path.join(data_dir, f"{prefix}{j:05d}-{p}")
+        os.replace(os.path.join(tmp_dir, p), dst)
+        out.append((dst, rows, size))
+    shutil.rmtree(tmp_dir)
+    return out
+
+
 def export_iceberg(table, dest: str, snapshot_id: int | None = None) -> str:
     """Export one snapshot of ``table`` (a LakeTable) to ``dest`` as a
     self-contained Iceberg v2 table; returns the metadata.json path.
@@ -287,10 +398,12 @@ def export_iceberg(table, dest: str, snapshot_id: int | None = None) -> str:
         raw = table._raw_snapshot(snapshot_id)
         files = table._resolve_files(raw)
         sv = raw.get("schema_version", meta["schema_version"])
+        lake_sid = raw["id"] if raw else -1
     else:
-        snap = table.current_snapshot
-        files = list(snap["files"]) if snap else []
+        raw = table._raw_snapshot()
+        files = table._resolve_files(raw) if raw else []
         sv = meta["schema_version"]
+        lake_sid = raw["id"] if raw else -1
     fields = meta["schemas"][str(sv)]
     by_id = {f["id"]: f for f in fields}
     key_ids = meta["key_ids"]
@@ -300,29 +413,12 @@ def export_iceberg(table, dest: str, snapshot_id: int | None = None) -> str:
     base = [f for f in files if f.get("kind") != "delta"]
     deltas = [f for f in files if f.get("kind") == "delta"]
 
-    # name mapping: every name each field id ever had (current first) —
-    # zero-copy files predating a rename resolve by their old name
-    mapping = []
-    for f in fields:
-        names = [f["name"]]
-        for flds in meta["schemas"].values():
-            for g in flds:
-                if g["id"] == f["id"] and g["name"] not in names:
-                    names.append(g["name"])
-        mapping.append({"field-id": f["id"], "names": names})
+    mapping = _name_mapping(meta, fields)
     ice_schema = {
         "type": "struct",
         "schema-id": 0,
         "identifier-field-ids": [],
-        "fields": [
-            {
-                "id": f["id"],
-                "name": f["name"],
-                "required": False,
-                "type": _ice_type(f["type"]),
-            }
-            for f in fields
-        ],
+        "fields": _ice_fields(fields),
     }
 
     # ---- sequence 1: zero-copy base data files
@@ -383,97 +479,21 @@ def export_iceberg(table, dest: str, snapshot_id: int | None = None) -> str:
             live = winners.filter(~F.col("_deleted")).select(*payload)
             win_tmp = os.path.join(dest, "_win_tmp")
             live.coalesce(max(1, min(8, n_s // 500_000 + 1))).write.parquet(win_tmp)
-            for j, p in enumerate(
-                sorted(
-                    p
-                    for p in os.listdir(win_tmp)
-                    if p.endswith(".parquet")
-                )
-            ):
-                rows, size = _parquet_meta(os.path.join(win_tmp, p))
-                if rows == 0:
-                    continue
-                dst = os.path.join(data_dir, f"w{j:05d}-{p}")
-                os.replace(os.path.join(win_tmp, p), dst)
-                winners_files.append((dst, rows, size))
-            shutil.rmtree(win_tmp)
+            winners_files = _collect_parquet_dir(win_tmp, data_dir, "w")
             del_tmp = os.path.join(dest, "_del_tmp")
             s_df.coalesce(max(1, min(8, n_s // 2_000_000 + 1))).write.parquet(del_tmp)
-            for j, p in enumerate(
-                sorted(
-                    p
-                    for p in os.listdir(del_tmp)
-                    if p.endswith(".parquet")
-                )
-            ):
-                rows, size = _parquet_meta(os.path.join(del_tmp, p))
-                if rows == 0:
-                    continue
-                dst = os.path.join(data_dir, f"ed{j:05d}-{p}")
-                os.replace(os.path.join(del_tmp, p), dst)
-                delete_files.append((dst, rows, size))
-            shutil.rmtree(del_tmp)
+            delete_files = _collect_parquet_dir(del_tmp, data_dir, "ed")
 
     seq_max = 2 if (winners_files or delete_files) else 1
     snapshot_id_out = int(uuid.uuid4().int % (1 << 62)) + 1
     now_ms = int(time.time() * 1000)
 
     # ---- manifests
-    entry_schema = _manifest_entry_schema()
-
     def _write_manifest(tag, entries_files, content, seq):
-        """content: 0 data manifest / 1 delete manifest; the data_file
-        content code is 0 for data, 2 for equality deletes."""
-        recs = [
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snapshot_id_out,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0 if content == 0 else 2,
-                    "file_path": _uri(p),
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": rows,
-                    "file_size_in_bytes": size,
-                    "equality_ids": list(key_ids) if content == 1 else None,
-                    "sort_order_id": None,
-                },
-            }
-            for p, rows, size in entries_files
-        ]
-        path = os.path.join(meta_dir, f"m-{uuid.uuid4().hex}-{tag}.avro")
-        write_ocf(
-            path,
-            entry_schema,
-            recs,
-            meta={
-                "schema": json.dumps(ice_schema),
-                "schema-id": "0",
-                "partition-spec": "[]",
-                "partition-spec-id": "0",
-                "format-version": "2",
-                "content": "data" if content == 0 else "deletes",
-            },
+        return _manifest_file(
+            meta_dir, tag, entries_files, content, seq,
+            snapshot_id_out, key_ids, ice_schema,
         )
-        return {
-            "manifest_path": _uri(path),
-            "manifest_length": os.path.getsize(path),
-            "partition_spec_id": 0,
-            "content": content,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id_out,
-            "added_data_files_count": len(recs),
-            "existing_data_files_count": 0,
-            "deleted_data_files_count": 0,
-            "added_rows_count": sum(r for _, r, _ in entries_files),
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-            "partitions": [],
-            "key_metadata": None,
-        }
 
     manifests = []
     if data_files_1:
@@ -505,6 +525,9 @@ def export_iceberg(table, dest: str, snapshot_id: int | None = None) -> str:
         "properties": {
             "schema.name-mapping.default": json.dumps(mapping),
             "write.format.default": "parquet",
+            # publish cursor: the lake snapshot this Iceberg state
+            # reflects — publish_iceberg() resumes incrementally here
+            "delta-spark.lake-snapshot-id": str(lake_sid),
         },
         "current-snapshot-id": snapshot_id_out,
         "refs": {"main": {"snapshot-id": snapshot_id_out, "type": "branch"}},
@@ -520,6 +543,7 @@ def export_iceberg(table, dest: str, snapshot_id: int | None = None) -> str:
                         len(data_files_1) + len(winners_files)
                     ),
                     "added-delete-files": str(len(delete_files)),
+                    "delta-spark.lake-snapshot-id": str(lake_sid),
                 },
                 "schema-id": 0,
             }
@@ -530,11 +554,190 @@ def export_iceberg(table, dest: str, snapshot_id: int | None = None) -> str:
         "metadata-log": [],
     }
     md_path = os.path.join(meta_dir, "v1.metadata.json")
-    with open(md_path, "w") as f:
+    with open(md_path, "x") as f:
         json.dump(md, f, indent=2)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
         f.write("1")
     return md_path
+
+
+def publish_iceberg(table, dest: str) -> str:
+    """CONTINUOUS Iceberg publishing: keep an Iceberg v2 table at
+    ``dest`` tracking ``table`` commit-by-commit. First call bootstraps
+    via :func:`export_iceberg`; each later call appends ONE Iceberg
+    snapshot holding exactly the keys whose state changed since the
+    last published lake snapshot — new data files with the winning rows
+    plus one equality-delete file covering every changed key (which
+    suppresses all strictly-older versions, including previous
+    publishes' rows) — then writes ``v{N+1}.metadata.json`` with the
+    full snapshot log, schema list (appended on evolution), refreshed
+    name mapping, and a ``metadata-log`` link to the previous version.
+    Old metadata files stay readable: pointing a consumer at
+    ``v{N}.metadata.json`` is Iceberg time travel to that publish.
+
+    Exactly-once: the published lake snapshot id rides in the table
+    properties (``delta-spark.lake-snapshot-id``) and each snapshot's
+    summary; a republish with no new lake commits and no schema change
+    is a no-op, and the ``open(path, 'x')`` claim on the next metadata
+    version makes racing publishers lose loudly, mirroring
+    ``lake/commit.py`` (and Iceberg's own optimistic metadata swap).
+
+    Cost is O(changed rows + metadata) per call — the change feed is
+    ``read_changes`` (manifest-diff bucket-pruned), never a table scan.
+    Reference analog: the per-commit consumer contract the reference's
+    targets expose downstream (delta-api/.../EventConsumer.java:39-76)
+    — here the downstream IS the Iceberg ecosystem."""
+    from pyspark.sql import functions as F
+
+    dest = os.path.abspath(dest)
+    meta_dir = os.path.join(dest, "metadata")
+    data_dir = os.path.join(dest, "data")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if not os.path.exists(hint):
+        return export_iceberg(table, dest)
+
+    with open(hint) as f:
+        v = int(f.read().strip())
+    prev_path = os.path.join(meta_dir, f"v{v}.metadata.json")
+    with open(prev_path) as f:
+        md = json.load(f)
+    last_pub = int(
+        md.get("properties", {}).get("delta-spark.lake-snapshot-id", "-1")
+    )
+
+    meta = table.metadata
+    raw = table._raw_snapshot()
+    cur_sid = raw["id"] if raw else -1
+    fields = meta["schemas"][str(meta["schema_version"])]
+    ice_flds = _ice_fields(fields)
+    cur_schema = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    )
+    if cur_sid == last_pub and cur_schema["fields"] == ice_flds:
+        return prev_path  # nothing new — idempotent no-op
+
+    # schema evolution: reuse an identical historical schema-id, else
+    # append a new schema entry and point current-schema-id at it
+    match = next((s for s in md["schemas"] if s["fields"] == ice_flds), None)
+    if match is None:
+        schema_id = 1 + max(s["schema-id"] for s in md["schemas"])
+        ice_schema = {
+            "type": "struct",
+            "schema-id": schema_id,
+            "identifier-field-ids": [],
+            "fields": ice_flds,
+        }
+        schemas = md["schemas"] + [ice_schema]
+    else:
+        schema_id, ice_schema, schemas = match["schema-id"], match, md["schemas"]
+
+    key_ids = meta["key_ids"]
+    by_id = {f["id"]: f for f in fields}
+    keys = [by_id[i]["name"] for i in key_ids]
+    payload = [f["name"] for f in fields]
+
+    try:
+        ch = table.read_changes(
+            from_snapshot_id=(last_pub if last_pub >= 0 else None)
+        )
+    except ValueError as e:
+        raise ValueError(
+            f"published lake snapshot {last_pub} is no longer readable "
+            f"({e}); re-export to a fresh destination"
+        ) from None
+    ch = ch.localCheckpoint(eager=True)  # bounded: changed rows only
+    n_ch = ch.count()
+
+    seq = md["last-sequence-number"] + 1
+    snapshot_id_out = int(uuid.uuid4().int % (1 << 62)) + 1
+    now_ms = int(time.time() * 1000)
+
+    winners_files: list[tuple[str, int, int]] = []
+    delete_files: list[tuple[str, int, int]] = []
+    if n_ch:
+        live = ch.filter(F.col("_change_type") != "delete").select(*payload)
+        win_tmp = os.path.join(dest, f"_win_tmp_{seq}")
+        live.coalesce(max(1, min(8, n_ch // 500_000 + 1))).write.parquet(win_tmp)
+        winners_files = _collect_parquet_dir(win_tmp, data_dir, f"w{seq:04d}-")
+        dels = ch.select(*keys)
+        del_tmp = os.path.join(dest, f"_del_tmp_{seq}")
+        dels.coalesce(max(1, min(8, n_ch // 2_000_000 + 1))).write.parquet(del_tmp)
+        delete_files = _collect_parquet_dir(del_tmp, data_dir, f"ed{seq:04d}-")
+
+    # manifest list = carried-forward manifests + this publish's new ones
+    snap_prev = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, manifests = read_ocf(_strip_uri(snap_prev["manifest-list"]))
+    manifests = list(manifests)
+    if winners_files:
+        manifests.append(
+            _manifest_file(
+                meta_dir, f"data{seq}", winners_files, 0, seq,
+                snapshot_id_out, key_ids, ice_schema,
+            )
+        )
+    if delete_files:
+        manifests.append(
+            _manifest_file(
+                meta_dir, f"del{seq}", delete_files, 1, seq,
+                snapshot_id_out, key_ids, ice_schema,
+            )
+        )
+    list_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id_out}-1-{uuid.uuid4().hex}.avro"
+    )
+    write_ocf(list_path, _MANIFEST_LIST_SCHEMA, manifests)
+
+    snap_entry = {
+        "snapshot-id": snapshot_id_out,
+        "parent-snapshot-id": md["current-snapshot-id"],
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": _uri(list_path),
+        "summary": {
+            "operation": "overwrite" if delete_files else "append",
+            "added-data-files": str(len(winners_files)),
+            "added-delete-files": str(len(delete_files)),
+            "delta-spark.lake-snapshot-id": str(cur_sid),
+        },
+        "schema-id": schema_id,
+    }
+    new_md = {
+        **md,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": max(
+            md["last-column-id"], max(f["id"] for f in fields)
+        ),
+        "current-schema-id": schema_id,
+        "schemas": schemas,
+        "properties": {
+            **md.get("properties", {}),
+            "schema.name-mapping.default": json.dumps(
+                _name_mapping(meta, fields)
+            ),
+            "delta-spark.lake-snapshot-id": str(cur_sid),
+        },
+        "current-snapshot-id": snapshot_id_out,
+        "refs": {"main": {"snapshot-id": snapshot_id_out, "type": "branch"}},
+        "snapshots": md["snapshots"] + [snap_entry],
+        "snapshot-log": md["snapshot-log"]
+        + [{"snapshot-id": snapshot_id_out, "timestamp-ms": now_ms}],
+        "metadata-log": md["metadata-log"]
+        + [
+            {
+                "timestamp-ms": md["last-updated-ms"],
+                "metadata-file": _uri(prev_path),
+            }
+        ],
+    }
+    new_path = os.path.join(meta_dir, f"v{v + 1}.metadata.json")
+    with open(new_path, "x") as f:  # atomic claim: racing publisher loses
+        json.dump(new_md, f, indent=2)
+    with open(hint, "w") as f:
+        f.write(str(v + 1))
+    return new_path
 
 
 # ------------------------------------------------------------ consume

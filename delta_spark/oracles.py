@@ -190,6 +190,23 @@ ALL_ORACLES: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
             AND NOT del
     """,
+    # continuous publish: same feed, same final LWW state — the
+    # incremental snapshots must converge to exactly the one-shot
+    # export's answer
+    "iceberg_publish_feed": """
+        WITH log AS (
+            SELECT 'c' || user_id AS conv_id,
+                   CAST(event_id % 20 AS INT) AS turn_idx,
+                   event_type AS role, props AS text,
+                   CAST(NULL AS VARCHAR) AS tool, ts,
+                   event_id AS seq,
+                   (event_type = 'error') AS del
+            FROM events)
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM log
+        QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
+            AND NOT del
+    """,
     # stats-pruned scan: same LWW state, then the two range predicates
     # applied to the LATEST row (tombstones already excluded) — exactly
     # what read(ranges=) computes via file skip + pre/post-fold filters

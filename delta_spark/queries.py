@@ -1077,6 +1077,56 @@ def iceberg_export_read(spark, sf_dir):
     )
 
 
+def iceberg_publish_feed(spark, sf_dir):
+    """CONTINUOUS Iceberg publishing E2E WITH a SQL oracle: the same
+    mapped changelog is applied in THREE lake commits with
+    publish_iceberg() after each — bootstrap export, then two
+    INCREMENTAL snapshots each carrying only the changed keys as new
+    data files + one equality-delete file (lake/iceberg.py
+    publish_iceberg; metadata version chain v1→v3 with snapshot-log
+    and metadata-log). The final state is read back through the LAST
+    published metadata only; DuckDB reproduces it as a windowed LWW,
+    so the full CDC→Iceberg publish pipeline is hash-checked. The
+    north rule's 'applied as MERGE upserts into Iceberg tables with
+    snapshot-isolated exactly-once commits', made literal."""
+    import tempfile
+
+    from .lake import LakeTable
+    from .lake.iceberg import publish_iceberg, read_iceberg_spark
+    from .schema import TRANSCRIPT_SCHEMA
+
+    d = tempfile.mkdtemp(prefix="iceberg_publish_")
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.select(
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.col("event_id").cast("long").alias("seq"),
+    )
+    t = LakeTable.create(
+        spark, f"{d}/tbl", TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        "conv_id", 8,
+    )
+    ice = f"{d}/ice"
+    # seq-guarded merges make the final LWW state split-invariant —
+    # the oracle sees one window over the whole feed
+    t.merge(batch.filter(F.col("seq") % 3 == 1), "w", "b0")
+    publish_iceberg(t.refresh(), ice)
+    t.merge(batch.filter(F.col("seq") % 3 == 2), "w", "b1", mode="mor")
+    publish_iceberg(t.refresh(), ice)
+    t.merge(batch.filter(F.col("seq") % 3 == 0), "w", "b2", mode="mor")
+    mp = publish_iceberg(t.refresh(), ice)
+    return read_iceberg_spark(mp, spark).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 ALL_QUERIES = {
     "changelog_scan_filter": changelog_scan_filter,
     "lww_latest_state": lww_latest_state,
@@ -1117,6 +1167,7 @@ ALL_QUERIES = {
     "cdc_replay_stream_lww": cdc_replay_stream_lww,
     "table_changes_feed": table_changes_feed,
     "iceberg_export_read": iceberg_export_read,
+    "iceberg_publish_feed": iceberg_publish_feed,
     "media_features": media_features,
     "media_frame_plan": media_frame_plan,
 }

@@ -43,6 +43,7 @@ def maintain(
     expire_keep_last: int = 10,
     orphan_age_s: float = 3600.0,
     dry_run: bool = False,
+    publish_iceberg_dest: str | None = None,
 ) -> dict:
     from delta_spark.lake import LakeTable
 
@@ -57,6 +58,16 @@ def maintain(
         out["orphans"] = len(t.remove_orphans(orphan_age_s, dry_run=True))
         return out
     out["migrated_manifests"] = t.migrate_inline_manifests()
+    # publish BEFORE compaction/expiry: the incremental publisher's
+    # cursor (the last published lake snapshot) must still be readable,
+    # and publishing first keeps the downstream Iceberg view caught up
+    # before snapshots are retired
+    if publish_iceberg_dest:
+        from delta_spark.lake.iceberg import publish_iceberg
+
+        out["published_iceberg_metadata"] = publish_iceberg(
+            t.refresh(), publish_iceberg_dest
+        )
     if compact_pressure >= 0:
         out["compacted_buckets"] = t.compact(max_files_per_bucket=compact_pressure)
     if expire_keep_last > 0:
@@ -75,6 +86,10 @@ def main() -> None:
     ap.add_argument("--orphan-age-s", type=float, default=3600.0,
                     help="only delete unreferenced files older than this")
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--publish-iceberg", default=None, metavar="DEST",
+                    help="incrementally publish the table as a standard "
+                    "Iceberg v2 table at DEST (runs before expiry so the "
+                    "publish cursor stays readable)")
     args = ap.parse_args()
 
     from delta_spark.lake.commit import ObjectStoreCommit, protocol_for
@@ -110,6 +125,7 @@ def main() -> None:
                 expire_keep_last=args.expire_keep_last,
                 orphan_age_s=args.orphan_age_s,
                 dry_run=args.dry_run,
+                publish_iceberg_dest=args.publish_iceberg,
             )
         )
     )

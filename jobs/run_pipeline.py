@@ -56,6 +56,10 @@ def main() -> None:
                     help="supervised-retry budget in seconds (default: forever)")
     ap.add_argument("--stats-dir", default=None,
                     help="persist per-micro-batch progress JSONL here")
+    ap.add_argument("--publish-iceberg", default=None, metavar="DEST",
+                    help="after the run (and each stream-continuous "
+                    "attempt), publish the applied table incrementally "
+                    "as a standard Iceberg v2 table at DEST")
     args = ap.parse_args()
 
     # fail FAST on storage schemes the commit protocol can't make
@@ -111,12 +115,24 @@ def main() -> None:
         from delta_spark.progress import attach_progress_logger
 
         attach_progress_logger(spark, stats_dir=args.stats_dir)
+    def _publish() -> None:
+        if not args.publish_iceberg:
+            return
+        from delta_spark.lake import LakeTable
+        from delta_spark.lake.iceberg import publish_iceberg
+
+        mp = publish_iceberg(
+            LakeTable.load(spark, args.table), args.publish_iceberg
+        )
+        print(json.dumps({"published_iceberg_metadata": mp}))
+
     p = Pipeline(spark, cfg)
     if args.mode == "batch":
         st = p.run_batch()
         print(json.dumps({"rows_in": st.rows_in, "upserts": st.upserts,
                           "deletes": st.deletes, "ddls": st.ddls_applied,
                           "wall_ms": st.wall_ms}))
+        _publish()
     elif args.mode == "stream":
         # in-engine supervised retry (reference RetryConfig semantics:
         # backoff 1->120 s, optional max duration, DeltaFailureException
@@ -129,6 +145,7 @@ def main() -> None:
         )
         print(json.dumps({"batches": len(p.stats), "attempts": attempts,
                           "rows_in": sum(s.rows_in for s in p.stats)}))
+        _publish()
     else:  # stream-continuous: tail forever under the same supervisor
         from delta_spark.pipeline import RetryConfig, is_unretryable
 
@@ -140,6 +157,7 @@ def main() -> None:
             try:
                 q = p.run_stream(available_now=False)
                 q.awaitTermination()
+                _publish()
                 break
             except Exception as e:
                 if is_unretryable(e):

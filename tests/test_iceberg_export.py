@@ -265,3 +265,177 @@ def test_export_widened_column_promotion(spark, tmp_path):
         f for f in md["schemas"][0]["fields"] if f["name"] == "turn_idx"
     )
     assert fld["type"] == "long"
+
+
+# ---------------------------------------------------- continuous publish
+
+
+def test_publish_incremental_tracks_commits(spark, tmp_path):
+    """publish_iceberg keeps an Iceberg table in lockstep with the lake
+    table: each call appends ONE snapshot holding exactly the changed
+    keys; both independent consumers read every published version equal
+    to the engine state at that publish."""
+    from delta_spark.lake.iceberg import publish_iceberg, read_iceberg_spark
+
+    t = _mk(spark, str(tmp_path / "t"))
+    ice = str(tmp_path / "ice")
+    mp1 = publish_iceberg(t.refresh(), ice)
+    assert mp1.endswith("v1.metadata.json")
+    _rows_equal(t.read(), read_iceberg_duckdb(mp1))
+
+    # idempotent: no new lake commit → same metadata version back
+    assert publish_iceberg(t.refresh(), ice) == mp1
+
+    upd = [
+        ("c1", 0, "assistant", "v2", "", TS, "UPDATE", 1000),
+        ("c2", 1, None, None, None, None, "DELETE", 1001),
+        ("c9", 0, "user", "new", "", TS, "INSERT", 1002),
+    ]
+    t.merge(spark.createDataFrame(upd, DDL), "w", "b1", mode="mor")
+    t = t.refresh()
+    mp2 = publish_iceberg(t, ice)
+    assert mp2.endswith("v2.metadata.json")
+    _rows_equal(t.read(), read_iceberg_duckdb(mp2))
+    got_spark = sorted(tuple(r) for r in read_iceberg_spark(mp2, spark).collect())
+    assert got_spark == sorted(tuple(r) for r in t.read().collect())
+
+    # the snapshot chain and metadata-log link versions together
+    with open(mp2) as f:
+        md = json.load(f)
+    assert len(md["snapshots"]) == 2 and len(md["snapshot-log"]) == 2
+    assert md["metadata-log"][-1]["metadata-file"].endswith("v1.metadata.json")
+    s2 = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    assert s2["parent-snapshot-id"] is not None
+    assert s2["summary"]["operation"] == "overwrite"
+
+    # TIME TRAVEL: the previous metadata version still reads the
+    # pre-update state (c1/0 at v1, c2/1 present, no c9)
+    old = read_iceberg_duckdb(mp1).df()
+    assert ((old["conv_id"] == "c2") & (old["turn_idx"] == 1)).any()
+    assert not (old["conv_id"] == "c9").any()
+    new = read_iceberg_duckdb(mp2).df()
+    assert not ((new["conv_id"] == "c2") & (new["turn_idx"] == 1)).any()
+    assert (new["conv_id"] == "c9").any()
+
+
+def test_publish_incremental_cost_and_manifest_reuse(spark, tmp_path):
+    """An incremental publish writes only O(changed-keys) new files and
+    carries prior manifests forward BY REFERENCE — the bootstrap data
+    files are neither rewritten nor re-manifested."""
+    from delta_spark.lake.iceberg import publish_iceberg
+
+    t = _mk(spark, str(tmp_path / "t"), n=8)
+    ice = str(tmp_path / "ice")
+    mp1 = publish_iceberg(t.refresh(), ice)
+    scan1 = scan_files(mp1)
+    data_dir = os.path.join(ice, "data")
+    files_before = set(os.listdir(data_dir))
+
+    t.merge(
+        spark.createDataFrame(
+            [("c3", 0, "assistant", "touched", "", TS, "UPDATE", 5000)], DDL
+        ),
+        "w",
+        "b1",
+        mode="mor",
+    )
+    mp2 = publish_iceberg(t.refresh(), ice)
+    scan2 = scan_files(mp2)
+    added = set(os.listdir(data_dir)) - files_before
+    # exactly one winners file + one equality-delete file for 1 key
+    assert len(added) == 2, added
+    assert len(scan2["data"]) == len(scan1["data"]) + 1
+    assert len(scan2["deletes"]) == 1
+    # every v1 manifest rides into v2's manifest list untouched
+    with open(mp1) as f:
+        md1 = json.load(f)
+    with open(mp2) as f:
+        md2 = json.load(f)
+    s1 = md1["snapshots"][0]
+    s2 = next(
+        s for s in md2["snapshots"] if s["snapshot-id"] == md2["current-snapshot-id"]
+    )
+    _, m1 = read_ocf(s1["manifest-list"][len("file://"):])
+    _, m2 = read_ocf(s2["manifest-list"][len("file://"):])
+    assert {m["manifest_path"] for m in m1} <= {m["manifest_path"] for m in m2}
+
+
+def test_publish_schema_evolution_and_conflict(spark, tmp_path):
+    """Rename + widen between publishes appends a new schema entry
+    (old metadata versions keep reading with the old names); a racing
+    publisher loses the open('x') claim on the next metadata version."""
+    import pytest as _pytest
+
+    from delta_spark.lake.iceberg import publish_iceberg
+
+    t = _mk(spark, str(tmp_path / "t"))
+    ice = str(tmp_path / "ice")
+    mp1 = publish_iceberg(t.refresh(), ice)
+
+    t.apply_ddl(
+        {"op": "RENAME_COLUMN", "column": "conv_id", "new_name": "conversation_id"}
+    )
+    t = t.refresh()
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 1, "assistant", "v3", "", TS, "UPDATE", 2000)],
+            DDL.replace("conv_id", "conversation_id"),
+        ),
+        "w",
+        "b2",
+        mode="mor",
+    )
+    t = t.refresh()
+    mp2 = publish_iceberg(t, ice)
+    with open(mp2) as f:
+        md = json.load(f)
+    assert [s["schema-id"] for s in md["schemas"]] == [0, 1]
+    assert md["current-schema-id"] == 1
+    _rows_equal(t.read(), read_iceberg_duckdb(mp2))
+    assert "conversation_id" in read_iceberg_duckdb(mp2).df().columns
+    assert "conv_id" in read_iceberg_duckdb(mp1).df().columns  # time travel
+
+    # conflict: someone already claimed v3 → loud failure, not silent loss
+    with open(os.path.join(ice, "metadata", "v3.metadata.json"), "x") as f:
+        f.write("{}")
+    t.merge(
+        spark.createDataFrame(
+            [("c2", 0, "assistant", "v4", "", TS, "UPDATE", 3000)],
+            DDL.replace("conv_id", "conversation_id"),
+        ),
+        "w",
+        "b3",
+        mode="mor",
+    )
+    with _pytest.raises(FileExistsError):
+        publish_iceberg(t.refresh(), ice)
+
+
+def test_publish_expired_cursor_fails_loudly(spark, tmp_path):
+    """If snapshot expiry removed the published cursor, publish must
+    refuse with a clear re-export instruction, never emit a wrong
+    incremental diff."""
+    import pytest as _pytest
+
+    from delta_spark.lake.iceberg import publish_iceberg
+
+    t = _mk(spark, str(tmp_path / "t"))
+    ice = str(tmp_path / "ice")
+    publish_iceberg(t.refresh(), ice)
+    for i in range(3):
+        t.merge(
+            spark.createDataFrame(
+                [(f"c{i}", 0, "assistant", f"u{i}", "", TS, "UPDATE", 7000 + i)],
+                DDL,
+            ),
+            "w",
+            f"bx{i}",
+            mode="mor",
+        )
+        t = t.refresh()
+    t.expire_snapshots(keep_last=1)
+    t = t.refresh()
+    with _pytest.raises(ValueError, match="re-export"):
+        publish_iceberg(t, ice)
