@@ -101,6 +101,11 @@ class PipelineConfig:
     stats_cols: tuple = ("ts",)            # extra manifest column-bounds
     # stats beyond the key columns (lake/stats.py) — ts by default so
     # time-range reads of the applied table plan from the manifest
+    publish_iceberg_dest: str | None = None  # keep a standard Iceberg v2
+    # table in lockstep with the sink (lake/iceberg.py publish_iceberg):
+    # one incremental Iceberg snapshot per published micro-batch
+    publish_every: int = 1                 # publish every N micro-batches
+    # (must stay well under expire_every or the publish cursor expires)
 
     def __post_init__(self):
         if self.generation is None:
@@ -202,6 +207,17 @@ class Pipeline:
                 and table.delta_file_pressure() >= self.cfg.compact_pressure
             ):
                 table.compact(max_files_per_bucket=1)
+            # continuous Iceberg publishing: one incremental Iceberg
+            # snapshot per published micro-batch, O(changed rows) each
+            # — BEFORE expiry so the publish cursor stays readable
+            if self.cfg.publish_iceberg_dest and (
+                epoch_id % max(1, self.cfg.publish_every) == 0
+            ):
+                from .lake.iceberg import publish_iceberg
+
+                publish_iceberg(
+                    table.refresh(), self.cfg.publish_iceberg_dest
+                )
             # periodic metadata maintenance: a per-micro-batch sink
             # accumulates snapshots without bound otherwise
             if (

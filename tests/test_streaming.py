@@ -317,3 +317,40 @@ def test_stream_kill_rebucket_resume(spark, tmp_path):
     t.compact(max_files_per_bucket=1)
     assert {t._entry_spec(f) for f in t.current_snapshot["files"]} == {1}
     assert_pdf_equal(t.read().toPandas(), want, ["conv_id", "turn_idx"])
+
+
+def test_stream_publishes_iceberg_per_microbatch(spark, tmp_path):
+    """publish_iceberg_dest keeps a standard Iceberg v2 table in
+    lockstep with the streaming sink: one incremental Iceberg snapshot
+    per micro-batch, final Iceberg read == engine read == oracle."""
+    import json
+
+    from delta_spark.lake.iceberg import read_iceberg_duckdb
+
+    spec = ChangelogSpec(n_events=2000, n_convs=30, seed=31, n_files=6)
+    raw, cfg = _mk(
+        spark,
+        tmp_path,
+        spec,
+        max_files_per_trigger=2,
+        publish_iceberg_dest=str(tmp_path / "ice"),
+    )
+    p = Pipeline(spark, cfg)
+    p.run_stream_to_completion()
+    assert len(p.stats) >= 2  # multiple micro-batches → multiple publishes
+
+    meta_dir = str(tmp_path / "ice" / "metadata")
+    versions = sorted(
+        f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")
+    )
+    assert len(versions) >= 2, versions  # bootstrap + ≥1 incremental
+    mp = os.path.join(meta_dir, versions[-1])
+    with open(mp) as f:
+        md = json.load(f)
+    assert len(md["snapshot-log"]) == len(versions)
+
+    table = LakeTable.load(spark, cfg.table_path)
+    want = table.read().toPandas()
+    got = read_iceberg_duckdb(mp).df()
+    assert_pdf_equal(want, got, ["conv_id", "turn_idx"])
+    assert_pdf_equal(want, oracle_apply(raw), ["conv_id", "turn_idx"])
