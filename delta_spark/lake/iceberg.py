@@ -377,33 +377,32 @@ def _collect_parquet_dir(
     return out
 
 
-def export_iceberg(table, dest: str, snapshot_id: int | None = None) -> str:
-    """Export one snapshot of ``table`` (a LakeTable) to ``dest`` as a
-    self-contained Iceberg v2 table; returns the metadata.json path.
-
-    See the module docstring for the mapping and its cost model. The
-    export directory is laid out HadoopTables-style (``data/`` +
-    ``metadata/v1.metadata.json`` + ``version-hint.text``) so path
-    -based readers find it without a catalog."""
+def _full_state_files(
+    table,
+    dest: str,
+    data_dir: str,
+    snapshot_id: int | None = None,
+    prefix: str = "",
+) -> tuple[list, list, list, list, int]:
+    """Materialize one whole table state as Iceberg files under
+    ``data_dir``: base files zero-copied (hard-linked), delta-touched ∪
+    tombstoned keys folded once into winners + one equality-delete set.
+    Returns (base_files, winners_files, delete_files, fields,
+    lake_sid); each file list holds (path, rows, bytes). Shared by the
+    one-shot export (sequences 1/2) and the squash publish (sequences
+    S+1/S+2)."""
     from pyspark.sql import functions as F
-
-    dest = os.path.abspath(dest)
-    data_dir = os.path.join(dest, "data")
-    meta_dir = os.path.join(dest, "metadata")
-    os.makedirs(data_dir)
-    os.makedirs(meta_dir, exist_ok=True)
 
     meta = table.metadata
     if snapshot_id is not None:
         raw = table._raw_snapshot(snapshot_id)
         files = table._resolve_files(raw)
         sv = raw.get("schema_version", meta["schema_version"])
-        lake_sid = raw["id"] if raw else -1
     else:
         raw = table._raw_snapshot()
         files = table._resolve_files(raw) if raw else []
         sv = meta["schema_version"]
-        lake_sid = raw["id"] if raw else -1
+    lake_sid = raw["id"] if raw else -1
     fields = meta["schemas"][str(sv)]
     by_id = {f["id"]: f for f in fields}
     key_ids = meta["key_ids"]
@@ -413,19 +412,11 @@ def export_iceberg(table, dest: str, snapshot_id: int | None = None) -> str:
     base = [f for f in files if f.get("kind") != "delta"]
     deltas = [f for f in files if f.get("kind") == "delta"]
 
-    mapping = _name_mapping(meta, fields)
-    ice_schema = {
-        "type": "struct",
-        "schema-id": 0,
-        "identifier-field-ids": [],
-        "fields": _ice_fields(fields),
-    }
-
-    # ---- sequence 1: zero-copy base data files
+    # ---- zero-copy base data files
     data_files_1: list[tuple[str, int, int]] = []  # (path, rows, bytes)
     for i, f in enumerate(base):
         src = os.path.join(table.path, f["path"])
-        dst = os.path.join(data_dir, f"b{i:05d}-{os.path.basename(src)}")
+        dst = os.path.join(data_dir, f"{prefix}b{i:05d}-{os.path.basename(src)}")
         _link_or_copy(src, dst)
         rows = f.get("rows")
         if rows is None:
@@ -477,12 +468,42 @@ def export_iceberg(table, dest: str, snapshot_id: int | None = None) -> str:
             )
             winners = state.join(s_df, keys, "left_semi")
             live = winners.filter(~F.col("_deleted")).select(*payload)
-            win_tmp = os.path.join(dest, "_win_tmp")
+            win_tmp = os.path.join(dest, f"_win_tmp_{prefix.strip('-') or 'x'}")
             live.coalesce(max(1, min(8, n_s // 500_000 + 1))).write.parquet(win_tmp)
-            winners_files = _collect_parquet_dir(win_tmp, data_dir, "w")
-            del_tmp = os.path.join(dest, "_del_tmp")
+            winners_files = _collect_parquet_dir(win_tmp, data_dir, f"{prefix}w")
+            del_tmp = os.path.join(dest, f"_del_tmp_{prefix.strip('-') or 'x'}")
             s_df.coalesce(max(1, min(8, n_s // 2_000_000 + 1))).write.parquet(del_tmp)
-            delete_files = _collect_parquet_dir(del_tmp, data_dir, "ed")
+            delete_files = _collect_parquet_dir(del_tmp, data_dir, f"{prefix}ed")
+
+    return data_files_1, winners_files, delete_files, fields, lake_sid
+
+
+def export_iceberg(table, dest: str, snapshot_id: int | None = None) -> str:
+    """Export one snapshot of ``table`` (a LakeTable) to ``dest`` as a
+    self-contained Iceberg v2 table; returns the metadata.json path.
+
+    See the module docstring for the mapping and its cost model. The
+    export directory is laid out HadoopTables-style (``data/`` +
+    ``metadata/v1.metadata.json`` + ``version-hint.text``) so path
+    -based readers find it without a catalog."""
+    dest = os.path.abspath(dest)
+    data_dir = os.path.join(dest, "data")
+    meta_dir = os.path.join(dest, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    meta = table.metadata
+    key_ids = meta["key_ids"]
+    data_files_1, winners_files, delete_files, fields, lake_sid = (
+        _full_state_files(table, dest, data_dir, snapshot_id=snapshot_id)
+    )
+    mapping = _name_mapping(meta, fields)
+    ice_schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "identifier-field-ids": [],
+        "fields": _ice_fields(fields),
+    }
 
     seq_max = 2 if (winners_files or delete_files) else 1
     snapshot_id_out = int(uuid.uuid4().int % (1 << 62)) + 1
@@ -561,7 +582,12 @@ def export_iceberg(table, dest: str, snapshot_id: int | None = None) -> str:
     return md_path
 
 
-def publish_iceberg(table, dest: str) -> str:
+def publish_iceberg(
+    table,
+    dest: str,
+    squash: bool = False,
+    squash_after_deletes: int = 64,
+) -> str:
     """CONTINUOUS Iceberg publishing: keep an Iceberg v2 table at
     ``dest`` tracking ``table`` commit-by-commit. First call bootstraps
     via :func:`export_iceberg`; each later call appends ONE Iceberg
@@ -584,6 +610,17 @@ def publish_iceberg(table, dest: str) -> str:
 
     Cost is O(changed rows + metadata) per call — the change feed is
     ``read_changes`` (manifest-diff bucket-pruned), never a table scan.
+
+    SQUASH: each incremental publish adds one equality-delete file, and
+    a v2 reader anti-joins every delete file on every read — unbounded
+    under a per-micro-batch publisher. When the delete-file count
+    reaches ``squash_after_deletes`` (or ``squash=True`` forces it),
+    the publish emits a REPLACE snapshot instead: the full current
+    state re-materialized (base files zero-copy hard-linked — cheap
+    right after the lake's own compaction — plus one winners fold) with
+    a FRESH manifest list, so the delete-file stack resets to ≤1. Older
+    metadata versions still time-travel; their files stay on disk.
+
     Reference analog: the per-commit consumer contract the reference's
     targets expose downstream (delta-api/.../EventConsumer.java:39-76)
     — here the downstream IS the Iceberg ecosystem."""
@@ -613,7 +650,7 @@ def publish_iceberg(table, dest: str) -> str:
     cur_schema = next(
         s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
     )
-    if cur_sid == last_pub and cur_schema["fields"] == ice_flds:
+    if cur_sid == last_pub and cur_schema["fields"] == ice_flds and not squash:
         return prev_path  # nothing new — idempotent no-op
 
     # schema evolution: reuse an identical historical schema-id, else
@@ -636,54 +673,96 @@ def publish_iceberg(table, dest: str) -> str:
     keys = [by_id[i]["name"] for i in key_ids]
     payload = [f["name"] for f in fields]
 
-    try:
-        ch = table.read_changes(
-            from_snapshot_id=(last_pub if last_pub >= 0 else None)
-        )
-    except ValueError as e:
-        raise ValueError(
-            f"published lake snapshot {last_pub} is no longer readable "
-            f"({e}); re-export to a fresh destination"
-        ) from None
-    ch = ch.localCheckpoint(eager=True)  # bounded: changed rows only
-    n_ch = ch.count()
-
     seq = md["last-sequence-number"] + 1
     snapshot_id_out = int(uuid.uuid4().int % (1 << 62)) + 1
     now_ms = int(time.time() * 1000)
 
-    winners_files: list[tuple[str, int, int]] = []
-    delete_files: list[tuple[str, int, int]] = []
-    if n_ch:
-        live = ch.filter(F.col("_change_type") != "delete").select(*payload)
-        win_tmp = os.path.join(dest, f"_win_tmp_{seq}")
-        live.coalesce(max(1, min(8, n_ch // 500_000 + 1))).write.parquet(win_tmp)
-        winners_files = _collect_parquet_dir(win_tmp, data_dir, f"w{seq:04d}-")
-        dels = ch.select(*keys)
-        del_tmp = os.path.join(dest, f"_del_tmp_{seq}")
-        dels.coalesce(max(1, min(8, n_ch // 2_000_000 + 1))).write.parquet(del_tmp)
-        delete_files = _collect_parquet_dir(del_tmp, data_dir, f"ed{seq:04d}-")
+    if not squash and squash_after_deletes:
+        squash = (
+            len(scan_files(prev_path)["deletes"]) >= squash_after_deletes
+        )
 
-    # manifest list = carried-forward manifests + this publish's new ones
-    snap_prev = next(
-        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
-    )
-    _, manifests = read_ocf(_strip_uri(snap_prev["manifest-list"]))
-    manifests = list(manifests)
-    if winners_files:
-        manifests.append(
-            _manifest_file(
-                meta_dir, f"data{seq}", winners_files, 0, seq,
-                snapshot_id_out, key_ids, ice_schema,
-            )
+    if squash:
+        # REPLACE snapshot: full state re-materialized, fresh manifest
+        # list — resets the equality-delete stack a v2 reader must
+        # anti-join on every read
+        base_f, winners_files, delete_files, _flds, _sid = _full_state_files(
+            table, dest, data_dir, prefix=f"s{seq:04d}-"
         )
-    if delete_files:
-        manifests.append(
-            _manifest_file(
-                meta_dir, f"del{seq}", delete_files, 1, seq,
-                snapshot_id_out, key_ids, ice_schema,
+        seq_hi = seq + 1 if (winners_files or delete_files) else seq
+        manifests = []
+        if base_f:
+            manifests.append(
+                _manifest_file(
+                    meta_dir, f"sqdata{seq}", base_f, 0, seq,
+                    snapshot_id_out, key_ids, ice_schema,
+                )
             )
+        if winners_files:
+            manifests.append(
+                _manifest_file(
+                    meta_dir, f"sqwin{seq}", winners_files, 0, seq_hi,
+                    snapshot_id_out, key_ids, ice_schema,
+                )
+            )
+        if delete_files:
+            manifests.append(
+                _manifest_file(
+                    meta_dir, f"sqdel{seq}", delete_files, 1, seq_hi,
+                    snapshot_id_out, key_ids, ice_schema,
+                )
+            )
+        seq = seq_hi
+        op_label = "replace"
+        n_added_data = len(base_f) + len(winners_files)
+    else:
+        try:
+            ch = table.read_changes(
+                from_snapshot_id=(last_pub if last_pub >= 0 else None)
+            )
+        except ValueError as e:
+            raise ValueError(
+                f"published lake snapshot {last_pub} is no longer readable "
+                f"({e}); re-export to a fresh destination"
+            ) from None
+        ch = ch.localCheckpoint(eager=True)  # bounded: changed rows only
+        n_ch = ch.count()
+
+        winners_files = []
+        delete_files = []
+        if n_ch:
+            live = ch.filter(F.col("_change_type") != "delete").select(*payload)
+            win_tmp = os.path.join(dest, f"_win_tmp_{seq}")
+            live.coalesce(max(1, min(8, n_ch // 500_000 + 1))).write.parquet(win_tmp)
+            winners_files = _collect_parquet_dir(win_tmp, data_dir, f"w{seq:04d}-")
+            dels = ch.select(*keys)
+            del_tmp = os.path.join(dest, f"_del_tmp_{seq}")
+            dels.coalesce(max(1, min(8, n_ch // 2_000_000 + 1))).write.parquet(del_tmp)
+            delete_files = _collect_parquet_dir(del_tmp, data_dir, f"ed{seq:04d}-")
+
+        # manifest list = carried-forward manifests + this publish's new ones
+        snap_prev = next(
+            s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
         )
+        _, manifests = read_ocf(_strip_uri(snap_prev["manifest-list"]))
+        manifests = list(manifests)
+        if winners_files:
+            manifests.append(
+                _manifest_file(
+                    meta_dir, f"data{seq}", winners_files, 0, seq,
+                    snapshot_id_out, key_ids, ice_schema,
+                )
+            )
+        if delete_files:
+            manifests.append(
+                _manifest_file(
+                    meta_dir, f"del{seq}", delete_files, 1, seq,
+                    snapshot_id_out, key_ids, ice_schema,
+                )
+            )
+        op_label = "overwrite" if delete_files else "append"
+        n_added_data = len(winners_files)
+
     list_path = os.path.join(
         meta_dir, f"snap-{snapshot_id_out}-1-{uuid.uuid4().hex}.avro"
     )
@@ -696,8 +775,8 @@ def publish_iceberg(table, dest: str) -> str:
         "timestamp-ms": now_ms,
         "manifest-list": _uri(list_path),
         "summary": {
-            "operation": "overwrite" if delete_files else "append",
-            "added-data-files": str(len(winners_files)),
+            "operation": op_label,
+            "added-data-files": str(n_added_data),
             "added-delete-files": str(len(delete_files)),
             "delta-spark.lake-snapshot-id": str(cur_sid),
         },

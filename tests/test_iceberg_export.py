@@ -439,3 +439,58 @@ def test_publish_expired_cursor_fails_loudly(spark, tmp_path):
     t = t.refresh()
     with _pytest.raises(ValueError, match="re-export"):
         publish_iceberg(t, ice)
+
+
+def test_publish_squash_resets_delete_stack(spark, tmp_path):
+    """Per-commit publishing stacks one equality-delete file per call
+    (a v2 reader anti-joins ALL of them); the squash publish emits a
+    REPLACE snapshot with a fresh manifest list, resetting the stack,
+    while reads stay equal and old versions still time-travel."""
+    from delta_spark.lake.iceberg import publish_iceberg
+
+    t = _mk(spark, str(tmp_path / "t"))
+    ice = str(tmp_path / "ice")
+    publish_iceberg(t.refresh(), ice)
+    for i in range(3):
+        t.merge(
+            spark.createDataFrame(
+                [(f"c{i}", 0, "assistant", f"u{i}", "", TS, "UPDATE", 8000 + i)],
+                DDL,
+            ),
+            "w",
+            f"sq{i}",
+            mode="mor",
+        )
+        t = t.refresh()
+        mp = publish_iceberg(t, ice)
+    assert len(scan_files(mp)["deletes"]) == 3  # one per incremental
+
+    # threshold triggers automatically on the next publish
+    t.merge(
+        spark.createDataFrame(
+            [("c4", 0, "assistant", "u4", "", TS, "UPDATE", 9000)], DDL
+        ),
+        "w",
+        "sq4",
+        mode="mor",
+    )
+    t = t.refresh()
+    mp_sq = publish_iceberg(t, ice, squash_after_deletes=3)
+    scan = scan_files(mp_sq)
+    assert len(scan["deletes"]) <= 1  # stack reset
+    _rows_equal(t.read(), read_iceberg_duckdb(mp_sq))
+    with open(mp_sq) as f:
+        md = json.load(f)
+    cur = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    assert cur["summary"]["operation"] == "replace"
+    # pre-squash version still time-travels with its full delete stack
+    assert len(scan_files(mp)["deletes"]) == 3
+    _rows_equal_count = len(read_iceberg_duckdb(mp).fetchall())
+    assert _rows_equal_count == 18
+
+    # forced squash with no new lake commits also works (maintenance)
+    mp_sq2 = publish_iceberg(t.refresh(), ice, squash=True)
+    assert mp_sq2 != mp_sq
+    _rows_equal(t.read(), read_iceberg_duckdb(mp_sq2))
