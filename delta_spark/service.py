@@ -256,6 +256,37 @@ class DiagnosticsService:
 
     # ------------------------------------------------------ assessment
 
+    @staticmethod
+    def _iceberg_status(dest: str) -> dict:
+        """Inspect a published Iceberg destination (publish_iceberg /
+        export_iceberg output) from its metadata only — version chain,
+        publish cursor, live file counts, delete-stack depth (squash
+        pressure). Spark-free like every other endpoint."""
+        from .lake.iceberg import scan_files
+
+        meta_dir = os.path.join(dest, "metadata")
+        with open(os.path.join(meta_dir, "version-hint.text")) as f:
+            v = int(f.read().strip())
+        md_path = os.path.join(meta_dir, f"v{v}.metadata.json")
+        with open(md_path) as f:
+            md = json.load(f)
+        scan = scan_files(md_path)
+        return {
+            "metadata_version": v,
+            "metadata_path": md_path,
+            "format_version": md["format-version"],
+            "last_sequence_number": md["last-sequence-number"],
+            "current_snapshot_id": md["current-snapshot-id"],
+            "snapshots": len(md["snapshots"]),
+            "schemas": len(md["schemas"]),
+            "current_schema_id": md["current-schema-id"],
+            "lake_snapshot_cursor": int(
+                md.get("properties", {}).get("delta-spark.lake-snapshot-id", "-1")
+            ),
+            "data_files": len(scan["data"]),
+            "delete_files": len(scan["deletes"]),
+        }
+
     def _assess_one(self, body: dict) -> dict:
         schema = _schema_from_fields(body["fields"])
         target = None
@@ -299,6 +330,8 @@ class DiagnosticsService:
             if method == "GET":
                 if parts == ["health"]:
                     return 200, {"status": "ok"}
+                if parts == ["v1", "iceberg"]:
+                    return 200, self._iceberg_status(q["dest"])
                 if parts == ["v1", "tables"]:
                     return 200, {"tables": sorted(self._table_paths())}
                 if len(parts) >= 3 and parts[:2] == ["v1", "tables"]:

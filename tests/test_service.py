@@ -128,3 +128,34 @@ def test_assess_endpoints(spark, tmp_path):
         assert code == 200 and p["transcripts"]["ok"] is True
     finally:
         svc.stop()
+
+
+def test_iceberg_status_endpoint(spark, tmp_path):
+    """GET /v1/iceberg?dest=… inspects a published Iceberg table from
+    its exported metadata only (version chain, publish cursor, delete-
+    stack depth) — the squash-pressure signal an operator watches."""
+    from delta_spark.lake import LakeTable
+    from delta_spark.lake.iceberg import publish_iceberg
+
+    cfg, st = _run_pipeline(spark, tmp_path)
+    t = LakeTable.load(spark, cfg.table_path)
+    ice = str(tmp_path / "ice")
+    publish_iceberg(t, ice)
+
+    svc = DiagnosticsService(tables={"transcripts": cfg.table_path})
+    _, port = svc.start()
+    try:
+        import urllib.parse
+
+        code, body = _get(port, "/v1/iceberg?dest=" + urllib.parse.quote(ice))
+        assert code == 200
+        assert body["metadata_version"] == 1
+        assert body["format_version"] == 2
+        assert body["data_files"] >= 1
+        assert body["lake_snapshot_cursor"] == t.metadata["current_snapshot_id"]
+        assert body["delete_files"] in (0, 1)
+        # unknown dest → clean 400, not a 500
+        code, _err = _get(port, "/v1/iceberg?dest=" + urllib.parse.quote(str(tmp_path / "nope")))
+        assert code == 400
+    finally:
+        svc.stop()
