@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "simhash16",
     "lang_id",
     "token_count",
+    "pii_scrub",
+    "doc_chunks",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "media_features",

@@ -115,3 +115,53 @@ def md5_long(c: Column) -> Column:
     """First 60 bits of md5 as a non-negative bigint — the portable
     hash used across dedup/minhash so oracles can recompute it."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# ------------------------------------------------------ PII scrubbing
+# patterns kept in the Java ∩ RE2 regex subset so Spark (Java regex)
+# and DuckDB (RE2) replace identically — oracle-checkable
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+]
+
+
+def pii_scrub(col: str | Column) -> Column:
+    """Redact emails/phones/IPs/SSNs in order (each later pattern sees
+    the earlier replacements — matching the oracle's nesting). Pure
+    JVM regexp_replace chain, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def pii_hits(col: str | Column) -> dict[str, Column]:
+    """Per-category match counts over the ORIGINAL text (audit metric
+    to accompany the scrub)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {name: F.regexp_count(c, F.lit(pat)) for name, pat, _rep in PII_PATTERNS}
+
+
+# ------------------------------------------------------ chunking
+
+
+def chunk_spans(col: str | Column, size: int = 512, overlap: int = 64) -> Column:
+    """Training-window chunking: 1-based start offsets of fixed-size
+    character chunks with ``overlap`` carry-over — chunk i covers
+    [1 + i*(size-overlap), …+size). Returns the array of starts; the
+    caller explodes + substrings (all JVM-side, scales as one narrow
+    map over documents, no shuffle)."""
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    c = F.col(col) if isinstance(col, str) else col
+    step = size - overlap
+    n = F.length(c)
+    # number of chunks: ceil(max(n - overlap, 1) / step) for n>0 → last
+    # start is the largest 1 + i*step with i*step < n - overlap (+1 chunk)
+    last = F.greatest(F.ceil((n - F.lit(size)) / F.lit(step)), F.lit(0)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), last), lambda i: i * F.lit(step) + 1
+    )

@@ -12,7 +12,7 @@ bytes back.
 
 from __future__ import annotations
 
-from .functions.text import STOPWORDS, TOKEN_PATTERN
+from .functions.text import PII_PATTERNS, STOPWORDS, TOKEN_PATTERN
 
 CUTOFF = "2024-01-16 00:00:00"
 
@@ -75,6 +75,33 @@ _REV = (
     "CAST(CAST(l_extendedprice AS DECIMAL(18,6))"
     " * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(30,12))"
 )
+
+
+# pii_scrub oracle assembled from the SAME pattern list the Spark side
+# uses — no literal duplication, no string-escape divergence (a plain
+# triple-quoted copy would eat the raw \\b)
+_PII_SALT = (
+    "coalesce(text,'') || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or +1-202-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+_scrub_expr = "t"
+for _n, _p, _r in PII_PATTERNS:
+    _scrub_expr = f"regexp_replace({_scrub_expr}, '{_p}', '{_r}', 'g')"
+_PII_HITS = ",\n               ".join(
+    f"CAST(len(regexp_extract_all(t, '{_p}')) AS INT) AS n_{_n}"
+    for _n, _p, _r in PII_PATTERNS
+)
+_PII_SCRUB_SQL = f"""
+        WITH d AS (
+          SELECT doc_id, {_PII_SALT} AS t
+          FROM documents)
+        SELECT doc_id,
+               {_scrub_expr} AS clean_text,
+               {_PII_HITS}
+        FROM d
+"""
 
 ALL_ORACLES: dict[str, str] = {
     # ------------------------------------------------- CDC surface
@@ -504,6 +531,20 @@ ALL_ORACLES: dict[str, str] = {
         SELECT doc_id,
                len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
         FROM documents
+    """,
+    # PII scrub: BUILT FROM functions/text.py PII_PATTERNS at import
+    # time (single source of truth; Java ∩ RE2 subset), same
+    # replacement order, global flag
+    "pii_scrub": _PII_SCRUB_SQL,
+    # fixed 256-char chunks, 32 overlap (step 224); one chunk minimum
+    "doc_chunks": """
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        c AS (SELECT doc_id, t,
+                greatest(CAST(ceil((length(t) - 256) / 224.0) AS INT), 0) AS last
+              FROM d)
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               substr(t, CAST(1 + i * 224 AS INT), 256) AS chunk_text
+        FROM c, unnest(generate_series(0, CAST(last AS BIGINT))) AS u(i)
     """,
     "doc_fingerprint": r"""
         SELECT doc_id,

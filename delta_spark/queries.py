@@ -377,6 +377,50 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
+def pii_scrub(spark, sf_dir):
+    """PII redaction for training data: email/phone/IP/SSN patterns
+    replaced by typed sentinels, per-category audit counts alongside.
+    Pure JVM regexp chain (functions/text.py PII_PATTERNS, kept in the
+    Java ∩ RE2 subset so DuckDB replaces identically). The input is
+    salted with deterministic synthetic PII so the scrub provably
+    fires on every row."""
+    d = _t(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-202-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7"),
+    )
+    hits = tx.pii_hits(salted)
+    return d.select(
+        "doc_id",
+        tx.pii_scrub(salted).alias("clean_text"),
+        *[hits[k].cast("int").alias(f"n_{k}") for k, _p, _r in tx.PII_PATTERNS],
+    )
+
+
+def doc_chunks(spark, sf_dir):
+    """Training-window chunking: fixed 256-char chunks with 32-char
+    overlap — one narrow JVM-side map (sequence + posexplode +
+    substring), no shuffle, no UDF; scales linearly with corpus
+    bytes."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    spans = tx.chunk_spans(t, size=256, overlap=32)
+    return (
+        d.select("doc_id", t.alias("t"), F.posexplode(spans).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.substring(F.col("t"), F.col("start"), F.lit(256)).alias("chunk_text"),
+        )
+    )
+
+
 # ===================================================== embeddings
 
 
@@ -1153,6 +1197,8 @@ ALL_QUERIES = {
     "text_quality": text_quality,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
+    "pii_scrub": pii_scrub,
+    "doc_chunks": doc_chunks,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,

@@ -300,3 +300,35 @@ def test_connected_components_transitive_and_multi(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_pii_scrub_and_chunks(spark):
+    from delta_spark.functions import text as tx
+
+    rows = [
+        (1, "mail a@b.io and 10.1.2.3 call +44-123-456-7890 ssn 123-45-6789"),
+        (2, ""),
+        (3, None),
+        (4, "x" * 600),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", tx.pii_scrub(t).alias("clean"),
+        *[v.alias(k) for k, v in tx.pii_hits(t).items()],
+    ).collect()}
+    assert out[1]["clean"] == "mail <EMAIL> and <IP> call <PHONE> ssn <SSN>"
+    assert (out[1]["email"], out[1]["phone"], out[1]["ipv4"], out[1]["ssn"]) == (1, 1, 1, 1)
+    assert out[2]["clean"] == "" and out[3]["clean"] == ""
+    # chunking: 600 chars at size 256 / overlap 32 (step 224) → 3 chunks
+    spans = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", tx.chunk_spans(t, 256, 32).alias("s")).collect()}
+    assert spans[4] == [1, 225, 449]
+    assert spans[2] == [1] and spans[3] == [1]  # one empty chunk
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tx.chunk_spans(t, 64, 64)
+    # plan: pure JVM generate+project — no shuffle, no python UDF
+    q = df.select("doc_id", F.posexplode(tx.chunk_spans(t)).alias("i", "st"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
