@@ -494,3 +494,36 @@ def test_publish_squash_resets_delete_stack(spark, tmp_path):
     mp_sq2 = publish_iceberg(t.refresh(), ice, squash=True)
     assert mp_sq2 != mp_sq
     _rows_equal(t.read(), read_iceberg_duckdb(mp_sq2))
+
+
+def test_publish_across_rebucket(spark, tmp_path):
+    """Bucket-spec evolution between publishes: the incremental diff
+    (read_changes) is rebucket-aware, so the published Iceberg state
+    stays equal to the engine state across the spec change."""
+    from delta_spark.lake.iceberg import publish_iceberg
+
+    t = _mk(spark, str(tmp_path / "t"))
+    ice = str(tmp_path / "ice")
+    publish_iceberg(t.refresh(), ice)
+
+    assert t.rebucket(16)
+    t = t.refresh()
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("c1", 0, "assistant", "post-rebucket", "", TS, "UPDATE", 4000),
+                ("c7", 0, "user", "fresh", "", TS, "INSERT", 4001),
+                ("c2", 2, None, None, None, None, "DELETE", 4002),
+            ],
+            DDL,
+        ),
+        "w",
+        "rb1",
+        mode="mor",
+    )
+    t = t.refresh()
+    mp = publish_iceberg(t, ice)
+    _rows_equal(t.read(), read_iceberg_duckdb(mp))
+    got = read_iceberg_duckdb(mp).df()
+    assert (got["text"] == "post-rebucket").any()
+    assert not ((got["conv_id"] == "c2") & (got["turn_idx"] == 2)).any()
