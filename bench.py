@@ -165,13 +165,20 @@ def main() -> None:
     # tail over the SAME generated changelog (identical input)
     n_events = int(os.environ.get("BENCH_CDC_EVENTS", str(int(4_000_000 * SF))))
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    with tempfile.TemporaryDirectory(prefix="bench_cdc_", dir=base) as wd:
-        cdc = run_cdc_replay(spark, n_events, num_buckets=max(2 * CPUS, 32), work_dir=wd)
-        timings["cdc_replay"] = round(cdc["sec"], 3)
-        cdc_s = run_cdc_stream(
-            spark, os.path.join(wd, "log"), cdc["events"], work_dir=wd
-        )
-        timings["cdc_replay_stream"] = round(cdc_s["sec"], 3)
+
+    def measure_cdc() -> tuple[dict, dict]:
+        with tempfile.TemporaryDirectory(prefix="bench_cdc_", dir=base) as wd:
+            c = run_cdc_replay(
+                spark, n_events, num_buckets=max(2 * CPUS, 32), work_dir=wd
+            )
+            cs = run_cdc_stream(
+                spark, os.path.join(wd, "log"), c["events"], work_dir=wd
+            )
+        return c, cs
+
+    cdc, cdc_s = measure_cdc()
+    timings["cdc_replay"] = round(cdc["sec"], 3)
+    timings["cdc_replay_stream"] = round(cdc_s["sec"], 3)
 
     from delta_spark import queries as _q
 
@@ -205,6 +212,22 @@ def main() -> None:
         controls.append(cpu_control(spark))
     timings.update({k: round(v, 3) for k, v in per_q.items()})
 
+    # the CDC HEADLINE gets the same protection (round-3 lesson applied
+    # to round 4's own artifact: the first window poisoned the replay
+    # numbers while the query loop recovered): if the controls that
+    # bracketed the CDC legs were degraded relative to the best control
+    # seen, re-measure both legs once and min-merge.
+    cdc_degraded = max(controls[:2]) > 1.25 * min(controls)
+    if cdc_degraded:
+        cdc2, cdc_s2 = measure_cdc()
+        if cdc2["sec"] < cdc["sec"]:
+            cdc = cdc2
+        if cdc_s2["sec"] < cdc_s["sec"]:
+            cdc_s = cdc_s2
+        timings["cdc_replay"] = round(cdc["sec"], 3)
+        timings["cdc_replay_stream"] = round(cdc_s["sec"], 3)
+        controls.append(cpu_control(spark))
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -225,6 +248,7 @@ def main() -> None:
                 # would indict the code, WITH one indict the weather
                 "cpu_control_sec": controls,
                 "window_degraded_retry": degraded,
+                "cdc_window_degraded_retry": cdc_degraded,
             }
         )
     )

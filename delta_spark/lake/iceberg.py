@@ -1039,3 +1039,204 @@ def read_iceberg_spark(metadata_path: str, spark):
             )
         data = d.join(x, on=cond, how="left_anti")
     return data.select(*out_cols)
+
+
+# ------------------------------------------------------ change feed
+#
+# The published Iceberg table is ALSO an incremental CDC source: each
+# incremental publish adds data files (the winning rows) and one
+# equality-delete file (every changed key) at a fresh sequence number,
+# so the NET CHANGE between two published metadata versions is fully
+# derivable from the artifacts alone — no access to the lake table.
+# Semantics: one row per key whose winner changed in the range;
+# ``_change_type`` ∈ upsert / delete (artifacts carry no before-image,
+# so insert-vs-update is not distinguished); deletes carry key columns
+# only (payload NULL) and may include at-least-once tombstones for
+# keys created AND deleted inside the range — idempotent for any MERGE
+# consumer. Mirrors the engine's read_changes/interop.changes_sql at
+# the published layer.
+
+
+def _changed_files(dest: str, from_version: int, to_version: int | None):
+    """Resolve the (data, delete) files ADDED between two metadata
+    versions of one published destination, plus the TO schema/mapping.
+    Raises on a squash (REPLACE) snapshot inside the range — a replace
+    rewrites the file set, so a file diff is no longer a change feed."""
+    meta_dir = os.path.join(dest, "metadata")
+    if to_version is None:
+        with open(os.path.join(meta_dir, "version-hint.text")) as f:
+            to_version = int(f.read().strip())
+    if from_version >= to_version:
+        raise ValueError(
+            f"from_version {from_version} must be < to_version {to_version}"
+        )
+    from_path = os.path.join(meta_dir, f"v{from_version}.metadata.json")
+    to_path = os.path.join(meta_dir, f"v{to_version}.metadata.json")
+    with open(from_path) as f:
+        md_a = json.load(f)
+    seq_from = md_a["last-sequence-number"]
+    with open(to_path) as f:
+        md_b = json.load(f)
+    for s in md_b["snapshots"]:
+        if (
+            s["sequence-number"] > seq_from
+            and s.get("summary", {}).get("operation") == "replace"
+        ):
+            raise NotImplementedError(
+                f"snapshot {s['snapshot-id']} in range is a squash "
+                "(REPLACE); read the full state at to_version instead"
+            )
+    scan = scan_files(to_path)
+    data = [(p, s) for p, s in scan["data"] if s > seq_from]
+    deletes = [(p, s, ids) for p, s, ids in scan["deletes"] if s > seq_from]
+    return data, deletes, scan["schema"], scan["name_mapping"]
+
+
+def iceberg_changes_sql(
+    dest: str, from_version: int, to_version: int | None = None
+) -> str:
+    """One DuckDB statement emitting the change feed between two
+    published metadata versions (Spark-free): surviving new data rows
+    (not matched by a strictly-newer delete in the range) become
+    upserts; changed keys with no survivor become deletes."""
+    data, deletes, schema, mapping = _changed_files(
+        dest, from_version, to_version
+    )
+    fields = schema["fields"]
+    by_id = {f["id"]: f for f in fields}
+    eq_ids = deletes[0][2] if deletes else []
+    key_fields = [by_id[i] for i in eq_ids]
+    out_cols = ", ".join('"' + f["name"].replace('"', '""') + '"' for f in fields)
+    null_payload = ", ".join(
+        f'CAST(NULL AS {_duck_of_ice(f["type"])}) AS "{f["name"]}"'
+        for f in fields
+        if f not in key_fields
+    )
+    if not data and not deletes:
+        return (
+            f"SELECT {out_cols}, CAST(NULL AS VARCHAR) AS _change_type "
+            "WHERE FALSE"
+        )
+    data_sql = "\nUNION ALL BY NAME\n".join(
+        _file_select(p, seq, fields, mapping) for p, seq in data
+    ) or f"SELECT {out_cols}, CAST(NULL AS BIGINT) AS __seq WHERE FALSE"
+    del_sql = "\nUNION ALL BY NAME\n".join(
+        _file_select(p, seq, key_fields, mapping) for p, seq, _ in deletes
+    )
+    on = " AND ".join(
+        f'd."{f["name"]}" IS NOT DISTINCT FROM x."{f["name"]}"'
+        for f in key_fields
+    )
+    surv = (
+        f"SELECT {out_cols} FROM (\n{data_sql}\n) d\n"
+        f"WHERE NOT EXISTS (SELECT 1 FROM (\n{del_sql}\n) x "
+        f"WHERE {on} AND x.__seq > d.__seq)"
+        if deletes
+        else f"SELECT {out_cols} FROM (\n{data_sql}\n)"
+    )
+    if not deletes:
+        return f"SELECT *, 'upsert' AS _change_type FROM (\n{surv}\n)"
+    key_cols = ", ".join(f'"{f["name"]}"' for f in key_fields)
+    on_k = " AND ".join(
+        f'k."{f["name"]}" IS NOT DISTINCT FROM u."{f["name"]}"'
+        for f in key_fields
+    )
+    sep = ", " if null_payload else ""
+    return (
+        f"WITH surv AS (\n{surv}\n)\n"
+        f"SELECT *, 'upsert' AS _change_type FROM surv\n"
+        f"UNION ALL BY NAME\n"
+        f"SELECT {key_cols}{sep}{null_payload}, 'delete' AS _change_type\n"
+        f"FROM (SELECT DISTINCT {key_cols} FROM (\n{del_sql}\n)) k\n"
+        f"WHERE NOT EXISTS (SELECT 1 FROM surv u WHERE {on_k})"
+    )
+
+
+def read_iceberg_changes_spark(
+    dest: str, from_version: int, spark, to_version: int | None = None
+):
+    """The same change feed as a Spark DataFrame — new data files union
+    minus strictly-newer range deletes (upserts), plus keys with no
+    survivor (deletes, payload NULL). Driven only by published
+    metadata."""
+    from pyspark.sql import functions as F
+
+    data, deletes, schema, mapping = _changed_files(
+        dest, from_version, to_version
+    )
+    fields = schema["fields"]
+    by_id = {f["id"]: f for f in fields}
+    eq_ids = deletes[0][2] if deletes else []
+    key_fields = [by_id[i] for i in eq_ids]
+    names_of = {m["field-id"]: m["names"] for m in mapping}
+
+    def _spark_type(t: str) -> str:
+        if t in _SPARK_OF_ICE:
+            return _SPARK_OF_ICE[t]
+        if t.startswith("decimal("):
+            return "decimal(" + t[len("decimal("):]
+        raise ValueError(f"no Spark mapping for Iceberg type {t!r}")
+
+    def _union(files, flds):
+        groups: dict[tuple, list[str]] = {}
+        import pyarrow.parquet as pq
+
+        for path, seq in files:
+            have = set(pq.read_schema(path).names)
+            srcs = []
+            for f in flds:
+                src = None
+                for cand in (f["name"], *names_of.get(f["id"], [])):
+                    if cand in have:
+                        src = cand
+                        break
+                srcs.append(src)
+            groups.setdefault((tuple(srcs), seq), []).append(path)
+        parts = []
+        for (srcs, seq), paths in groups.items():
+            df = spark.read.parquet(*paths)
+            cols = [
+                (F.col(s) if s is not None else F.lit(None))
+                .cast(_spark_type(f["type"]))
+                .alias(f["name"])
+                for f, s in zip(flds, srcs)
+            ]
+            cols.append(F.lit(seq).cast("long").alias("__seq"))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    empty_ddl = ", ".join(
+        f"`{f['name']}` {_spark_type(f['type'])}" for f in fields
+    )
+    if not data and not deletes:
+        return spark.createDataFrame([], empty_ddl + ", `_change_type` string")
+    if data:
+        d = _union(data, fields)
+    else:
+        d = spark.createDataFrame([], empty_ddl + ", `__seq` bigint")
+    out_cols = [f["name"] for f in fields]
+    if not deletes:
+        return d.select(*out_cols).withColumn("_change_type", F.lit("upsert"))
+    x = _union([(p, s) for p, s, _ in deletes], key_fields)
+    cond = F.col("x.__seq") > F.col("d.__seq")
+    for f in key_fields:
+        cond = cond & F.col(f"d.{f['name']}").eqNullSafe(F.col(f"x.{f['name']}"))
+    surv = d.alias("d").join(x.alias("x"), on=cond, how="left_anti").select(*out_cols)
+    key_names = [f["name"] for f in key_fields]
+    del_keys = (
+        x.select(*key_names)
+        .distinct()
+        .join(surv.select(*key_names), on=key_names, how="left_anti")
+    )
+    payload_nulls = [
+        F.lit(None).cast(_spark_type(f["type"])).alias(f["name"])
+        for f in fields
+        if f["name"] not in key_names
+    ]
+    dels = del_keys.select(*key_names, *payload_nulls).select(*out_cols)
+    return surv.withColumn("_change_type", F.lit("upsert")).unionByName(
+        dels.withColumn("_change_type", F.lit("delete"))
+    )

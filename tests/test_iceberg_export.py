@@ -527,3 +527,79 @@ def test_publish_across_rebucket(spark, tmp_path):
     got = read_iceberg_duckdb(mp).df()
     assert (got["text"] == "post-rebucket").any()
     assert not ((got["conv_id"] == "c2") & (got["turn_idx"] == 2)).any()
+
+
+def test_iceberg_changes_feed_between_versions(spark, tmp_path):
+    """The published Iceberg table is itself an incremental CDC source:
+    the net change between two metadata versions is derived from the
+    artifacts alone (new data files minus strictly-newer range deletes
+    → upserts; changed keys with no survivor → deletes), identically
+    via DuckDB SQL and the Spark reader. A squash in range refuses."""
+    import duckdb as _duck
+
+    from delta_spark.lake.iceberg import (
+        iceberg_changes_sql,
+        publish_iceberg,
+        read_iceberg_changes_spark,
+    )
+
+    t = _mk(spark, str(tmp_path / "t"))
+    ice = str(tmp_path / "ice")
+    publish_iceberg(t.refresh(), ice)  # v1
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("c1", 0, "assistant", "v2", "", TS, "UPDATE", 1000),
+                ("c2", 1, None, None, None, None, "DELETE", 1001),
+                ("c9", 0, "user", "new", "", TS, "INSERT", 1002),
+            ],
+            DDL,
+        ),
+        "w", "b1", mode="mor",
+    )
+    publish_iceberg(t.refresh(), ice)  # v2
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("c1", 0, "assistant", "v3", "", TS, "UPDATE", 2000),
+                ("c9", 0, None, None, None, None, "DELETE", 2001),
+                ("c5", 2, "user", "late", "", TS, "INSERT", 2002),
+            ],
+            DDL,
+        ),
+        "w", "b2", mode="mor",
+    )
+    publish_iceberg(t.refresh(), ice)  # v3
+
+    cols = ["conv_id", "turn_idx", "text", "_change_type"]
+    duck = (
+        _duck.sql(iceberg_changes_sql(ice, 1, 3)).df()[cols]
+        .sort_values(cols[:2]).reset_index(drop=True)
+    )
+    got = {(c, t): (x, ct) for c, t, x, ct in
+           duck.itertuples(index=False, name=None)}
+    assert got == {
+        ("c1", 0): ("v3", "upsert"),          # latest winner, once
+        ("c2", 1): (None, "delete"),
+        ("c5", 2): ("late", "upsert"),
+        ("c9", 0): (None, "delete"),          # created+deleted in range:
+    }                                          # at-least-once tombstone
+    sdf = (
+        read_iceberg_changes_spark(ice, 1, spark, 3).toPandas()[cols]
+        .sort_values(cols[:2]).reset_index(drop=True)
+    )
+    assert duck.astype(str).equals(sdf.astype(str))
+
+    # v2→v3 window: only the second batch's net effect
+    d23 = _duck.sql(iceberg_changes_sql(ice, 2, 3)).df()
+    keys23 = {(r[0], r[1], r[2]) for r in d23[
+        ["conv_id", "turn_idx", "_change_type"]
+    ].itertuples(index=False, name=None)}
+    assert keys23 == {("c1", 0, "upsert"), ("c9", 0, "delete"),
+                      ("c5", 2, "upsert")}
+
+    # squash inside the range must refuse (file diff ≠ change feed)
+    publish_iceberg(t.refresh(), ice, squash=True)  # v4 (replace)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="squash|REPLACE|replace"):
+        iceberg_changes_sql(ice, 1, 4)
