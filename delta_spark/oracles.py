@@ -234,6 +234,50 @@ ALL_ORACLES: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
             AND NOT del
     """,
+    # published-Iceberg change feed v1→v3: per-publish change-key union
+    # (engine read_changes semantics per window) resolved by the FINAL
+    # state — upserts carry the latest winner, deletes NULL payload;
+    # keys never live in any boundary state never enter a delete file
+    "iceberg_changes_feed": """
+        WITH log AS (
+            SELECT 'c' || user_id AS conv_id,
+                   CAST(event_id % 20 AS INT) AS turn_idx,
+                   event_type AS role, props AS text,
+                   event_id AS seq,
+                   (event_type = 'error') AS del
+            FROM events),
+        s0 AS (SELECT * FROM log WHERE seq % 3 = 1
+               QUALIFY row_number() OVER (
+                   PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1),
+        s1 AS (SELECT * FROM log WHERE seq % 3 IN (1, 2)
+               QUALIFY row_number() OVER (
+                   PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1),
+        s2 AS (SELECT * FROM log
+               QUALIFY row_number() OVER (
+                   PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1),
+        k2 AS (
+            SELECT s1.conv_id, s1.turn_idx
+            FROM s1 LEFT JOIN s0
+              ON s1.conv_id = s0.conv_id AND s1.turn_idx = s0.turn_idx
+            WHERE (NOT s1.del AND (s0.conv_id IS NULL OR s0.del))
+               OR (s1.del AND s0.conv_id IS NOT NULL AND NOT s0.del)
+               OR (NOT s1.del AND NOT s0.del AND s1.seq <> s0.seq)),
+        k3 AS (
+            SELECT s2.conv_id, s2.turn_idx
+            FROM s2 LEFT JOIN s1
+              ON s2.conv_id = s1.conv_id AND s2.turn_idx = s1.turn_idx
+            WHERE (NOT s2.del AND (s1.conv_id IS NULL OR s1.del))
+               OR (s2.del AND s1.conv_id IS NOT NULL AND NOT s1.del)
+               OR (NOT s2.del AND NOT s1.del AND s2.seq <> s1.seq)),
+        ks AS (SELECT * FROM k2 UNION SELECT * FROM k3)
+        SELECT k.conv_id, k.turn_idx,
+               CASE WHEN NOT s2.del THEN s2.role END AS role,
+               CASE WHEN NOT s2.del THEN s2.text END AS text,
+               CAST(NULL AS VARCHAR) AS tool,
+               CASE WHEN s2.del THEN 'delete' ELSE 'upsert' END AS _change_type
+        FROM ks k JOIN s2
+          ON k.conv_id = s2.conv_id AND k.turn_idx = s2.turn_idx
+    """,
     # stats-pruned scan: same LWW state, then the two range predicates
     # applied to the LATEST row (tombstones already excluded) — exactly
     # what read(ranges=) computes via file skip + pre/post-fold filters

@@ -1171,6 +1171,54 @@ def iceberg_publish_feed(spark, sf_dir):
     )
 
 
+def iceberg_changes_feed(spark, sf_dir):
+    """Published-Iceberg-as-CDC-source E2E WITH a SQL oracle: the same
+    three-publish chain, then the NET CHANGE between metadata v1 and
+    v3 read from the published artifacts alone
+    (read_iceberg_changes_spark — new data files minus strictly-newer
+    range deletes → upserts with the latest winner exactly once;
+    changed keys with no survivor → deletes, payload NULL). DuckDB
+    reproduces the feed from the raw events via the three window
+    states (the per-publish change union resolved by the final
+    state), hash-checking the artifact-only CDC-out path. ``ts`` is
+    projected out (NULL-timestamp hashing differs per engine; the
+    text/role payload carries the check)."""
+    import tempfile
+
+    from .lake import LakeTable
+    from .lake.iceberg import publish_iceberg, read_iceberg_changes_spark
+    from .schema import TRANSCRIPT_SCHEMA
+
+    d = tempfile.mkdtemp(prefix="iceberg_chfeed_")
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.select(
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.col("event_id").cast("long").alias("seq"),
+    )
+    t = LakeTable.create(
+        spark, f"{d}/tbl", TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        "conv_id", 8,
+    )
+    ice = f"{d}/ice"
+    t.merge(batch.filter(F.col("seq") % 3 == 1), "w", "b0")
+    publish_iceberg(t.refresh(), ice)
+    t.merge(batch.filter(F.col("seq") % 3 == 2), "w", "b1", mode="mor")
+    publish_iceberg(t.refresh(), ice)
+    t.merge(batch.filter(F.col("seq") % 3 == 0), "w", "b2", mode="mor")
+    publish_iceberg(t.refresh(), ice)
+    return read_iceberg_changes_spark(ice, 1, spark, 3).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "_change_type"
+    )
+
+
 ALL_QUERIES = {
     "changelog_scan_filter": changelog_scan_filter,
     "lww_latest_state": lww_latest_state,
@@ -1214,6 +1262,7 @@ ALL_QUERIES = {
     "table_changes_feed": table_changes_feed,
     "iceberg_export_read": iceberg_export_read,
     "iceberg_publish_feed": iceberg_publish_feed,
+    "iceberg_changes_feed": iceberg_changes_feed,
     "media_features": media_features,
     "media_frame_plan": media_frame_plan,
 }
