@@ -1240,3 +1240,94 @@ def read_iceberg_changes_spark(
     return surv.withColumn("_change_type", F.lit("upsert")).unionByName(
         dels.withColumn("_change_type", F.lit("delete"))
     )
+
+
+# ------------------------------------------------------ maintenance
+
+
+def expire_iceberg(
+    dest: str,
+    keep_last_versions: int = 10,
+    orphan_age_s: float = 3600.0,
+    dry_run: bool = False,
+) -> dict:
+    """Lifecycle maintenance for a published destination, mirroring the
+    lake's expire_snapshots + remove_orphans:
+
+      * retire metadata versions older than the newest
+        ``keep_last_versions`` (their snapshots stop being
+        time-travelable; the CURRENT version chain is untouched);
+      * delete ``data/`` and ``metadata/`` files REFERENCED BY NO
+        retained metadata version (crashed-publish leftovers — files
+        written before the metadata claim — and files only older
+        versions referenced), but only when older than
+        ``orphan_age_s`` so an in-flight publish's fresh files are
+        never swept.
+
+    Returns counts; ``dry_run`` reports without deleting. Safe under
+    the publish protocol: a publisher writes data files first and
+    claims the metadata version LAST, so anything unreferenced and old
+    is garbage by construction."""
+    meta_dir = os.path.join(dest, "metadata")
+    data_dir = os.path.join(dest, "data")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        cur_v = int(f.read().strip())
+    versions = sorted(
+        int(p[1:-len(".metadata.json")])
+        for p in os.listdir(meta_dir)
+        if p.startswith("v") and p.endswith(".metadata.json")
+    )
+    keep = [v for v in versions if v > cur_v - keep_last_versions]
+    if cur_v not in keep:
+        keep.append(cur_v)
+    drop = [v for v in versions if v not in keep]
+
+    referenced: set[str] = set()
+    for v in keep:
+        md_path = os.path.join(meta_dir, f"v{v}.metadata.json")
+        referenced.add(os.path.abspath(md_path))
+        with open(md_path) as f:
+            md = json.load(f)
+        for s in md["snapshots"]:
+            lp = _strip_uri(s["manifest-list"])
+            referenced.add(os.path.abspath(lp))
+            if not os.path.exists(lp):
+                continue
+            _, manifests = read_ocf(lp)
+            for m in manifests:
+                mp = _strip_uri(m["manifest_path"])
+                referenced.add(os.path.abspath(mp))
+                if not os.path.exists(mp):
+                    continue
+                _, entries = read_ocf(mp)
+                for e in entries:
+                    referenced.add(
+                        os.path.abspath(_strip_uri(e["data_file"]["file_path"]))
+                    )
+
+    now = time.time()
+    removed_files, expired = 0, []
+    for root in (data_dir, meta_dir):
+        if not os.path.isdir(root):
+            continue
+        for p in os.listdir(root):
+            full = os.path.abspath(os.path.join(root, p))
+            if p == "version-hint.text" or full in referenced:
+                continue
+            try:
+                if now - os.path.getmtime(full) < orphan_age_s:
+                    continue
+            except OSError:
+                continue
+            removed_files += 1
+            if p.endswith(".metadata.json"):
+                expired.append(int(p[1:-len(".metadata.json")]))
+            if not dry_run:
+                os.remove(full)
+    return {
+        "current_version": cur_v,
+        "retained_versions": keep,
+        "expired_versions": sorted(expired),
+        "removed_files": removed_files,
+        "dry_run": dry_run,
+    }

@@ -63,10 +63,17 @@ def maintain(
     # and publishing first keeps the downstream Iceberg view caught up
     # before snapshots are retired
     if publish_iceberg_dest:
-        from delta_spark.lake.iceberg import publish_iceberg
+        from delta_spark.lake.iceberg import expire_iceberg, publish_iceberg
 
         out["published_iceberg_metadata"] = publish_iceberg(
             t.refresh(), publish_iceberg_dest
+        )
+        # destination lifecycle: retire old metadata versions and sweep
+        # crashed-publish leftovers (same knobs as the lake's own expiry)
+        out["iceberg_expire"] = expire_iceberg(
+            publish_iceberg_dest,
+            keep_last_versions=max(1, expire_keep_last),
+            orphan_age_s=orphan_age_s,
         )
     if compact_pressure >= 0:
         out["compacted_buckets"] = t.compact(max_files_per_bucket=compact_pressure)

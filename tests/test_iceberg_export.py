@@ -603,3 +603,58 @@ def test_iceberg_changes_feed_between_versions(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError, match="squash|REPLACE|replace"):
         iceberg_changes_sql(ice, 1, 4)
+
+
+def test_expire_iceberg_versions_and_orphans(spark, tmp_path):
+    """Published-destination lifecycle: crashed-publish leftovers (data
+    files written before the metadata claim) and files referenced only
+    by retired metadata versions are swept once old enough; every
+    retained version keeps reading; fresh files are never touched."""
+    from delta_spark.lake.iceberg import expire_iceberg, publish_iceberg
+
+    t = _mk(spark, str(tmp_path / "t"))
+    ice = str(tmp_path / "ice")
+    publish_iceberg(t.refresh(), ice)
+    for i in range(3):
+        t.merge(
+            spark.createDataFrame(
+                [(f"c{i}", 1, "assistant", f"x{i}", "", TS, "UPDATE", 6000 + i)],
+                DDL,
+            ),
+            "w", f"ex{i}", mode="mor",
+        )
+        t = t.refresh()
+        mp = publish_iceberg(t, ice)
+
+    # a crashed publish: data file on disk, never claimed by metadata
+    orphan = os.path.join(ice, "data", "w9999-crashed.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    old = __import__("time").time() - 7200
+    os.utime(orphan, (old, old))
+
+    # fresh orphan must survive an aged sweep
+    fresh = os.path.join(ice, "data", "w9998-inflight.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"in-flight")
+
+    rep = expire_iceberg(ice, keep_last_versions=2, orphan_age_s=3600)
+    assert not os.path.exists(orphan)
+    assert os.path.exists(fresh)
+    assert rep["removed_files"] >= 1
+    # v4 (current) and v3 retained and still reading; the only possibly
+    # expired METADATA files are v1/v2 (age-gated, so may remain today)
+    for v in rep["retained_versions"]:
+        p = os.path.join(ice, "metadata", f"v{v}.metadata.json")
+        assert os.path.exists(p)
+    _rows_equal(t.read(), read_iceberg_duckdb(mp))
+
+    # age out everything unreferenced: v1/v2 chains disappear, current
+    # chain still intact
+    rep2 = expire_iceberg(ice, keep_last_versions=2, orphan_age_s=0.0)
+    assert set(rep2["expired_versions"]) == {1, 2}
+    assert not os.path.exists(
+        os.path.join(ice, "metadata", "v1.metadata.json")
+    )
+    _rows_equal(t.read(), read_iceberg_duckdb(mp))
+    assert not os.path.exists(fresh)  # age 0 sweeps it too
