@@ -103,14 +103,64 @@ def consume_once(spark, table_path: str, out_dir: str, offset_file: str) -> int:
     return n
 
 
+def consume_iceberg_once(spark, dest: str, out_dir: str, offset_file: str) -> int:
+    """Same exactly-once consumer against a PUBLISHED Iceberg
+    destination — the consumer needs NO access to the lake table, only
+    the standard Iceberg artifacts. Offset = last consumed metadata
+    version. A squash (REPLACE) snapshot inside the range makes the
+    file diff meaningless, so the consumer REBOOTSTRAPS: drops the
+    feed and restarts from the full state at the current version
+    (all-upserts bootstrap partition), exactly like an expired lake
+    offset above."""
+    from delta_spark.lake.iceberg import (
+        read_iceberg_changes_spark,
+        read_iceberg_spark,
+    )
+
+    with open(os.path.join(dest, "metadata", "version-hint.text")) as f:
+        cur = int(f.read().strip())
+    last = _read_offset(offset_file)
+    if cur == last:
+        return 0
+    _drop_stale_partials(out_dir, last)
+    changes = None
+    if last is not None and last < cur:
+        try:
+            changes = read_iceberg_changes_spark(dest, last, spark, cur)
+        except NotImplementedError:
+            changes = None  # squash in range → rebootstrap below
+    if changes is None:
+        from pyspark.sql import functions as F
+
+        _drop_stale_partials(out_dir, None)
+        mp = os.path.join(dest, "metadata", f"v{cur}.metadata.json")
+        changes = read_iceberg_spark(mp, spark).withColumn(
+            "_change_type", F.lit("upsert")
+        )
+    n = changes.count()
+    if n:
+        (
+            changes.write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"to_snapshot={cur}"))
+        )
+    _write_offset(offset_file, cur)
+    return n
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--table", required=True)
+    ap.add_argument("--table", required=False, default=None,
+                    help="lake table root (lake-side feed)")
+    ap.add_argument("--iceberg", required=False, default=None, metavar="DEST",
+                    help="published Iceberg destination (artifact-only "
+                    "feed; no lake access needed)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--offset-file", default=None)
     ap.add_argument("--poll-interval", type=float, default=30.0)
     ap.add_argument("--once", action="store_true")
     args = ap.parse_args()
+    if bool(args.table) == bool(args.iceberg):
+        ap.error("exactly one of --table / --iceberg is required")
 
     from delta_spark.session import build_session
 
@@ -118,7 +168,10 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     offset_file = args.offset_file or os.path.join(args.out, "_consumer_offset.json")
     while True:
-        n = consume_once(spark, args.table, args.out, offset_file)
+        if args.iceberg:
+            n = consume_iceberg_once(spark, args.iceberg, args.out, offset_file)
+        else:
+            n = consume_once(spark, args.table, args.out, offset_file)
         if n:
             print(f"processed {n} change rows -> {args.out}")
         if args.once:

@@ -131,3 +131,58 @@ def test_consumer_expired_offset_rebootstraps(spark, tmp_path):
     assert feed.count() == 4  # old partitions wiped — c1 not exposed
     assert set(r["conv_id"] for r in feed.collect()) == {"c0", "c2", "c3", "c4"}
     assert cc.consume_once(spark, t.path, out, off) == 0
+
+
+def test_consumer_iceberg_mode_exactly_once_and_squash_rebootstrap(spark, tmp_path):
+    """--iceberg mode: the consumer tracks published metadata versions
+    and needs no lake access; increments land exactly once; a squash in
+    range triggers a full rebootstrap (feed dropped, all-upserts
+    bootstrap partition), never a wrong diff."""
+    from delta_spark.lake.iceberg import publish_iceberg
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        "conv_id", 4,
+    )
+    ice = str(tmp_path / "ice")
+    out = str(tmp_path / "cdc")
+    os.makedirs(out, exist_ok=True)
+    off = os.path.join(out, "_consumer_offset.json")
+
+    rows = [(f"c{i}", 0, "user", f"v1 {i}", "", TS, "INSERT", i + 1) for i in range(6)]
+    t.merge(spark.createDataFrame(rows, DDL), "w", "b0")
+    publish_iceberg(t.refresh(), ice)  # v1
+
+    n1 = cc.consume_iceberg_once(spark, ice, out, off)
+    assert n1 == 6  # bootstrap: full state as upserts
+    assert cc.consume_iceberg_once(spark, ice, out, off) == 0  # caught up
+
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 0, "assistant", "v2", "", TS, "UPDATE", 100),
+             ("c2", 0, None, None, None, None, "DELETE", 101)], DDL
+        ),
+        "w", "b1", mode="mor",
+    )
+    publish_iceberg(t.refresh(), ice)  # v2
+    n2 = cc.consume_iceberg_once(spark, ice, out, off)
+    assert n2 == 2
+    got = spark.read.parquet(os.path.join(out, "to_snapshot=2"))
+    types = {(r["conv_id"], r["_change_type"]) for r in got.collect()}
+    assert types == {("c1", "upsert"), ("c2", "delete")}
+
+    # squash, then another change → the next consume must rebootstrap
+    publish_iceberg(t.refresh(), ice, squash=True)  # v3 (replace)
+    t.merge(
+        spark.createDataFrame(
+            [("c3", 0, "assistant", "v3", "", TS, "UPDATE", 200)], DDL
+        ),
+        "w", "b2", mode="mor",
+    )
+    publish_iceberg(t.refresh(), ice)  # v4
+    n4 = cc.consume_iceberg_once(spark, ice, out, off)
+    live = t.refresh().read().count()
+    assert n4 == live  # full-state bootstrap row count
+    assert not os.path.exists(os.path.join(out, "to_snapshot=2"))  # feed dropped
+    boot = spark.read.parquet(os.path.join(out, "to_snapshot=4"))
+    assert boot.filter("_change_type <> 'upsert'").count() == 0
