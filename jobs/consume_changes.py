@@ -129,6 +129,8 @@ def consume_iceberg_once(spark, dest: str, out_dir: str, offset_file: str) -> in
             changes = read_iceberg_changes_spark(dest, last, spark, cur)
         except NotImplementedError:
             changes = None  # squash in range → rebootstrap below
+        except FileNotFoundError:
+            changes = None  # offset version expired → rebootstrap below
     if changes is None:
         from pyspark.sql import functions as F
 
