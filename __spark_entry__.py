@@ -8,9 +8,11 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 Engine: ``delta_spark`` — a PySpark-native CDC/incremental-ingest
 engine (see SURVEY.md §2 and delta_spark/__init__.py). Queries cover
 the CDC operator surface (scan/filter, LWW dedup, MERGE emulation,
-delete apply, metrics, sessionization), relational breadth, and the
-training-data-pipeline library (dedup, similarity search, text
-analysis, multimodal stubs).
+delete apply, metrics, sessionization), relational breadth, the
+Iceberg publish/consume chain (export, continuous publish, artifact
+-only change feed), and the training-data-pipeline library (dedup,
+similarity search, text analysis, PII scrub, chunking, real media
+codecs).
 """
 
 from __future__ import annotations
