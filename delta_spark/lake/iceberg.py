@@ -1250,28 +1250,72 @@ def expire_iceberg(
     keep_last_versions: int = 10,
     orphan_age_s: float = 3600.0,
     dry_run: bool = False,
+    keep_last_snapshots: int = 50,
 ) -> dict:
     """Lifecycle maintenance for a published destination, mirroring the
-    lake's expire_snapshots + remove_orphans:
+    lake's expire_snapshots + remove_orphans (and Iceberg's own
+    expireSnapshots, which REWRITES metadata):
 
+      * prune the CURRENT metadata's snapshot list to the newest
+        ``keep_last_snapshots`` entries (a continuous publisher appends
+        one per micro-batch forever; without pruning, every historical
+        manifest stays reachable from the current version and no
+        superseded data file can ever be reclaimed) — written as a new
+        metadata version through the same ``open(x)`` claim publishers
+        use;
       * retire metadata versions older than the newest
         ``keep_last_versions`` (their snapshots stop being
-        time-travelable; the CURRENT version chain is untouched);
+        time-travelable);
       * delete ``data/`` and ``metadata/`` files REFERENCED BY NO
         retained metadata version (crashed-publish leftovers — files
-        written before the metadata claim — and files only older
-        versions referenced), but only when older than
-        ``orphan_age_s`` so an in-flight publish's fresh files are
-        never swept.
+        written before the metadata claim — and files only retired
+        versions or pruned snapshots referenced), but only when older
+        than ``orphan_age_s`` so an in-flight publish's fresh files
+        are never swept.
 
-    Returns counts; ``dry_run`` reports without deleting. Safe under
-    the publish protocol: a publisher writes data files first and
-    claims the metadata version LAST, so anything unreferenced and old
-    is garbage by construction."""
+    Returns counts; ``dry_run`` reports without deleting or pruning.
+    Safe under the publish protocol: a publisher writes data files
+    first and claims the metadata version LAST, so anything
+    unreferenced and old is garbage by construction."""
     meta_dir = os.path.join(dest, "metadata")
     data_dir = os.path.join(dest, "data")
     with open(os.path.join(meta_dir, "version-hint.text")) as f:
         cur_v = int(f.read().strip())
+
+    pruned_snapshots = 0
+    if keep_last_snapshots and not dry_run:
+        cur_path = os.path.join(meta_dir, f"v{cur_v}.metadata.json")
+        with open(cur_path) as f:
+            md = json.load(f)
+        if len(md["snapshots"]) > keep_last_snapshots:
+            snaps = md["snapshots"][-keep_last_snapshots:]
+            kept_ids = {s["snapshot-id"] for s in snaps}
+            assert md["current-snapshot-id"] in kept_ids
+            pruned_snapshots = len(md["snapshots"]) - len(snaps)
+            now_ms = int(time.time() * 1000)
+            new_md = {
+                **md,
+                "snapshots": snaps,
+                "snapshot-log": [
+                    e
+                    for e in md["snapshot-log"]
+                    if e["snapshot-id"] in kept_ids
+                ],
+                "last-updated-ms": now_ms,
+                "metadata-log": md["metadata-log"]
+                + [
+                    {
+                        "timestamp-ms": md["last-updated-ms"],
+                        "metadata-file": _uri(cur_path),
+                    }
+                ],
+            }
+            new_path = os.path.join(meta_dir, f"v{cur_v + 1}.metadata.json")
+            with open(new_path, "x") as f:  # same claim publishers use
+                json.dump(new_md, f, indent=2)
+            with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+                f.write(str(cur_v + 1))
+            cur_v += 1
     versions = sorted(
         int(p[1:-len(".metadata.json")])
         for p in os.listdir(meta_dir)
@@ -1329,5 +1373,6 @@ def expire_iceberg(
         "retained_versions": keep,
         "expired_versions": sorted(expired),
         "removed_files": removed_files,
+        "pruned_snapshots": pruned_snapshots,
         "dry_run": dry_run,
     }

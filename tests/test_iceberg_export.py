@@ -658,3 +658,57 @@ def test_expire_iceberg_versions_and_orphans(spark, tmp_path):
     )
     _rows_equal(t.read(), read_iceberg_duckdb(mp))
     assert not os.path.exists(fresh)  # age 0 sweeps it too
+
+
+def test_expire_prunes_snapshots_and_reclaims_superseded_files(spark, tmp_path):
+    """A continuous publisher appends one snapshot per micro-batch
+    forever; expire must PRUNE the current metadata's snapshot list
+    (new metadata version, same claim protocol) or superseded data
+    files stay reachable from the current version and are never
+    reclaimed. After squash + prune + retire + age-0 sweep, the
+    pre-squash incremental files are gone from disk and the current
+    read is unchanged."""
+    from delta_spark.lake.iceberg import expire_iceberg, publish_iceberg
+
+    t = _mk(spark, str(tmp_path / "t"))
+    ice = str(tmp_path / "ice")
+    publish_iceberg(t.refresh(), ice)
+    for i in range(4):
+        t.merge(
+            spark.createDataFrame(
+                [(f"c{i}", 0, "assistant", f"p{i}", "", TS, "UPDATE", 9100 + i)],
+                DDL,
+            ),
+            "w", f"pr{i}", mode="mor",
+        )
+        t = t.refresh()
+        publish_iceberg(t, ice)
+    data_dir = os.path.join(ice, "data")
+    incr_files = {p for p in os.listdir(data_dir) if p.startswith(("w000", "ed00"))}
+    assert incr_files  # superseded incremental winners/deletes exist
+
+    publish_iceberg(t, ice, squash=True)  # current state now self-contained
+    rep = expire_iceberg(
+        ice, keep_last_versions=1, orphan_age_s=0.0, keep_last_snapshots=1
+    )
+    assert rep["pruned_snapshots"] >= 4
+    with open(os.path.join(ice, "metadata", "version-hint.text")) as f:
+        v = int(f.read().strip())
+    mp = os.path.join(ice, "metadata", f"v{v}.metadata.json")
+    with open(mp) as f:
+        md = json.load(f)
+    assert len(md["snapshots"]) == 1
+    # the superseded incremental files are actually reclaimed
+    left = {p for p in os.listdir(data_dir) if p in incr_files}
+    assert not left, left
+    _rows_equal(t.read(), read_iceberg_duckdb(mp))
+    # and publishing continues cleanly after the prune
+    t.merge(
+        spark.createDataFrame(
+            [("c5", 0, "assistant", "after", "", TS, "UPDATE", 9900)], DDL
+        ),
+        "w", "pr9", mode="mor",
+    )
+    t = t.refresh()
+    mp2 = publish_iceberg(t, ice)
+    _rows_equal(t.read(), read_iceberg_duckdb(mp2))
