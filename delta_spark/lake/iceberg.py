@@ -240,6 +240,11 @@ def _parquet_meta(path: str) -> tuple[int, int]:
 
 
 def _link_or_copy(src: str, dst: str) -> None:
+    # dst may exist from a CRASHED prior attempt (files are written
+    # before the metadata claim); names are deterministic and content
+    # comes from the same source, so replacing is always safe
+    if os.path.exists(dst):
+        os.remove(dst)
     try:
         os.link(src, dst)
     except OSError:
@@ -469,9 +474,11 @@ def _full_state_files(
             winners = state.join(s_df, keys, "left_semi")
             live = winners.filter(~F.col("_deleted")).select(*payload)
             win_tmp = os.path.join(dest, f"_win_tmp_{prefix.strip('-') or 'x'}")
+            shutil.rmtree(win_tmp, ignore_errors=True)  # crashed attempt
             live.coalesce(max(1, min(8, n_s // 500_000 + 1))).write.parquet(win_tmp)
             winners_files = _collect_parquet_dir(win_tmp, data_dir, f"{prefix}w")
             del_tmp = os.path.join(dest, f"_del_tmp_{prefix.strip('-') or 'x'}")
+            shutil.rmtree(del_tmp, ignore_errors=True)
             s_df.coalesce(max(1, min(8, n_s // 2_000_000 + 1))).write.parquet(del_tmp)
             delete_files = _collect_parquet_dir(del_tmp, data_dir, f"{prefix}ed")
 
@@ -733,10 +740,12 @@ def publish_iceberg(
         if n_ch:
             live = ch.filter(F.col("_change_type") != "delete").select(*payload)
             win_tmp = os.path.join(dest, f"_win_tmp_{seq}")
+            shutil.rmtree(win_tmp, ignore_errors=True)  # crashed attempt
             live.coalesce(max(1, min(8, n_ch // 500_000 + 1))).write.parquet(win_tmp)
             winners_files = _collect_parquet_dir(win_tmp, data_dir, f"w{seq:04d}-")
             dels = ch.select(*keys)
             del_tmp = os.path.join(dest, f"_del_tmp_{seq}")
+            shutil.rmtree(del_tmp, ignore_errors=True)
             dels.coalesce(max(1, min(8, n_ch // 2_000_000 + 1))).write.parquet(del_tmp)
             delete_files = _collect_parquet_dir(del_tmp, data_dir, f"ed{seq:04d}-")
 

@@ -712,3 +712,37 @@ def test_expire_prunes_snapshots_and_reclaims_superseded_files(spark, tmp_path):
     t = t.refresh()
     mp2 = publish_iceberg(t, ice)
     _rows_equal(t.read(), read_iceberg_duckdb(mp2))
+
+
+def test_publish_crash_retry_over_leftovers(spark, tmp_path):
+    """A publisher that crashed AFTER writing data files / tmp dirs but
+    BEFORE the metadata claim leaves leftovers with deterministic
+    names; the retry must overwrite them and succeed (the metadata
+    claim, not the file writes, is the commit point)."""
+    from delta_spark.lake.iceberg import publish_iceberg
+
+    t = _mk(spark, str(tmp_path / "t"))
+    ice = str(tmp_path / "ice")
+    publish_iceberg(t.refresh(), ice)
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 0, "assistant", "v2", "", TS, "UPDATE", 1000)], DDL
+        ),
+        "w", "cr1", mode="mor",
+    )
+    t = t.refresh()
+    # simulate the crashed attempt: stale tmp dir + a stale squash link
+    os.makedirs(os.path.join(ice, "_win_tmp_2"))
+    with open(os.path.join(ice, "_win_tmp_2", "part-junk.parquet"), "wb") as f:
+        f.write(b"junk")
+    base0 = t.current_snapshot["files"][0]["path"]
+    stale = os.path.join(
+        ice, "data", f"s0002-b00000-{os.path.basename(base0)}"
+    )
+    with open(stale, "wb") as f:
+        f.write(b"stale-halfway")
+
+    mp = publish_iceberg(t, ice)  # incremental retry over tmp leftover
+    _rows_equal(t.read(), read_iceberg_duckdb(mp))
+    mp2 = publish_iceberg(t.refresh(), ice, squash=True)  # over stale link
+    _rows_equal(t.read(), read_iceberg_duckdb(mp2))
