@@ -746,3 +746,52 @@ def test_publish_crash_retry_over_leftovers(spark, tmp_path):
     _rows_equal(t.read(), read_iceberg_duckdb(mp))
     mp2 = publish_iceberg(t.refresh(), ice, squash=True)  # over stale link
     _rows_equal(t.read(), read_iceberg_duckdb(mp2))
+
+
+def test_changes_feed_across_rename_in_range(spark, tmp_path):
+    """A RENAME between publishes inside the feed range: files written
+    pre-rename resolve through the name mapping; the feed speaks the
+    TO version's (current) column names."""
+    import duckdb as _duck
+
+    from delta_spark.lake.iceberg import (
+        iceberg_changes_sql,
+        publish_iceberg,
+        read_iceberg_changes_spark,
+    )
+
+    t = _mk(spark, str(tmp_path / "t"))
+    ice = str(tmp_path / "ice")
+    publish_iceberg(t.refresh(), ice)  # v1
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 0, "assistant", "pre-rename", "", TS, "UPDATE", 1000)], DDL
+        ),
+        "w", "r1", mode="mor",
+    )
+    publish_iceberg(t.refresh(), ice)  # v2 (data file has OLD name)
+    t.apply_ddl(
+        {"op": "RENAME_COLUMN", "column": "conv_id", "new_name": "conversation_id"}
+    )
+    t = t.refresh()
+    t.merge(
+        spark.createDataFrame(
+            [("c2", 0, "assistant", "post-rename", "", TS, "UPDATE", 2000)],
+            DDL.replace("conv_id", "conversation_id"),
+        ),
+        "w", "r2", mode="mor",
+    )
+    t = t.refresh()
+    publish_iceberg(t, ice)  # v3 (new schema-id)
+
+    duck = _duck.sql(iceberg_changes_sql(ice, 1, 3)).df()
+    assert "conversation_id" in duck.columns  # TO-version names
+    got = {(r[0], r[1]): r[2] for r in duck[
+        ["conversation_id", "turn_idx", "text"]
+    ].itertuples(index=False, name=None)}
+    assert got == {("c1", 0): "pre-rename", ("c2", 0): "post-rename"}
+    sdf = read_iceberg_changes_spark(ice, 1, spark, 3).toPandas()
+    assert sorted(sdf.columns) == sorted(duck.columns)
+    got_s = {(r["conversation_id"], r["turn_idx"]): r["text"]
+             for _i, r in sdf.iterrows()}
+    assert got_s == got
