@@ -55,6 +55,28 @@ def brute_force_topk(
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 
+def _table_signatures(
+    vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int
+) -> Column:
+    """array of ``n_tables`` independent random-hyperplane sign
+    signatures (each ``n_planes`` bits) for one vector — the
+    multi-table LSH construction ``lsh_topk`` documents, reused for
+    within-cell sub-blocking."""
+    sigs = []
+    for t in range(n_tables):
+        sig = F.lit(0)
+        for i in range(n_planes):
+            plane = F.array(
+                *[F.lit(x) for x in _pseudo_plane(dim, t * 1000 + i, seed)]
+            )
+            sig = sig + F.when(
+                dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        # long, not int: recursive refinement appends bits per level
+        sigs.append(sig.cast("long"))
+    return F.array(*sigs)
+
+
 def pairwise_topk_within(
     df: DataFrame,
     partition_col: str,
@@ -64,58 +86,171 @@ def pairwise_topk_within(
     round_digits: int = 4,
     max_cell_rows: int | None = None,
     sim_expr=None,
+    subblock_tables: int = 8,
+    subblock_seed: int = 7,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within a coarse partition
     (label/IVF cell): equi-join on the partition column bounds the
     quadratic blow-up to cell size.
 
-    ``max_cell_rows`` caps that bound at scale: cells larger than the
-    cap are EXCLUDED from pairing (a 10M-row cell is 10^14 pairs — it
-    needs sub-blocking, e.g. LSH within the cell, not brute force).
-    Excluded cells are logged, never silently dropped.
+    ``max_cell_rows`` caps that bound at scale. Cells within the cap
+    pair EXACTLY (the oracle-checked path). Cells over the cap are
+    SUB-BLOCKED instead of brute-forced (a 10M-row cell is 10^14
+    pairs): ``subblock_tables`` independent random-hyperplane LSH
+    signatures split each oversized cell into sub-buckets sized below
+    the cap, pairs are scored within (cell, table, sub-bucket) — one
+    posexplode + ONE self-join, never all-pairs — and deduped across
+    tables. Near-identical pairs (the ≥0.99-cosine regime this
+    operator targets) land in the same sub-bucket in at least one
+    table with probability ≈ 1-(1-p^m)^L, p = 1-θ/π — miss rate
+    ~1e-3 at θ≈0.14 rad with the defaults — so the oversized path is
+    high-recall approximate, not silently empty. A sub-bucket that
+    STILL exceeds the cap (a mass of bit-identical vectors that no
+    hyperplane can split — run exact dedup first) is excluded loudly.
 
     ``sim_expr`` overrides the similarity expression (two array
     columns → score column) — e.g. a decimal-math cosine whose
     rounding is bit-exact against a SQL oracle."""
-    if max_cell_rows is not None:
-        sizes = df.groupBy(partition_col).count()
-        big = sizes.filter(F.col("count") > max_cell_rows)
-        n_big = big.count()
-        if n_big:
-            import logging
-
-            logging.getLogger("delta_spark.similarity").warning(
-                "pairwise_topk_within: %d cell(s) exceed max_cell_rows=%d "
-                "and are excluded from pairing (sub-block them instead)",
-                n_big, max_cell_rows,
-            )
-        df = df.join(
-            sizes.filter(F.col("count") <= max_cell_rows).select(partition_col),
-            partition_col,
-            "left_semi",
-        )
-    a = df.select(
-        F.col(partition_col).alias("p"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-    )
-    b = df.select(
-        F.col(partition_col).alias("p"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-    )
-    sim = (
-        sim_expr(F.col("va"), F.col("vb"))
+    sim_of = (
+        sim_expr
         if sim_expr is not None
-        else F.round(cosine(F.col("va"), F.col("vb")), round_digits)
+        else lambda va, vb: F.round(cosine(va, vb), round_digits)
     )
-    return (
-        a.join(b, ["p"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", sim)
-        .filter(F.col("sim") >= threshold)
-        .select(F.col("p").alias(partition_col), "id_a", "id_b", "sim")
+
+    def _pairs(d: DataFrame, keys: list[str]) -> DataFrame:
+        a = d.select(
+            *keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        )
+        b = d.select(
+            *keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        )
+        return (
+            a.join(b, keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("sim", sim_of(F.col("va"), F.col("vb")))
+            .filter(F.col("sim") >= threshold)
+            .select(partition_col, "id_a", "id_b", "sim")
+        )
+
+    if max_cell_rows is None:
+        return _pairs(df, [partition_col])
+
+    sizes = df.groupBy(partition_col).count()
+    stat = sizes.agg(
+        F.max(F.when(F.col("count") > max_cell_rows, F.col("count"))).alias("mx"),
+        F.sum(
+            F.when(F.col("count") > max_cell_rows, 1).otherwise(0)
+        ).alias("nbig"),
+    ).first()
+    small = df.join(
+        sizes.filter(F.col("count") <= max_cell_rows).select(partition_col),
+        partition_col,
+        "left_semi",
     )
+    out = _pairs(small, [partition_col])
+    if not stat["nbig"]:
+        return out
+
+    import logging
+    import math
+
+    # enough planes that an expected random sub-bucket lands under the
+    # cap with 2x headroom; driver-side scalars only (O(cells) agg)
+    n_planes = max(1, math.ceil(math.log2(stat["mx"] / max_cell_rows)) + 1)
+    logging.getLogger("delta_spark.similarity").info(
+        "pairwise_topk_within: sub-blocking %d oversized cell(s) "
+        "(max %d rows > cap %d) with %d LSH tables x %d planes",
+        stat["nbig"], stat["mx"], max_cell_rows, subblock_tables, n_planes,
+    )
+    big = df.join(
+        sizes.filter(F.col("count") > max_cell_rows).select(partition_col),
+        partition_col,
+        "left_semi",
+    )
+    bigx = _subblock(
+        big, partition_col, id_col, vec_col, max_cell_rows,
+        n_planes=n_planes, n_tables=subblock_tables, seed=subblock_seed,
+    )
+    # sim is deterministic per pair, so distinct over all 4 columns
+    # dedups the cross-table repeats without a second aggregation
+    big_pairs = _pairs(bigx, [partition_col, "__sb_tbl", "__sb"]).distinct()
+    return out.unionByName(big_pairs)
+
+
+def _subblock(
+    big: DataFrame,
+    partition_col: str,
+    id_col: str,
+    vec_col: str,
+    max_cell_rows: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    max_depth: int = 3,
+) -> DataFrame:
+    """LSH sub-blocking for oversized cells, RECURSIVE: rows get a
+    per-table sign signature ``__sb``; any (cell, table, sub-bucket)
+    group still over the cap is re-split with ``n_planes`` FRESH
+    hyperplanes appended to its signature (seed offset per level), up
+    to ``max_depth`` refinements. Groups that survive every level
+    (bit-identical vector mass no hyperplane can split — run exact
+    dedup first) are excluded LOUDLY. Each level costs one O(rows)
+    aggregation; the group-size check is the same grouping the pair
+    join uses, so a bound proven here bounds the join itself."""
+    import logging
+
+    dim = big.select(F.size(vec_col)).first()[0]
+    keys = [partition_col, "__sb_tbl", "__sb"]
+    bigx = big.select(
+        partition_col,
+        id_col,
+        vec_col,
+        F.posexplode(
+            _table_signatures(vec_col, dim, n_planes, n_tables, seed)
+        ).alias("__sb_tbl", "__sb"),
+    )
+    for depth in range(1, max_depth + 1):
+        sub_sizes = bigx.groupBy(*keys).count()
+        stuck = sub_sizes.filter(F.col("count") > max_cell_rows)
+        n_stuck = stuck.count()
+        if not n_stuck:
+            return bigx
+        logging.getLogger("delta_spark.similarity").info(
+            "pairwise_topk_within: %d sub-bucket(s) over cap %d at "
+            "level %d — re-splitting with %d fresh planes",
+            n_stuck, max_cell_rows, depth, n_planes,
+        )
+        ok = bigx.join(
+            sub_sizes.filter(F.col("count") <= max_cell_rows).select(*keys),
+            keys, "left_semi",
+        )
+        redo = bigx.join(stuck.select(*keys), keys, "left_semi")
+        extra = F.element_at(
+            _table_signatures(
+                vec_col, dim, n_planes, n_tables, seed + depth * 7919
+            ),
+            F.col("__sb_tbl") + 1,
+        )
+        redo = redo.withColumn(
+            "__sb",
+            F.shiftleft(F.col("__sb"), n_planes) + extra,
+        )
+        bigx = ok.unionByName(redo).localCheckpoint(eager=False)
+    sub_sizes = bigx.groupBy(*keys).count()
+    n_stuck = sub_sizes.filter(F.col("count") > max_cell_rows).count()
+    if n_stuck:
+        logging.getLogger("delta_spark.similarity").warning(
+            "pairwise_topk_within: %d sub-bucket(s) still exceed "
+            "max_cell_rows=%d after %d LSH refinement levels "
+            "(unsplittable duplicate mass — run exact dedup first); "
+            "excluded",
+            n_stuck, max_cell_rows, max_depth,
+        )
+        bigx = bigx.join(
+            sub_sizes.filter(F.col("count") <= max_cell_rows).select(*keys),
+            keys, "left_semi",
+        )
+    return bigx
 
 
 def _pseudo_plane(dim: int, plane_idx: int, seed: int = 7) -> list[float]:
