@@ -74,6 +74,7 @@ def _fused_mor_apply(
     per_table_columns: dict | None,
     sort_key_col,
     lineage: bool = True,
+    per_table_transforms: dict | None = None,
 ) -> dict[str, list[ApplyStats]] | None:
     """Single-pass multi-table demux — the steady-state streaming fast
     path. Jobs per epoch are INDEPENDENT of table count: ONE fused
@@ -87,13 +88,23 @@ def _fused_mor_apply(
     keeps it two jobs.
 
     Preconditions (caller falls back to the per-table loop otherwise):
-    no table/database DDL rows for these tables in the batch, no
-    per-table python transforms, and every table already has data
-    (merge-on-read steady state). Column-level DDL is guarded
-    optimistically INSIDE the fused job via observe, mirroring
-    apply_batch's fast path. Tables whose aligned schemas differ are
-    grouped by schema signature — one write job per group (one group
-    in the common homogeneous-shard case).
+    no table/database DDL rows for these tables in the batch and every
+    table already has data (merge-on-read steady state). Column-level
+    DDL is guarded optimistically INSIDE the fused job via observe,
+    mirroring apply_batch's fast path. Tables whose aligned schemas
+    differ are grouped by schema signature — one write job per group
+    (one group in the common homogeneous-shard case).
+
+    Per-table transforms fuse too: each table's slice is transformed
+    declaratively inside the SAME write job (Catalyst unions the
+    transformed slices), so 20 tables with 20 different transform
+    chains still cost one write + one metrics job per epoch. Transforms
+    must be column maps in the reference's Transformation contract
+    (mutate values/names, never cardinality —
+    delta-api/.../transformation/Transformation.java:27-58); a
+    cardinality-changing transform cannot corrupt the snapshot summary
+    regardless, because written/deleted counts are observed inside the
+    write job itself, not inferred from the pre-transform admit counts.
 
     Exactly-once: per-table batch ids match the per-table loop's
     (``{batch_id}.{t}``), so a crash between adopts replays cleanly
@@ -167,6 +178,7 @@ def _fused_mor_apply(
     n_in = batch.rdd.getNumPartitions()  # loop-invariant: one plan walk
     try:
         staged: dict[str, list[str]] = {}
+        written: dict[str, tuple[int, int]] = {}
         first_group = True
         for gi, (_, tables) in enumerate(sorted(groups.items())):
             parts = []
@@ -174,6 +186,9 @@ def _fused_mor_apply(
                 h = handles[t]
                 src = guard_src if first_group else batch
                 sub = src.filter(_admit(t)).drop(table_col)
+                tfm = (per_table_transforms or {}).get(t)
+                if tfm:  # same point in the chain as apply_batch's
+                    sub = tfm(sub)
                 sub = _apply_whitelist(
                     sub, h, (per_table_columns or {}).get(t), sort_key_col
                 )
@@ -195,6 +210,24 @@ def _fused_mor_apply(
             fused = parts[0]
             for p in parts[1:]:
                 fused = fused.unionByName(p)
+            # written/deleted counts observed in the write job itself:
+            # with transforms in the slice chain these are the ground
+            # truth for the snapshot summary (the raw-batch metrics job
+            # measures pre-transform admits)
+            gobs = Observation()
+            fused = fused.observe(
+                gobs,
+                *[
+                    F.count_if(F.col("__tbl") == t).alias(f"n_{j}")
+                    for j, t in enumerate(tables)
+                ],
+                *[
+                    F.count_if(
+                        (F.col("__tbl") == t) & F.col("_deleted")
+                    ).alias(f"d_{j}")
+                    for j, t in enumerate(tables)
+                ],
+            )
             if n_in > 1:
                 # same spanning-file throttle as _write_data_spanning:
                 # fewer, bigger delta files amortize the read-time fold
@@ -206,6 +239,10 @@ def _fused_mor_apply(
                 if m is None or (m["n_ddl"] or 0) > 0:
                     return None  # DDL present (or unobservable) → loop path
                 first_group = False
+            gm = observe_get(gobs)
+            if gm is not None:
+                for j, t in enumerate(tables):
+                    written[t] = (gm[f"n_{j}"] or 0, gm[f"d_{j}"] or 0)
             from urllib.parse import unquote
 
             for d in glob.glob(os.path.join(gdir, "__tbl=*")):
@@ -243,8 +280,11 @@ def _fused_mor_apply(
         for t in todo:
             h = handles[t]
             m = metrics.get(t)
-            dels = (m or {}).get(DML_DELETE) or 0
-            n = (m or {}).get("n") or 0
+            if t in written:  # ground truth from the write job's observe
+                n, dels = written[t]
+            else:
+                dels = (m or {}).get(DML_DELETE) or 0
+                n = (m or {}).get("n") or 0
             res = h.adopt_spanning_files(
                 staged.get(t, []),
                 writer_id,
@@ -362,22 +402,18 @@ def apply_multi_batch(
         batch = batch.persist()
     try:
         # steady-state fast path: no table/database DDL for my tables,
-        # no python transforms, merge-on-read → ONE fused write job +
-        # ONE metrics job regardless of table count (falls back to the
-        # per-table loop below when preconditions don't hold or the
-        # batch turns out to carry column-level DDL)
+        # merge-on-read → ONE fused write job + ONE metrics job
+        # regardless of table count, per-table transforms included
+        # (falls back to the per-table loop below when preconditions
+        # don't hold or the batch turns out to carry column-level DDL)
         merge_mode = apply_kw.get("merge_mode", "cow")
-        if (
-            not ctrl
-            and len(mine) > 1
-            and not (per_table_transforms or {})
-            and merge_mode in ("auto", "mor")
-        ):
+        if not ctrl and len(mine) > 1 and merge_mode in ("auto", "mor"):
             fused = _fused_mor_apply(
                 catalog.refresh(), batch, writer_id, batch_id, mine, table_col,
                 op_blacklist, per_table_blacklists, per_table_columns,
                 apply_kw.get("sort_key_col"),
                 lineage=apply_kw.get("lineage", True),
+                per_table_transforms=per_table_transforms,
             )
             if fused is not None:
                 return fused

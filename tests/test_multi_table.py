@@ -379,10 +379,34 @@ def test_fused_demux_jobs_independent_of_table_count(spark, tmp_path):
     job + ONE metrics job (+ the DDL-probe collect) per micro-batch,
     regardless of table count — the per-table loop would be O(tables)
     driver-sequenced jobs (reference runs hundreds of tables per
-    instance, DeltaWorker.java:594-620)."""
+    instance, DeltaWorker.java:594-620). Every table carries its OWN
+    python transform chain (20 distinct transforms): transforms fuse
+    into the same single write job, they must not force the loop."""
+    from pyspark.sql import functions as F
+
     from delta_spark.multi import apply_multi_batch
 
     tables = tuple(f"t{i:02d}" for i in range(20))
+
+    def _tfm(i, t):
+        if i % 2 == 0:
+            return lambda df: df.withColumn("text", F.upper("text"))
+        return lambda df: df.withColumn(
+            "text", F.concat(F.lit(f"[{t}] "), F.col("text"))
+        )
+
+    transforms = {t: _tfm(i, t) for i, t in enumerate(tables)}
+
+    def _tfm_oracle(pdf, i, t):
+        out = pdf.copy()
+        if i % 2 == 0:
+            out["text"] = out["text"].str.upper()
+        else:
+            out["text"] = out["text"].map(
+                lambda x: f"[{t}] {x}" if x is not None else None
+            )
+        return out
+
     cat = _mk_catalog_with_tables(spark, tmp_path / "cat", tables)
     raw = generate_multi_changelog(
         {
@@ -401,7 +425,10 @@ def test_fused_demux_jobs_independent_of_table_count(spark, tmp_path):
     )
     df0 = spark.read.schema(schema).parquet(str(tmp_path / "log0"))
     # epoch 0: snapshot load (CoW loop path seeds every table)
-    apply_multi_batch(cat, df0, "w-f", "e0", list(tables), merge_mode="auto")
+    apply_multi_batch(
+        cat, df0, "w-f", "e0", list(tables), merge_mode="auto",
+        per_table_transforms=transforms,
+    )
     for t in tables:
         assert cat.table(t).current_snapshot is not None
 
@@ -410,18 +437,23 @@ def test_fused_demux_jobs_independent_of_table_count(spark, tmp_path):
     sc = spark.sparkContext
     sc.setJobGroup("fused-epoch", "jobs-per-epoch probe")
     try:
-        apply_multi_batch(cat, df1, "w-f", "e1", list(tables), merge_mode="auto")
+        apply_multi_batch(
+            cat, df1, "w-f", "e1", list(tables), merge_mode="auto",
+            per_table_transforms=transforms,
+        )
     finally:
         jobs = sc.statusTracker().getJobIdsForGroup("fused-epoch")
         sc.setJobGroup(None, None)
     assert len(jobs) <= 5, f"expected O(1) jobs per epoch, got {len(jobs)}"
     assert len(jobs) < len(tables)
 
-    # and the fused epoch is byte-equal to the oracle per table
-    for t in tables:
+    # and the fused epoch is byte-equal to the (transformed) oracle per
+    # table — the transform is per-row idempotent, so transforming the
+    # oracle's final state equals transforming every event pre-merge
+    for i, t in enumerate(tables):
         assert_pdf_equal(
             cat.table(t).read().toPandas(),
-            oracle_apply(raw[raw["tbl"] == t]),
+            _tfm_oracle(oracle_apply(raw[raw["tbl"] == t]), i, t),
             ["conv_id", "turn_idx"],
         )
 
