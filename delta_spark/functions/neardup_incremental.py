@@ -1,0 +1,323 @@
+"""Incrementally-maintained near-duplicate index over a CDC-maintained
+documents table.
+
+This is where the CDC engine and the training-data dedup stack meet: a
+100 TB corpus is not deduplicated once — it is *maintained*. Documents
+arrive, get revised, get deleted through the CDC apply path
+(reference's target-table contract, EventConsumer.java:39-76), and the
+near-dup state must follow WITHOUT rescanning the corpus. The batch
+operators in ``neardup.py`` answer "what are the duplicate pairs of
+this corpus"; this module answers "what *changed* about the duplicate
+pairs since the last commit" at cost O(changed docs), never O(corpus²)
+and never a full re-signature.
+
+Design (all DataFrame ops; per-epoch cost scales with the delta):
+
+  * the SIGNATURE INDEX is itself a lake table (keys ``sig_id`` =
+    ``doc_id:band``), maintained by the engine's own exactly-once
+    seq-guarded MERGE — a crash mid-epoch replays idempotently through
+    the same (writer-id, batch-id) markers every other writer uses.
+  * each ``advance()`` consumes ``LakeTable.read_changes`` (the CDC-out
+    feed, bucket-pruned driver-side), signatures ONLY the changed docs,
+    merges the index, and finds new candidates with ONE equi-join of
+    the (small) delta signatures against the index on (band, bh) —
+    broadcast-able delta side, never all-pairs, never a corpus scan of
+    texts (the Jaccard verifier prunes both shingle sides to candidate
+    members via semi-joins).
+  * the output is a PAIR-DELTA FEED with two ops:
+      - ``retract_doc`` — every updated/deleted doc d: all previously
+        emitted pairs touching d are dead as of this epoch
+      - ``add``         — every verified pair (a, b, jaccard) where a
+        or b changed this epoch, scored against the epoch's corpus
+    Folding the feed (``live_pairs``) reproduces the batch
+    ``ngram_jaccard_dups`` result on the final corpus EXACTLY — the
+    invariant the tests and the driver-contract oracle pin.
+
+Why the fold is exact: let t be the last epoch at which either endpoint
+of a pair changed. At t both texts equal their final values, the
+changed endpoint is in the delta, the partner's final signatures are in
+the index, so the pair is (re-)emitted at t iff it is an LSH candidate
+AND Jaccard-verified on final texts — the batch condition. Any earlier
+add is killed by the endpoint's ``retract_doc`` at t; deletions retract
+without re-adding. Feed writes are sink-first/offset-after with
+per-epoch overwrite (same crash contract as jobs/consume_changes.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lake import LakeTable
+from .neardup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs
+
+FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType(), False),  # add | retract_doc
+        T.StructField("id_a", T.LongType(), True),
+        T.StructField("id_b", T.LongType(), True),
+        T.StructField("jaccard", T.DoubleType(), True),
+        T.StructField("epoch", T.LongType(), False),  # to-snapshot id
+    ]
+)
+
+_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("sig_id", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("bh", T.StringType(), False),
+    ]
+)
+
+
+class NearDupIndexer:
+    """Maintains a MinHash-LSH signature index beside a documents lake
+    table and emits the per-commit duplicate-pair delta feed."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs: LakeTable,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 4,
+        band_size: int = 2,
+        k: int = 3,
+        threshold: float = 0.4,
+        num_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.docs = docs
+        self.root = root
+        self.id_col, self.text_col = id_col, text_col
+        self.num_hashes, self.band_size, self.k = num_hashes, band_size, k
+        self.threshold = threshold
+        self.n_bands = num_hashes // band_size
+        self.index_path = os.path.join(root, "index")
+        self.feed_path = os.path.join(root, "feed")
+        self.cursor_path = os.path.join(root, "_cursor.json")
+        if LakeTable.exists(self.index_path):
+            self.index = LakeTable.load(spark, self.index_path)
+        else:
+            self.index = LakeTable.create(
+                spark,
+                self.index_path,
+                _INDEX_SCHEMA,
+                key_cols=["sig_id"],
+                num_buckets=num_buckets,
+            )
+
+    # ------------------------------------------------------- cursor
+
+    def _cursor(self) -> int | None:
+        try:
+            with open(self.cursor_path) as f:
+                return json.load(f)["last_snapshot"]
+        except FileNotFoundError:
+            return None
+
+    def _commit_cursor(self, snap_id: int) -> None:
+        tmp = self.cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_snapshot": snap_id}, f)
+        os.replace(tmp, self.cursor_path)
+
+    # ------------------------------------------------------ banding
+
+    def _band_rows(self, docs_df: DataFrame) -> DataFrame:
+        """(doc_id, band, bh) rows for every doc in ``docs_df`` — the
+        same banding ``lsh_candidate_pairs`` uses, reified so it can be
+        PERSISTED as index rows and equi-joined incrementally."""
+        sigs = minhash_signatures(
+            docs_df, self.id_col, self.text_col,
+            num_hashes=self.num_hashes, k=self.k,
+        )
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"mh{b * self.band_size + j}")
+                            for j in range(self.band_size)
+                        ],
+                    ).alias("bh"),
+                )
+                for b in range(self.n_bands)
+            ]
+        )
+        return sigs.select(
+            F.col(self.id_col).cast("long").alias("doc_id"),
+            F.explode(bands).alias("b"),
+        ).select(
+            "doc_id",
+            F.col("b.band").cast("int").alias("band"),
+            F.col("b.bh").alias("bh"),
+        )
+
+    # ------------------------------------------------------ advance
+
+    def advance(self, to_snapshot_id: int | None = None) -> DataFrame:
+        """Process the docs-table commits in (cursor, to] and return
+        this epoch's feed delta. Crash-safe: the index merge is
+        idempotent by (writer-id, batch-id), the feed epoch dir is
+        overwritten whole on replay, and the cursor moves LAST."""
+        cur = self.docs.current_snapshot
+        to_id = cur["id"] if to_snapshot_id is None and cur else to_snapshot_id
+        frm = self._cursor()
+        if to_id is None or (frm is not None and to_id <= frm):
+            return self.spark.createDataFrame([], FEED_SCHEMA)
+
+        ch = self.docs.read_changes(frm, to_id)
+        changed = ch.filter(F.col("_change_type").isin("insert", "update")).select(
+            F.col(self.id_col).cast("long").alias(self.id_col), self.text_col
+        )
+        deleted = ch.filter(F.col("_change_type") == "delete").select(
+            F.col(self.id_col).cast("long").alias("doc_id")
+        )
+
+        # 1) index maintenance — O(changed docs): upsert changed docs'
+        #    band rows, tombstone deleted docs' (every band enumerated
+        #    declaratively, no driver-side id list)
+        delta_sigs = self._band_rows(changed)
+        band_lits = F.array(*[F.lit(b) for b in range(self.n_bands)])
+        ups = delta_sigs.select(
+            F.concat_ws(":", "doc_id", "band").alias("sig_id"),
+            "doc_id", "band", "bh",
+            F.lit("UPSERT").alias("op"),
+        )
+        # a changed doc whose new text yields NO shingles (nulled /
+        # emptied by an update) produces no upsert rows — its stale
+        # signatures must be tombstoned like a delete's
+        unsigned = changed.select(
+            F.col(self.id_col).cast("long").alias("doc_id")
+        ).join(delta_sigs.select("doc_id").distinct(), "doc_id", "left_anti")
+        dels = (
+            deleted.unionByName(unsigned)
+            .select("doc_id", F.explode(band_lits).alias("band"))
+            .select(
+                F.concat_ws(":", "doc_id", "band").alias("sig_id"),
+                "doc_id",
+                F.col("band").cast("int").alias("band"),
+                F.lit(None).cast("string").alias("bh"),
+                F.lit("DELETE").alias("op"),
+            )
+        )
+        self.index.merge(
+            ups.unionByName(dels).withColumn("seq", F.lit(to_id).cast("long")),
+            writer_id="neardup-index",
+            batch_id=f"{frm}->{to_id}",
+            mode="auto",
+        )
+
+        # 2) candidate pairs touching the delta: small delta side vs
+        #    the index — one equi-join on (band, bh), a<b normalized.
+        #    The index read is the epoch's big scan (O(live docs ×
+        #    bands) rows of a few bytes); the join output is bounded by
+        #    LSH collisions, never |corpus|².
+        idx = self.index.read()
+        d = F.broadcast(delta_sigs.alias("d"))
+        cand = (
+            d.join(
+                idx.alias("i"),
+                (F.col("d.band") == F.col("i.band"))
+                & (F.col("d.bh") == F.col("i.bh"))
+                & (F.col("d.doc_id") != F.col("i.doc_id")),
+            )
+            .select(
+                F.least("d.doc_id", "i.doc_id").alias("id_a"),
+                F.greatest("d.doc_id", "i.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+
+        # 3) exact verification on this epoch's corpus state (the
+        #    verifier semi-join-prunes both shingle sides to candidate
+        #    members — the corpus text scan never shingles unrelated
+        #    docs)
+        state = self.docs.read(snapshot_id=to_id)
+        verified = ngram_jaccard_pairs(
+            state, self.id_col, self.text_col,
+            k=self.k, threshold=self.threshold, candidates=cand,
+        )
+
+        # 4) the feed delta: retract everything touching changed or
+        #    deleted docs, then (re-)add the verified current pairs
+        touched = changed.select(
+            F.col(self.id_col).cast("long").alias("id_a")
+        ).unionByName(deleted.select(F.col("doc_id").alias("id_a")))
+        retracts = touched.distinct().select(
+            F.lit("retract_doc").alias("op"),
+            "id_a",
+            F.lit(None).cast("long").alias("id_b"),
+            F.lit(None).cast("double").alias("jaccard"),
+            F.lit(to_id).cast("long").alias("epoch"),
+        )
+        adds = verified.select(
+            F.lit("add").alias("op"),
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.col("jaccard").cast("double"),
+            F.lit(to_id).cast("long").alias("epoch"),
+        )
+        delta = retracts.unionByName(adds)
+
+        # 5) sink-first, cursor-after; replays overwrite their own
+        #    epoch dir (jobs/consume_changes.py crash contract)
+        # dir name deliberately NOT key=value shaped: the epoch column
+        # is stored in the data, and partition-style dirs would make
+        # Spark infer a duplicate partition column on multi-dir reads
+        epoch_dir = os.path.join(self.feed_path, f"epoch-{to_id}")
+        if os.path.exists(epoch_dir):
+            shutil.rmtree(epoch_dir)
+        delta.write.mode("overwrite").parquet(epoch_dir)
+        self._commit_cursor(to_id)
+        return self.spark.read.schema(FEED_SCHEMA).parquet(epoch_dir)
+
+    # --------------------------------------------------------- fold
+
+    def feed(self) -> DataFrame:
+        dirs = [
+            os.path.join(self.feed_path, d)
+            for d in sorted(os.listdir(self.feed_path))
+            if d.startswith("epoch-")
+        ] if os.path.isdir(self.feed_path) else []
+        if not dirs:
+            return self.spark.createDataFrame([], FEED_SCHEMA)
+        return self.spark.read.schema(FEED_SCHEMA).parquet(*dirs)
+
+    def live_pairs(self) -> DataFrame:
+        """Fold the feed: an ``add`` at epoch e is live iff neither
+        endpoint has a ``retract_doc`` at an epoch > e. Two joins
+        against the (tiny) retract set — the fold never touches
+        document text. Equals batch ``ngram_jaccard_pairs`` on the
+        current corpus (the invariant tests pin)."""
+        f = self.feed()
+        adds = f.filter(F.col("op") == "add").select(
+            "id_a", "id_b", "jaccard", "epoch"
+        )
+        retr = (
+            f.filter(F.col("op") == "retract_doc")
+            .groupBy(F.col("id_a").alias("rid"))
+            .agg(F.max("epoch").alias("r_epoch"))
+        )
+        ra = retr.select(F.col("rid").alias("id_a"), F.col("r_epoch").alias("ra"))
+        rb = retr.select(F.col("rid").alias("id_b"), F.col("r_epoch").alias("rb"))
+        return (
+            adds.join(ra, "id_a", "left")
+            .join(rb, "id_b", "left")
+            .filter(
+                (F.coalesce(F.col("ra"), F.lit(-1)) <= F.col("epoch"))
+                & (F.coalesce(F.col("rb"), F.lit(-1)) <= F.col("epoch"))
+            )
+            .select("id_a", "id_b", "jaccard")
+            .distinct()
+        )

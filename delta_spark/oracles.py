@@ -670,3 +670,21 @@ ALL_ORACLES: dict[str, str] = {
         WHERE doc_id % 3 = 2
     """,
 }
+
+# Incremental near-dup maintenance must FOLD to the batch result on the
+# final corpus — so its oracle IS the batch oracle, evaluated over the
+# closed-form final state of the query's three engine commits (full
+# insert, %7 ' revision two' suffixes, %13 deletions disjoint from the
+# revisions). Built from the ngram_jaccard_dups SQL by swapping its
+# corpus source — no duplicated hash arithmetic to drift.
+ALL_ORACLES["neardup_incremental"] = (
+    "WITH corpus AS (\n"
+    "  SELECT doc_id,\n"
+    "         CASE WHEN doc_id % 7 = 0 THEN text || ' revision two'\n"
+    "              ELSE text END AS text\n"
+    "  FROM documents\n"
+    "  WHERE NOT (doc_id % 13 = 0 AND doc_id % 7 <> 0)),\n"
+    + ALL_ORACLES["ngram_jaccard_dups"].replace("WITH ", "", 1).replace(
+        "FROM documents", "FROM corpus"
+    )
+)

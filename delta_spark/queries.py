@@ -341,6 +341,60 @@ def neardup_clusters(spark, sf_dir):
     )
 
 
+def neardup_incremental(spark, sf_dir):
+    """Near-dup index MAINTAINED over the CDC feed, not recomputed: the
+    documents corpus is replayed through the lake engine in three
+    commits (full insert, %7 revisions, %13 deletions), a
+    ``NearDupIndexer`` advances after each one — signing only the
+    changed docs, merging its own exactly-once index table, and
+    emitting a pair-delta feed — and the FOLD of that feed is returned.
+    The oracle computes batch LSH+Jaccard directly on the closed-form
+    final corpus: incremental maintenance must land on the identical
+    pair set (delta_spark/functions/neardup_incremental.py documents
+    the exactness argument)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .functions.neardup_incremental import NearDupIndexer
+    from .lake import LakeTable
+
+    d = tempfile.mkdtemp(prefix="neardup_inc_")
+    src = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    tbl = LakeTable.create(spark, f"{d}/docs", schema, key_cols=["doc_id"])
+    ix = NearDupIndexer(spark, tbl, f"{d}/nd")
+
+    def commit(df, op, seq, bid):
+        tbl.merge(
+            df.withColumn("op", F.lit(op)).withColumn(
+                "seq", F.lit(seq).cast("long")
+            ),
+            writer_id="w",
+            batch_id=bid,
+        )
+        ix.advance()
+
+    commit(src, "INSERT", 1, "b1")
+    commit(
+        src.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id", F.concat("text", F.lit(" revision two")).alias("text")
+        ),
+        "UPDATE", 2, "b2",
+    )
+    commit(
+        src.filter((F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 7 != 0))
+        .select("doc_id", F.lit(None).cast("string").alias("text")),
+        "DELETE", 3, "b3",
+    )
+    return ix.live_pairs().orderBy("id_a", "id_b")
+
+
 def simhash16(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return neardup.simhash(d, "doc_id", "text", bits=16)
@@ -1240,6 +1294,7 @@ ALL_QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "neardup_clusters": neardup_clusters,
+    "neardup_incremental": neardup_incremental,
     "simhash16": simhash16,
     "lang_id": lang_id,
     "text_quality": text_quality,
