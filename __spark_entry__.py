@@ -10,9 +10,9 @@ engine (see SURVEY.md §2 and delta_spark/__init__.py). Queries cover
 the CDC operator surface (scan/filter, LWW dedup, MERGE emulation,
 delete apply, metrics, sessionization), relational breadth, the
 Iceberg publish/consume chain (export, continuous publish, artifact
--only change feed), and the training-data-pipeline library (dedup,
-similarity search, text analysis, PII scrub, chunking, real media
-codecs).
+-only change feed), and the training-data-pipeline library (dedup —
+batch AND incrementally maintained over the CDC feed, similarity
+search, text analysis, PII scrub, chunking, real media codecs).
 """
 
 from __future__ import annotations

@@ -176,13 +176,51 @@ class NearDupIndexer:
         if to_id is None or (frm is not None and to_id <= frm):
             return self.spark.createDataFrame([], FEED_SCHEMA)
 
-        ch = self.docs.read_changes(frm, to_id)
-        changed = ch.filter(F.col("_change_type").isin("insert", "update")).select(
-            F.col(self.id_col).cast("long").alias(self.id_col), self.text_col
-        )
-        deleted = ch.filter(F.col("_change_type") == "delete").select(
-            F.col(self.id_col).cast("long").alias("doc_id")
-        )
+        try:
+            ch = self.docs.read_changes(frm, to_id)
+            bcast_delta = True
+            changed = ch.filter(
+                F.col("_change_type").isin("insert", "update")
+            ).select(
+                F.col(self.id_col).cast("long").alias(self.id_col),
+                self.text_col,
+            )
+            deleted = ch.filter(F.col("_change_type") == "delete").select(
+                F.col(self.id_col).cast("long").alias("doc_id")
+            )
+        except ValueError:
+            # cursor snapshot EXPIRED (the docs table's retention ran
+            # ahead of the index — same failure mode as an expired
+            # consumer offset, jobs/consume_changes.py): REBOOTSTRAP by
+            # treating every live doc as changed and every indexed doc
+            # that is no longer live as deleted. Retractions for that
+            # union kill every previously emitted pair, the re-adds
+            # restore the current ones — the fold invariant survives
+            # the resync. O(corpus) once, by construction.
+            import logging
+
+            logging.getLogger("delta_spark.neardup").warning(
+                "neardup index cursor %s expired on %s — rebootstrapping",
+                frm, self.docs.path,
+            )
+            bcast_delta = False  # the "delta" IS the corpus: no b'cast
+            state0 = self.docs.read(snapshot_id=to_id)
+            changed = state0.select(
+                F.col(self.id_col).cast("long").alias(self.id_col),
+                self.text_col,
+            )
+            deleted = (
+                self.index.read()
+                .select("doc_id")
+                .distinct()
+                .join(
+                    changed.select(
+                        F.col(self.id_col).cast("long").alias("doc_id")
+                    ),
+                    "doc_id",
+                    "left_anti",
+                )
+            )
 
         # 1) index maintenance — O(changed docs): upsert changed docs'
         #    band rows, tombstone deleted docs' (every band enumerated
@@ -224,7 +262,9 @@ class NearDupIndexer:
         #    bands) rows of a few bytes); the join output is bounded by
         #    LSH collisions, never |corpus|².
         idx = self.index.read()
-        d = F.broadcast(delta_sigs.alias("d"))
+        d = delta_sigs.alias("d")
+        if bcast_delta:
+            d = F.broadcast(d)
         cand = (
             d.join(
                 idx.alias("i"),

@@ -159,3 +159,52 @@ def test_fresh_indexer_resumes_from_disk(spark, world, tmp_path):
         _batch_pairs(tbl.read()).toPandas()
     )
     assert before is not None
+
+
+def test_cursor_expired_rebootstrap(spark, world):
+    """Docs-table retention running ahead of the index (expired cursor
+    snapshot) triggers a full resync — retract everything ever indexed,
+    re-add the current pairs — and the fold invariant survives."""
+    tbl, ix = world
+    src = _src(spark)
+    upd = src.filter(F.col("doc_id") == 3).select(
+        "doc_id", F.lit("another unique replacement xyzzy").alias("text")
+    )
+    _commit(tbl, upd, "UPDATE", 4, "b4")
+    tbl.expire_snapshots(keep_last=1)  # cursor snapshot now gone
+    delta = ix.advance().toPandas()
+    # full resync: every live doc retracted (plus any stale index ids)
+    assert (delta["op"] == "retract_doc").sum() >= tbl.read().count()
+    assert _key(ix.live_pairs().toPandas()) == _key(
+        _batch_pairs(tbl.read()).toPandas()
+    )
+
+
+def test_maintain_neardup_job(spark, world):
+    """The scheduled job surface: advance to current, report the delta,
+    bound the index table's own metadata."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "maintain_neardup",
+        os.path.join(os.path.dirname(__file__), "..", "jobs", "maintain_neardup.py"),
+    )
+    mj = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mj)
+
+    tbl, ix = world
+    src = _src(spark)
+    upd = src.filter(F.col("doc_id") == 1).select(
+        "doc_id", F.lit("job replacement text qq").alias("text")
+    )
+    _commit(tbl, upd, "UPDATE", 4, "b4")
+    out = mj.maintain_neardup(spark, tbl.path, ix.root)
+    assert out["retracts"] == 1
+    assert out["to_snapshot"] == tbl.current_snapshot["id"]
+    assert "index_expired_snapshots" in out
+    assert _key(NearDupIndexer(spark, tbl, ix.root).live_pairs().toPandas()) == _key(
+        _batch_pairs(tbl.read()).toPandas()
+    )
+    # caught up: a second run is a no-op
+    out2 = mj.maintain_neardup(spark, tbl.path, ix.root)
+    assert out2["adds"] == 0 and out2["retracts"] == 0
