@@ -1,0 +1,166 @@
+"""Corpus-curation operators for training-data pipelines:
+deterministic train/valid/test splitting, Gopher-style repetition
+statistics, benchmark n-gram decontamination, and capped domain-mix
+sampling weights.
+
+Everything is pure ``pyspark.sql.functions`` column algebra (JVM-side,
+whole-stage codegen) — no Python UDFs — and every expression stays in
+the md5/regex subset DuckDB reproduces bit-for-bit, so each operator
+is oracle-checkable by the driver.
+
+Scale notes (100 TB): the split is a stateless hash of the document id
+(no shuffle, no global coordination — any executor assigns any row,
+and the assignment is stable across reruns and cluster sizes);
+repetition stats are two hash aggregations with map-side combine;
+decontamination broadcasts the benchmark's n-gram set (benchmark
+corpora are small by construction) so the contamination check is a
+map-side semi-join over the full corpus; domain-mix weights aggregate
+the corpus down to O(domains) rows before any window runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# first hex nibble of md5(id): 0-9ab → train (12/16), cd → valid
+# (2/16), ef → test (2/16). Stable under corpus growth: a document's
+# split never depends on the rest of the corpus.
+_VALID_NIBBLES = ("c", "d")
+_TEST_NIBBLES = ("e", "f")
+
+
+def split_assign(id_col: str | Column) -> Column:
+    """Deterministic 75/12.5/12.5 train/valid/test assignment from the
+    md5 of the document id. Hash-based (not random): reproducible
+    across runs, engines, and partitionings, and adding documents never
+    reassigns existing ones — the property a 100 TB training corpus
+    needs from its split."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    nib = F.substring(F.md5(c.cast("string")), 1, 1)
+    return (
+        F.when(nib.isin(*_VALID_NIBBLES), F.lit("valid"))
+        .when(nib.isin(*_TEST_NIBBLES), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style per-document repetition/quality statistics over
+    whitespace tokens: token count, duplicate-token fraction,
+    top-token fraction, mean token length, and a keep/drop verdict.
+
+    Two hash aggregations (doc×token, then doc), both map-side
+    combined — the 100 TB plan is two exchanges keyed by doc id with
+    no skew beyond document length. Reference analog: quality gates
+    run per-event in the reference's transform stage; here they are
+    set-level corpus curation ops the reference lacks.
+    """
+    ex = df.select(id_col, F.explode(tokens(text_col)).alias("_tok"))
+    per_tok = ex.groupBy(id_col, "_tok").agg(F.count("*").alias("_c"))
+    st = per_tok.groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.max("_c").alias("_top"),
+        F.count("*").alias("_distinct"),
+        F.sum(F.col("_c") * F.length("_tok")).alias("_chars"),
+    )
+    dup = F.round(F.lit(1.0) - F.col("_distinct") / F.col("n_tokens"), 4)
+    top = F.round(F.col("_top") / F.col("n_tokens"), 4)
+    mwl = F.round(F.col("_chars") / F.col("n_tokens"), 4)
+    return st.select(
+        id_col,
+        "n_tokens",
+        dup.alias("dup_token_frac"),
+        top.alias("top_token_frac"),
+        mwl.alias("mean_token_len"),
+        # thresholds follow the Gopher rules' shape (token-count
+        # window, mean-word-length window, repetition caps), applied
+        # to the ROUNDED values so the verdict is engine-agnostic
+        (
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_tokens") <= 100000)
+            & (mwl >= 2.0)
+            & (mwl <= 10.0)
+            & (dup < 0.93)
+            & (top < 0.25)
+        ).alias("keep"),
+    )
+
+
+def word_ngrams(text_col: str | Column, n: int) -> Column:
+    """Array of word ``n``-grams (space-joined) over whitespace tokens;
+    empty when the document is shorter than ``n`` tokens. Pure column
+    expression (sequence + slice under ``transform``)."""
+    c = text_col if isinstance(text_col, str) else text_col
+    w = tokens(c)
+    # Spark's sequence(1, 0) counts DOWN — guard short docs explicitly
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of
+    distinct word ``n``-grams it shares with ANY benchmark document
+    (0 rows for clean docs — callers drop or flag the returned ids).
+
+    The benchmark n-gram set is deduped and broadcast (eval/benchmark
+    corpora are small by construction), so at 100 TB this is a single
+    map-side semi-join over the corpus scan — no shuffle of corpus
+    text, no all-pairs comparison.
+    """
+    grams = corpus.select(
+        id_col, F.explode(word_ngrams(text_col, n)).alias("_g")
+    ).distinct()
+    bench_g = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("_g"))
+        .distinct()
+    )
+    return (
+        grams.join(F.broadcast(bench_g), "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
+def domain_mix_weights(
+    df: DataFrame,
+    domain_cols: list[str],
+    weight_col: str | Column,
+    cap: float = 0.15,
+) -> DataFrame:
+    """Per-domain corpus composition with a capped sampling share:
+    document and token counts per domain, each domain's raw token
+    share, and the share clipped at ``cap`` (the standard guard
+    against one crawl domain dominating a training mix).
+
+    The corpus-sized work is ONE aggregation (map-side combined) down
+    to O(domains) rows; the total is a scalar broadcast back over that
+    tiny frame — nothing global touches row-level data, so the plan is
+    unchanged at 1000 executors.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    per = df.groupBy(*domain_cols).agg(
+        F.count("*").alias("n_docs"), F.sum(w).alias("n_tokens")
+    )
+    total = per.agg(F.sum("n_tokens").alias("_t"))
+    share = F.col("n_tokens") / F.col("_t")
+    return per.crossJoin(F.broadcast(total)).select(
+        *domain_cols,
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(F.least(share, F.lit(cap)), 6).alias("capped_share"),
+    )

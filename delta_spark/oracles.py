@@ -596,6 +596,77 @@ ALL_ORACLES: dict[str, str] = {
                length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_chars_norm
         FROM documents
     """,
+    # ------------------------------------------------- corpus curation
+    # split nibbles mirror functions/curation.py: 0-9ab train, cd
+    # valid, ef test — md5 of the stringified id in both engines
+    "corpus_split": """
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('c', 'd') THEN 'valid'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('e', 'f') THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    """,
+    # Gopher-style repetition gates; thresholds applied to the ROUNDED
+    # values exactly as curation.repetition_stats does
+    "repetition_stats": rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        pt AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM toks GROUP BY doc_id, tok),
+        st AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 max(c) AS topc,
+                 count(*) AS n_distinct,
+                 CAST(sum(c * length(tok)) AS BIGINT) AS chars
+          FROM pt GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               round(1.0 - n_distinct / n_tokens, 4) AS dup_token_frac,
+               round(topc / n_tokens, 4) AS top_token_frac,
+               round(chars / n_tokens, 4) AS mean_token_len,
+               (n_tokens >= 10 AND n_tokens <= 100000
+                AND round(chars / n_tokens, 4) >= 2.0
+                AND round(chars / n_tokens, 4) <= 10.0
+                AND round(1.0 - n_distinct / n_tokens, 4) < 0.93
+                AND round(topc / n_tokens, 4) < 0.25) AS keep
+        FROM st
+    """,
+    # word 3-grams (DuckDB list slice is INCLUSIVE: w[i:i+2] is 3
+    # tokens, matching Spark slice(w, i, 3)); benchmark slice is
+    # doc_id % 17 == 0, corpus is the rest
+    "decontaminate": rf"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        cg AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+          FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+          WHERE doc_id % 17 <> 0 AND len(w) >= 3),
+        bg AS (
+          SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS g
+          FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+          WHERE doc_id % 17 = 0 AND len(w) >= 3)
+        SELECT doc_id, count(*) AS n_overlap
+        FROM cg JOIN bg USING (g)
+        GROUP BY doc_id
+    """,
+    "domain_mix": f"""
+        WITH d AS (
+          SELECT CASE WHEN doc_id % 4 = 0 THEN source
+                      ELSE 'common_crawl' END AS domain,
+                 len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS w
+          FROM documents),
+        per AS (
+          SELECT domain, count(*) AS n_docs,
+                 CAST(sum(w) AS BIGINT) AS n_tokens
+          FROM d GROUP BY domain),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per)
+        SELECT domain, n_docs, n_tokens,
+               round(n_tokens / t, 6) AS token_share,
+               round(least(n_tokens / t, 0.15), 6) AS capped_share
+        FROM per, tot
+    """,
     # ------------------------------------------------- embeddings
     "ann_cosine_topk": f"""
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

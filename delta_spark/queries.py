@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dedup import lww_collapse
+from .functions import curation as cur
 from .functions import neardup, similarity, text as tx
 
 CUTOFF = "2024-01-16 00:00:00"
@@ -472,6 +473,57 @@ def doc_chunks(spark, sf_dir):
             F.col("chunk_idx").cast("int").alias("chunk_idx"),
             F.substring(F.col("t"), F.col("start"), F.lit(256)).alias("chunk_text"),
         )
+    )
+
+
+# ===================================================== corpus curation
+
+
+def corpus_split(spark, sf_dir):
+    """Deterministic train/valid/test split (75/12.5/12.5) from the md5
+    of the document id — stateless, shuffle-free, and stable under
+    corpus growth: the assignment of a doc never depends on the rest of
+    the corpus, so a 100 TB corpus splits identically on any cluster
+    size and reruns reproduce it bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", cur.split_assign("doc_id").alias("split"))
+
+
+def repetition_stats(spark, sf_dir):
+    """Gopher-style per-document repetition/quality gates: duplicate
+    -token fraction, top-token fraction, mean token length, and the
+    keep/drop verdict. Two hash aggregations keyed by doc id (map-side
+    combined) — the 100 TB plan has no skew beyond document length."""
+    d = _t(spark, sf_dir, "documents")
+    return cur.repetition_stats(d, "doc_id", "text")
+
+
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination: word 3-gram overlap between the
+    training corpus and a held-out benchmark slice (docs with
+    doc_id % 17 == 0 stand in for the eval set). The benchmark n-gram
+    set is deduped and BROADCAST, so the corpus-sized work is one
+    map-side join over the scan — no corpus shuffle, no all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0)
+    corpus = d.filter(F.pmod(F.col("doc_id"), F.lit(17)) != 0)
+    return cur.decontaminate(corpus, bench, "doc_id", "text", n=3)
+
+
+def domain_mix(spark, sf_dir):
+    """Capped domain-mix sampling weights over a deliberately skewed
+    domain derivation (3/4 of docs collapse to one crawl domain so the
+    cap provably bites): doc/token counts per domain, raw token share,
+    and the share clipped at 0.15. One corpus-sized aggregation down to
+    O(domains) rows; everything after is on the tiny frame."""
+    d = _t(spark, sf_dir, "documents")
+    dom = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0, F.col("source"))
+        .otherwise(F.lit("common_crawl"))
+        .alias("domain")
+    )
+    return cur.domain_mix_weights(
+        d.select(dom, "text"), ["domain"], tx.token_count("text"), cap=0.15
     )
 
 
@@ -1302,6 +1354,10 @@ ALL_QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "pii_scrub": pii_scrub,
     "doc_chunks": doc_chunks,
+    "corpus_split": corpus_split,
+    "repetition_stats": repetition_stats,
+    "decontaminate": decontaminate,
+    "domain_mix": domain_mix,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,

@@ -1,0 +1,97 @@
+"""Unit tests for functions/curation.py: deterministic splitting,
+Gopher-style repetition gates, n-gram decontamination (including the
+broadcast-plan assertion that keeps the 100 TB shape honest), and
+capped domain-mix weights."""
+
+from pyspark.sql import functions as F
+
+from delta_spark.functions import curation as cur
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_split_deterministic_and_growth_stable(spark):
+    """A document's split never changes across reruns or corpus
+    growth, and the three splits roughly hit 12/2/2 sixteenths."""
+    small = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), cur.split_assign("doc_id").alias("s")
+    )
+    big = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), cur.split_assign("doc_id").alias("s")
+    )
+    sm = {r["doc_id"]: r["s"] for r in small.collect()}
+    bg = {r["doc_id"]: r["s"] for r in big.collect()}
+    assert all(bg[k] == v for k, v in sm.items())  # growth never reassigns
+    from collections import Counter
+
+    frac = Counter(bg.values())
+    assert 0.70 <= frac["train"] / 2000 <= 0.80
+    assert 0.08 <= frac["valid"] / 2000 <= 0.17
+    assert 0.08 <= frac["test"] / 2000 <= 0.17
+
+
+def test_repetition_stats_hand_checked(spark):
+    d = _docs(
+        spark,
+        [
+            # 12 tokens, 'spam' 9 times: dup = 1 - 4/12, top = 9/12
+            (1, "spam spam spam spam spam spam spam spam spam egg ham toast"),
+            # 12 distinct medium words: keeps
+            (2, "alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliet kilo lima"),
+            (3, "hi"),  # 1 token: too short, dropped
+        ],
+    )
+    out = {r["doc_id"]: r for r in cur.repetition_stats(d, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 12
+    assert out[1]["dup_token_frac"] == round(1 - 4 / 12, 4)
+    assert out[1]["top_token_frac"] == 0.75
+    assert out[1]["keep"] is False  # top-token cap fires
+    assert out[2]["keep"] is True
+    assert out[3]["keep"] is False  # n_tokens < 10
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    d = _docs(spark, [(1, "a b c d"), (2, "a b")])
+    out = {
+        r["doc_id"]: r["g"]
+        for r in d.select(
+            "doc_id", cur.word_ngrams("text", 3).alias("g")
+        ).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # shorter than n: empty, never sequence-down
+
+
+def test_decontaminate_counts_and_broadcast_plan(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely clean document with no benchmark overlap here"),
+        ],
+    )
+    bench = _docs(spark, [(100, "quick brown fox jumps high")])
+    out = cur.decontaminate(corpus, bench, "doc_id", "text", n=3)
+    rows = {r["doc_id"]: r["n_overlap"] for r in out.collect()}
+    # shared 3-grams: 'quick brown fox', 'brown fox jumps'
+    assert rows == {1: 2}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark side must broadcast
+
+
+def test_domain_mix_cap_bites(spark):
+    d = spark.createDataFrame(
+        [("big", 85), ("small_a", 10), ("small_b", 5)],
+        "domain string, toks int",
+    )
+    out = {
+        r["domain"]: r
+        for r in cur.domain_mix_weights(d, ["domain"], "toks", cap=0.15).collect()
+    }
+    assert out["big"]["token_share"] == 0.85
+    assert out["big"]["capped_share"] == 0.15
+    assert out["small_a"]["capped_share"] == 0.1
+    assert out["small_b"]["n_docs"] == 1
