@@ -1,0 +1,260 @@
+"""Incrementally-maintained grouped aggregates over a lake table's
+CDC change feed (materialized-view maintenance).
+
+A 100 TB corpus's summary tables — docs/tokens per domain, per-source
+quality tallies, billing counters — cannot be recomputed by rescanning
+the base table on every commit. This module maintains
+``SELECT group_cols, count(*), sum(m1), ... GROUP BY group_cols`` as a
+lake table of its own, advanced per base-table commit at cost
+O(changed keys + touched groups): the change feed (bucket-pruned,
+driver-planned) supplies the delta, pre-images retract the old
+contributions, and the view table is updated through the engine's own
+exactly-once seq-guarded MERGE — a crash mid-advance replays
+idempotently through the same (writer-id, batch-id) markers every
+other writer uses (the reference's idempotent-consumer contract,
+delta-api EventConsumer.java:39-76; the feed itself is the Delta CDF /
+Iceberg changelog-scan analog).
+
+Only SELF-MAINTAINABLE aggregates are offered: COUNT and SUM fold
+under both inserts and retractions with O(1) state per group. MIN/MAX
+do not — retracting the current extremum forces a rescan of the group
+— so they are deliberately absent rather than silently wrong; a
+caller needing them recomputes touched groups from the base state.
+
+NULL semantics: each measure is summed as ``sum(coalesce(expr, 0))``
+(the view stores 0, not SQL NULL, for all-NULL groups) — incremental
+retraction of a NULL contribution is otherwise ill-defined. Group
+columns must be non-null: they become the view table's key.
+
+Exactness: integral measures fold exactly. Floating-point measures
+accumulate in a different order than a batch recompute and may drift
+in the last ulps — pin tests on integral measures or compare with a
+tolerance.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .table import LakeTable
+
+log = logging.getLogger("delta_spark.materialized")
+
+
+class MaterializedAggregate:
+    """Maintains ``base GROUP BY group_cols → count + sums`` as a lake
+    table under ``root``, advanced over ``base.read_changes``.
+
+    ``sums`` maps output column name → a SQL expression over the base
+    table's columns giving that row's contribution (e.g.
+    ``{"sum_chars": "n_chars", "sum_toks": "regexp_count(text, ...)"}``).
+    ``n_rows`` (the group's live-row count) is always maintained and
+    drives group deletion: a group whose count reaches 0 is removed
+    from the view, exactly as it would vanish from the batch GROUP BY.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: LakeTable,
+        root: str,
+        group_cols: list[str],
+        sums: dict[str, str],
+        num_buckets: int = 8,
+    ):
+        self.spark = spark
+        self.base = base
+        self.root = root
+        self.group_cols = list(group_cols)
+        self.sums = dict(sums)
+        self.view_path = os.path.join(root, "view")
+        if LakeTable.exists(self.view_path):
+            self.view = LakeTable.load(spark, self.view_path)
+        else:
+            # infer the view schema analysis-only (no job): the exact
+            # types Spark's own sum() would give a batch recompute
+            probe = self._absolute(base.read().limit(0))
+            self.view = LakeTable.create(
+                spark,
+                self.view_path,
+                probe.schema,
+                key_cols=self.group_cols,
+                num_buckets=num_buckets,
+            )
+
+    # ------------------------------------------------------- helpers
+
+    def _measures(self) -> list:
+        return [
+            F.sum(F.coalesce(F.expr(e), F.lit(0))).alias(n)
+            for n, e in self.sums.items()
+        ]
+
+    def _absolute(self, state: DataFrame) -> DataFrame:
+        """The batch definition of the view — also the rebootstrap and
+        test oracle path."""
+        return state.groupBy(*self.group_cols).agg(
+            F.count("*").alias("n_rows"), *self._measures()
+        )
+
+    def _cursor(self) -> int | None:
+        """Last base-snapshot folded into the view — derived from the
+        view table's own exactly-once markers, NOT a side file. A side
+        cursor written after the merge would be a double-apply hole: a
+        crash between merge and cursor, followed by more base commits,
+        would re-fold the already-applied range into a WIDER delta the
+        marker no longer matches. Every advance's batch-id ends
+        ``->{to}``, the marker commits atomically WITH the view data,
+        and expire_snapshots folds markers forward — so the cursor
+        survives crash, restart, and view retention by construction."""
+        ids = [
+            int(s["summary"]["batch-id"].rsplit("->", 1)[1])
+            for s in self.view.metadata["snapshots"]
+            if s["summary"].get("writer-id") == "matview"
+            and "->" in s["summary"].get("batch-id", "")
+        ]
+        ids += [
+            int(b.rsplit("->", 1)[1])
+            for b in self.view.metadata.get("applied_markers", {}).get("matview", [])
+            if "->" in b
+        ]
+        return max(ids) if ids else None
+
+    def read(self) -> DataFrame:
+        return self.view.read()
+
+    # ------------------------------------------------------- advance
+
+    def advance(self, to_snapshot_id: int | None = None) -> int:
+        """Fold the base commits in (cursor, to] into the view; returns
+        the epoch advanced to (or the cursor unchanged when there is
+        nothing new). Crash-safe with NO extra machinery: the cursor IS
+        the merge's exactly-once marker (``_cursor``), so a crash
+        anywhere leaves either the old cursor (nothing applied) or the
+        new one (delta applied) — there is no window where the view and
+        the cursor disagree."""
+        cur = self.base.current_snapshot
+        to_id = cur["id"] if to_snapshot_id is None and cur else to_snapshot_id
+        frm = self._cursor()
+        if to_id is None or (frm is not None and to_id <= frm):
+            return frm if frm is not None else -1
+
+        vschema = {f.name: f.dataType for f in self.view.schema.fields}
+        try:
+            ch = self.base.read_changes(frm, to_id, include_pre_images=True)
+        except ValueError:
+            # cursor snapshot EXPIRED (base retention ran ahead of the
+            # view): rebootstrap from the absolute state — UPSERT every
+            # current group, DELETE every view group no longer present.
+            # O(base) once, by construction; same failure contract as
+            # the change-feed consumer job.
+            log.warning(
+                "materialized-view cursor %s expired on %s — rebootstrapping",
+                frm, self.base.path,
+            )
+            target = self._absolute(self.base.read(snapshot_id=to_id))
+            gone = (
+                self.view.read()
+                .select(*self.group_cols)
+                .join(target.select(*self.group_cols), self.group_cols, "left_anti")
+            )
+            rows = target.withColumn("op", F.lit("UPSERT")).unionByName(
+                gone.select(
+                    *self.group_cols,
+                    *[
+                        F.lit(None).cast(vschema[n]).alias(n)
+                        for n in ("n_rows", *self.sums)
+                    ],
+                    F.lit("DELETE").alias("op"),
+                )
+            )
+            self.view.merge(
+                rows.withColumn("seq", F.lit(to_id).cast("long")),
+                writer_id="matview",
+                batch_id=f"reboot->{to_id}",
+                mode="auto",
+            )
+            return to_id
+
+        # contribution delta: +1 for rows entering the TO state,
+        # -1 retractions for rows leaving it (update pre-images and
+        # deletes) — one aggregation over O(changed keys) feed rows
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_post"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = (
+            ch.select(
+                *self.group_cols,
+                sign.alias("_sign"),
+                *[
+                    (F.coalesce(F.expr(e), F.lit(0)) * sign).alias(f"_d_{n}")
+                    for n, e in self.sums.items()
+                ],
+            )
+            .groupBy(*self.group_cols)
+            .agg(
+                F.sum("_sign").alias("_dn"),
+                *[F.sum(f"_d_{n}").alias(f"_d_{n}") for n in self.sums],
+            )
+            .filter(
+                (F.col("_dn") != 0)
+                | F.greatest(
+                    *[(F.col(f"_d_{n}") != 0) for n in self.sums], F.lit(False)
+                )
+            )
+            if self.sums
+            else ch.select(*self.group_cols, sign.alias("_sign"))
+            .groupBy(*self.group_cols)
+            .agg(F.sum("_sign").alias("_dn"))
+            .filter(F.col("_dn") != 0)
+        )
+
+        # fold into current view values: read ONLY the view buckets the
+        # delta touches (the same control-plane distinct-buckets probe
+        # merge itself uses) — the per-advance cost is O(touched
+        # groups + their buckets), independent of total group count
+        bks = sorted(
+            int(r[0])
+            for r in delta.withColumn("_bucket", self.view.bucket_expr())
+            .select("_bucket")
+            .distinct()
+            .collect()
+        )
+        old = self.view.read(buckets=bks).select(
+            *self.group_cols,
+            F.col("n_rows").alias("_o_n"),
+            *[F.col(n).alias(f"_o_{n}") for n in self.sums],
+        )
+        # no broadcast hint: the pruned view side is USUALLY tiny (AQE
+        # promotes it to a broadcast join at runtime), but a delta
+        # touching every bucket of a wide view must be allowed to
+        # shuffle instead of OOMing the driver on a forced broadcast
+        j = delta.join(old, self.group_cols, "left")
+        new_n = F.coalesce(F.col("_o_n"), F.lit(0)) + F.col("_dn")
+        rows = j.select(
+            *self.group_cols,
+            new_n.cast(vschema["n_rows"]).alias("n_rows"),
+            *[
+                (
+                    F.coalesce(F.col(f"_o_{n}"), F.lit(0))
+                    + F.coalesce(F.col(f"_d_{n}"), F.lit(0))
+                )
+                .cast(vschema[n])
+                .alias(n)
+                for n in self.sums
+            ],
+            F.when(new_n <= 0, F.lit("DELETE"))
+            .otherwise(F.lit("UPSERT"))
+            .alias("op"),
+        )
+        self.view.merge(
+            rows.withColumn("seq", F.lit(to_id).cast("long")),
+            writer_id="matview",
+            batch_id=f"{frm}->{to_id}",
+            mode="auto",
+        )
+        return to_id

@@ -693,6 +693,7 @@ class LakeTable:
         self,
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
+        include_pre_images: bool = False,
     ) -> DataFrame:
         """Incremental change feed between two snapshots — the engine
         as a CDC *source* (Iceberg incremental/changelog scan, Delta
@@ -704,6 +705,17 @@ class LakeTable:
           * payload columns aligned to the TO snapshot's schema
             (post-rename names; deletes carry the last-known payload)
           * ``_seq`` — the winning sequence number
+
+        ``include_pre_images=True`` switches to the Delta-CDF row
+        shape incremental view maintenance needs: every update emits
+        TWO rows — ``update_pre`` (the replaced payload, its seq) and
+        ``update_post`` (the new payload) — so a consumer can RETRACT
+        the old contribution and add the new one without reading the
+        FROM state itself. Inserts/deletes are unchanged, and the
+        pre-image payload speaks the TO schema like every other row.
+        Same cost shape: the from-side rows are already in the diff
+        join, so pre-images add no extra scan. (Plain mode stays the
+        compact one-row-per-key feed ``interop.changes_sql`` mirrors.)
 
         ``from_snapshot_id=None`` reads from the beginning (every live
         row is an insert). Cost scales with the buckets TOUCHED by
@@ -856,16 +868,40 @@ class LakeTable:
             if from_snapshot_id is not None
             else F.col("__t_seq")
         )
-        return j.filter(change.isNotNull()).select(
+        rows = j.filter(change.isNotNull())
+        payload_cols = [
+            F.col(f["name"])
+            if f["name"] in keys
+            else f_or(f["name"]).alias(f["name"])
+            for f in fields_to
+        ]
+        if not include_pre_images or from_snapshot_id is None:
+            return rows.select(
+                *payload_cols,
+                change.alias("_change_type"),
+                f_seq.alias("_seq"),
+            )
+        # CDF shape: updates split into update_pre (before payload,
+        # before seq) + update_post; the before row is ALREADY in the
+        # diff join's __f_* columns — no extra scan
+        post = rows.select(
+            *payload_cols,
+            F.when(change == F.lit("update"), F.lit("update_post"))
+            .otherwise(change)
+            .alias("_change_type"),
+            f_seq.alias("_seq"),
+        )
+        pre = rows.filter(change == F.lit("update")).select(
             *[
                 F.col(f["name"])
                 if f["name"] in keys
-                else f_or(f["name"]).alias(f["name"])
+                else F.col(f"__f_{f['name']}").alias(f["name"])
                 for f in fields_to
             ],
-            change.alias("_change_type"),
-            f_seq.alias("_seq"),
+            F.lit("update_pre").alias("_change_type"),
+            F.col("__f_seq").alias("_seq"),
         )
+        return post.unionByName(pre)
 
     # ------------------------------------------------------ write
 

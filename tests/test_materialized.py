@@ -1,0 +1,262 @@
+"""Incrementally-maintained aggregates (lake.materialized) and the
+pre-image change feed that powers them.
+
+The invariant under test everywhere: after any sequence of base-table
+commits and ``advance()`` calls, the view table equals the batch
+``GROUP BY`` over the base table's current state — the definition of a
+correct materialized view. Crash/restart safety is exercised through
+the exactly-once marker cursor (no side state exists to desync)."""
+
+import datetime
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from delta_spark.lake import LakeTable, MaterializedAggregate
+from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+TS = datetime.datetime(2026, 1, 1)
+DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, op string, seq long"
+)
+
+
+def _mk(spark, path, n=20, buckets=8):
+    t = LakeTable.create(
+        spark, path, TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], "conv_id", buckets
+    )
+    rows = [
+        (f"c{i}", 0, "user" if i % 2 else "assistant", "x" * (i + 1), "", TS,
+         "INSERT", i + 1)
+        for i in range(n)
+    ]
+    t.merge(spark.createDataFrame(rows, DDL), "w", "b0")
+    return t
+
+
+def _mv(spark, t, root):
+    return MaterializedAggregate(
+        spark, t, root, ["role"], {"sum_chars": "length(text)"}
+    )
+
+
+def _check(mv, t):
+    """view table == batch GROUP BY over the base's current state."""
+    got = (
+        mv.read().toPandas().sort_values("role").reset_index(drop=True)
+    )
+    want = (
+        t.read()
+        .groupBy("role")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("sum_chars"),
+        )
+        .toPandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["role", "n_rows", "sum_chars"]].astype(
+            {"n_rows": "int64", "sum_chars": "int64"}
+        ),
+        want.astype({"n_rows": "int64", "sum_chars": "int64"}),
+    )
+
+
+# ------------------------------------------------------ pre-image feed
+
+
+def test_changes_pre_images_shape(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=6)
+    sid = t.metadata["current_snapshot_id"]
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("c1", 0, "user", "v2", "", TS, "UPDATE", 100),
+                ("c2", 0, None, None, None, None, "DELETE", 101),
+                ("c99", 0, "user", "new", "", TS, "INSERT", 102),
+            ],
+            DDL,
+        ),
+        "w",
+        "b1",
+    )
+    ch = t.read_changes(sid, include_pre_images=True).collect()
+    by = {}
+    for r in ch:
+        by.setdefault(r["conv_id"], {})[r["_change_type"]] = r
+    # the update splits into pre (old payload + old seq) and post
+    assert set(by["c1"]) == {"update_pre", "update_post"}
+    assert by["c1"]["update_pre"]["text"] == "x" * 2  # c1 inserted as "xx"
+    assert by["c1"]["update_pre"]["_seq"] == 2
+    assert by["c1"]["update_post"]["text"] == "v2"
+    assert by["c1"]["update_post"]["_seq"] == 100
+    # inserts and deletes are one row, exactly as in plain mode
+    assert set(by["c2"]) == {"delete"} and by["c2"]["delete"]["text"] == "x" * 3
+    assert set(by["c99"]) == {"insert"}
+    # plain mode is untouched: one compact row per changed key
+    plain = t.read_changes(sid).collect()
+    assert sorted(r["_change_type"] for r in plain) == [
+        "delete", "insert", "update",
+    ]
+
+
+def test_changes_pre_images_from_beginning_all_inserts(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=5)
+    ch = t.read_changes(None, include_pre_images=True)
+    assert ch.filter(F.col("_change_type") != "insert").count() == 0
+    assert ch.count() == 5
+
+
+# ------------------------------------------------------ view maintenance
+
+
+def test_matview_tracks_commits(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    mv = _mv(spark, t, str(tmp_path / "mv"))
+    mv.advance()
+    _check(mv, t)
+
+    # update that MIGRATES a key between groups: retraction from
+    # 'user', addition to 'assistant' — the case a non-pre-image feed
+    # cannot maintain
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 0, "assistant", "migrated", "", TS, "UPDATE", 500)], DDL
+        ),
+        "w",
+        "b1",
+    )
+    mv.advance()
+    _check(mv, t)
+
+    # in-group update changing only the measure
+    t.merge(
+        spark.createDataFrame(
+            [("c3", 0, "user", "much longer text", "", TS, "UPDATE", 501)], DDL
+        ),
+        "w",
+        "b2",
+    )
+    # plus deletes and inserts in the same range
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("c2", 0, None, None, None, None, "DELETE", 502),
+                ("n1", 0, "system", "brand new", "", TS, "INSERT", 503),
+            ],
+            DDL,
+        ),
+        "w",
+        "b3",
+    )
+    mv.advance()  # two base commits folded in one advance
+    _check(mv, t)
+
+
+def test_matview_group_vanishes_at_zero(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=4)  # 2 user, 2 assistant
+    mv = _mv(spark, t, str(tmp_path / "mv"))
+    mv.advance()
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("c1", 0, None, None, None, None, "DELETE", 600),
+                ("c3", 0, None, None, None, None, "DELETE", 601),
+            ],
+            DDL,
+        ),
+        "w",
+        "b1",
+    )
+    mv.advance()
+    roles = {r["role"] for r in mv.read().collect()}
+    assert roles == {"assistant"}, "emptied group must leave the view"
+    _check(mv, t)
+
+
+def test_matview_advance_idempotent_and_restart(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    mv = _mv(spark, t, str(tmp_path / "mv"))
+    to1 = mv.advance()
+    assert mv.advance() == to1, "nothing new → cursor unchanged"
+    _check(mv, t)
+
+    # crash/restart: a FRESH instance recovers the cursor from the
+    # view's own markers; more base commits since the last fold must
+    # produce exactly one application of the missing range
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 0, "user", "after restart", "", TS, "UPDATE", 700)], DDL
+        ),
+        "w",
+        "b1",
+    )
+    mv2 = _mv(spark, t, str(tmp_path / "mv"))
+    assert mv2._cursor() == to1
+    mv2.advance()
+    _check(mv2, t)
+    # replaying the same advance on yet another instance is a no-op
+    mv3 = _mv(spark, t, str(tmp_path / "mv"))
+    assert mv3.advance() == mv2._cursor()
+    _check(mv3, t)
+
+
+def test_matview_cursor_survives_view_expiry(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=6)
+    mv = _mv(spark, t, str(tmp_path / "mv"))
+    for i in range(7):  # many advances → many view snapshots
+        t.merge(
+            spark.createDataFrame(
+                [(f"c{i}", 0, "user", f"v{i}!", "", TS, "UPDATE", 800 + i)], DDL
+            ),
+            "w",
+            f"u{i}",
+        )
+        mv.advance()
+    cur = mv._cursor()
+    mv.view.expire_snapshots(keep_last=1)
+    mv2 = _mv(spark, t, str(tmp_path / "mv"))
+    assert mv2._cursor() == cur, "markers fold forward through expiry"
+    _check(mv2, t)
+
+
+def test_matview_expired_base_cursor_rebootstraps(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=6)
+    mv = _mv(spark, t, str(tmp_path / "mv"))
+    mv.advance()
+    # the base races ahead and expires the cursor snapshot; one group
+    # ('system') both appears and one key migrates out of 'user'
+    for i, (role, seq) in enumerate([("system", 900), ("assistant", 901)]):
+        t.merge(
+            spark.createDataFrame(
+                [(f"c{i}", 0, role, "rebooted", "", TS, "UPDATE", seq)], DDL
+            ),
+            "w",
+            f"r{i}",
+        )
+    t.expire_snapshots(keep_last=1)
+    assert mv.advance() == t.metadata["current_snapshot_id"]
+    _check(mv, t)
+
+
+def test_matview_count_only_no_sums(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=8)
+    mv = MaterializedAggregate(spark, t, str(tmp_path / "mv"), ["role"], {})
+    mv.advance()
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 0, None, None, None, None, "DELETE", 950)], DDL
+        ),
+        "w",
+        "b1",
+    )
+    mv.advance()
+    got = {r["role"]: r["n_rows"] for r in mv.read().collect()}
+    want = {
+        r["role"]: r["n"]
+        for r in t.read().groupBy("role").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
