@@ -1147,6 +1147,67 @@ def table_changes_feed(spark, sf_dir):
     )
 
 
+def matview_rollup(spark, sf_dir):
+    """Incrementally-maintained aggregate (materialized view) with a
+    SQL oracle: the events view mapped onto the transcript changelog,
+    split at the median seq into two generations, each replayed through
+    the REAL Pipeline into one lake table. A ``MaterializedAggregate``
+    (docs + chars per role) bootstraps after generation 1, then folds
+    generation 2's pre-image change feed INCREMENTALLY — retracting
+    update pre-images, adding post-images, dropping emptied groups —
+    at O(changed keys + touched groups), never rescanning the base.
+    DuckDB recomputes the batch GROUP BY over the final LWW state: the
+    incremental fold must equal it exactly (integral measures)."""
+    import tempfile
+
+    from .lake import LakeTable, MaterializedAggregate
+    from .pipeline import Pipeline, PipelineConfig
+
+    d = tempfile.mkdtemp(prefix="matview_")
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit(None).cast("string").alias("prev_text"),
+        F.lit(False).alias("is_snapshot"),
+        F.col("ts").cast("timestamp").alias("ingest_ts"),
+        F.lit(None).cast("string").alias("ddl"),
+    )
+    cut = log.agg(F.max("seq")).collect()[0][0] // 2  # control-plane scalar
+    log.filter(F.col("seq") <= cut).write.parquet(f"{d}/log1")
+    log.filter(F.col("seq") > cut).write.parquet(f"{d}/log2")
+    for gen in (1, 2):
+        Pipeline(
+            spark,
+            PipelineConfig(
+                changelog_path=f"{d}/log{gen}",
+                table_path=f"{d}/tbl",
+                checkpoint_dir=f"{d}/ck{gen}",
+                generation=gen,
+                num_buckets=8,
+            ),
+        ).run_batch()
+        # a FRESH handle per generation (the restart shape): the cursor
+        # lives in the view's own exactly-once markers, not in memory
+        mv = MaterializedAggregate(
+            spark,
+            LakeTable.load(spark, f"{d}/tbl"),
+            f"{d}/mv",
+            ["role"],
+            {"sum_chars": "length(text)"},
+        )
+        mv.advance()  # gen 1 bootstraps; gen 2 folds the delta feed
+    return mv.read().select("role", "n_rows", "sum_chars")
+
+
 def media_features(spark, sf_dir):
     """Multimodal decode E2E WITH a SQL oracle: documents → real PPM/
     WAV/RVID binaries (mapInPandas encode) → header-parsing decode
@@ -1371,6 +1432,7 @@ ALL_QUERIES = {
     "rebucket_replay_lww": rebucket_replay_lww,
     "cdc_replay_stream_lww": cdc_replay_stream_lww,
     "table_changes_feed": table_changes_feed,
+    "matview_rollup": matview_rollup,
     "iceberg_export_read": iceberg_export_read,
     "iceberg_publish_feed": iceberg_publish_feed,
     "iceberg_changes_feed": iceberg_changes_feed,
