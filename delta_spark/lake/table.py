@@ -298,6 +298,17 @@ class LakeTable:
         return F.pmod(F.xxhash64(F.col(col or self.bucket_col)), F.lit(self.num_buckets))
 
     @property
+    def cluster_cols(self) -> list[str]:
+        """Sort-order columns set by ``cluster_by`` (current names, by
+        field id — rename-proof); empty when the table is unclustered."""
+        by_id = {f["id"]: f["name"] for f in self.fields}
+        return [
+            by_id[i]
+            for i in self.metadata.get("cluster_by_ids", ())
+            if i in by_id
+        ]
+
+    @property
     def stats_ids(self) -> list[int]:
         """Field ids whose per-file min/max go into manifest entries
         (Iceberg column bounds analog; keyed by id so stats survive
@@ -956,6 +967,7 @@ class LakeTable:
     def _write_data(
         self, df: DataFrame, snap_tag: str, kind: str = "base",
         read_footers: bool | None = None, sort_by: list[str] | None = None,
+        range_by: list[str] | None = None,
     ) -> list[dict]:
         """Write df (which must carry ``_bucket``) as one parquet
         directory per bucket under data/<snap_tag>/; returns manifest
@@ -966,6 +978,15 @@ class LakeTable:
         parquet row-group statistics, so key-predicate reads skip row
         groups inside the files the manifest stats couldn't skip.
 
+        ``range_by`` instead RANGE-partitions the whole batch on those
+        columns (Iceberg sort-order write): each task holds one slice
+        of the sort-key domain across all buckets, and partitionBy then
+        splits it bucket-pure — so every output file covers one bucket
+        × one narrow key slice, and the manifest min/max bounds on the
+        sort columns become disjoint across files. That is what turns
+        ``read(ranges=...)`` from row filtering into driver-side FILE
+        skipping. Same shuffle count as the hash path (one exchange).
+
         ``read_footers`` controls the per-file stats (row count +
         min/max of the ``stats_ids`` columns — Iceberg column bounds).
         Defaults on for base files, OFF for delta files — the streaming
@@ -974,9 +995,13 @@ class LakeTable:
         messages)."""
         out_dir = os.path.join(self.path, "data", snap_tag)
         n_parts = max(1, df.sparkSession.sparkContext.defaultParallelism)
-        part = df.repartition(n_parts, "_bucket")
-        if sort_by:
-            part = part.sortWithinPartitions("_bucket", *sort_by)
+        if range_by:
+            part = df.repartitionByRange(n_parts, *range_by)
+            part = part.sortWithinPartitions(*range_by, *(sort_by or ()))
+        else:
+            part = df.repartition(n_parts, "_bucket")
+            if sort_by:
+                part = part.sortWithinPartitions("_bucket", *sort_by)
         part.write.mode("errorifexists").partitionBy("_bucket").parquet(out_dir)
         if read_footers is None:
             read_footers = kind == "base"
@@ -1779,10 +1804,16 @@ class LakeTable:
         data = self.read(buckets=crowded, include_system=True).withColumn(
             "_bucket", self.bucket_expr()
         )
-        # sort within files by key: tight parquet row-group stats, so
+        # clustered tables keep their sort order through maintenance
+        # (range-disjoint files on the cluster columns); otherwise sort
+        # within files by key: tight parquet row-group stats, so
         # key-range reads skip row groups (Iceberg sort-order rewrite)
+        rng = self.cluster_cols
         files_new = self._write_data(
-            data, f"compact-{uuid.uuid4().hex[:12]}", sort_by=self.key_cols
+            data,
+            f"compact-{uuid.uuid4().hex[:12]}",
+            sort_by=self.key_cols if not rng else None,
+            range_by=rng or None,
         )
         kept = [
             f for f in cur["files"]
@@ -1795,3 +1826,61 @@ class LakeTable:
             {"operation": "compact", "compacted-buckets": len(crowded)},
         )
         return len(crowded)
+
+    def cluster_by(self, cols: list[str]) -> int:
+        """Sort-order rewrite (Iceberg ``rewrite_data_files`` with a
+        sort order / Delta ``OPTIMIZE ZORDER`` analog): rewrite the
+        current state so data files are RANGE-DISJOINT on ``cols``.
+        Rows are range-partitioned on the sort key across the table,
+        then split bucket-pure inside each slice — every output file
+        covers one bucket × one narrow slice of the sort-key domain.
+        ``cols`` join the manifest stats set, so from this commit on
+        ``read(ranges={col: ...})`` plans down to O(matching slices ×
+        buckets) files entirely driver-side, instead of row-filtering
+        every file (hash buckets alone spread every key range over ALL
+        files). Key/bucket semantics are untouched: files stay
+        bucket-pure, so hash pruning, ``lookup`` and MERGE see the
+        layout contract they always had, and ``compact`` preserves the
+        clustering on later maintenance.
+
+        A full CoW rewrite: MoR deltas are folded in and tombstones
+        purged (no older file remains for them to guard), leaving a
+        delta-free snapshot — exactly the state where non-key stats
+        skipping is sound. Maintenance, not apply: no writer markers;
+        snapshot isolation keeps concurrent readers consistent. At
+        100 TB the same call runs per bucket-range or incrementally —
+        clustering cost amortizes against every selective scan after.
+
+        Returns the number of files written. The sort order is
+        recorded by FIELD ID (rename-proof) and visible as
+        ``cluster_cols``."""
+        cur = self.current_snapshot
+        if cur is None or not cur["files"]:
+            return 0
+        name_to_id = {f["name"]: f["id"] for f in self.fields}
+        missing = [c for c in cols if c not in name_to_id]
+        if missing:
+            raise ValueError(f"unknown cluster column(s) {missing}")
+        if not cols:
+            raise ValueError("cluster_by needs at least one column")
+        # stats for the sort columns are what makes the layout prunable
+        # — added to the SAME metadata commit as the rewritten files
+        meta = dict(self.metadata)
+        stat_ids = list(self.stats_ids)
+        for c in cols:
+            if name_to_id[c] not in stat_ids:
+                stat_ids.append(name_to_id[c])
+        meta["stats_ids"] = stat_ids
+        meta["cluster_by_ids"] = [name_to_id[c] for c in cols]
+        self.metadata = meta  # _write_data reads _stat_fields from here;
+        # nothing is on disk until _commit_snapshot claims the version
+        data = self.read(include_system=True).filter(~F.col("_deleted"))
+        data = data.withColumn("_bucket", self.bucket_expr())
+        files_new = self._write_data(
+            data, f"cluster-{uuid.uuid4().hex[:12]}", range_by=cols
+        )
+        self._commit_snapshot(
+            files_new,
+            {"operation": "cluster", "cluster-by": ",".join(cols)},
+        )
+        return len(files_new)

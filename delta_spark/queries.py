@@ -849,6 +849,53 @@ def stats_pruned_scan(spark, sf_dir):
     ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def clustered_scan(spark, sf_dir):
+    """Sort-order rewrite E2E WITH a SQL oracle (Iceberg
+    rewrite_data_files sort order / Delta OPTIMIZE ZORDER analog,
+    lake/table.py cluster_by): the mapped transcript changelog is
+    LWW-merged (tombstones included) into a lake table created WITHOUT
+    ts stats, then ``cluster_by(["ts"])`` rewrites it range-disjoint on
+    ts — folding deltas, purging tombstones, and adding ts to the
+    manifest stats set in the same commit — and a ts-range read comes
+    back through driver-side file skipping. DuckDB runs the same LWW
+    window + range over the raw events: the rewrite must be invisible
+    to the data and visible only to the scan plan."""
+    import datetime
+    import tempfile
+
+    from .lake import LakeTable
+    from .schema import TRANSCRIPT_SCHEMA
+
+    d = tempfile.mkdtemp(prefix="clustered_scan_")
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.select(
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.col("event_id").cast("long").alias("seq"),
+    )
+    t = LakeTable.create(
+        spark, f"{d}/tbl", TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        "conv_id", 8,
+    )
+    t.merge(batch, "w", "b0")
+    t.cluster_by(["ts"])
+    return t.read(
+        ranges={
+            "ts": (
+                datetime.datetime(2024, 1, 8),
+                datetime.datetime(2024, 1, 16),
+            )
+        }
+    ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def stateful_sessions_stream(spark, sf_dir):
     """Custom stateful streaming operator E2E WITH a SQL oracle:
     the events table, mapped to (conv_id, ts, text), streams through
@@ -1427,6 +1474,7 @@ ALL_QUERIES = {
     "table_ddl_replay": table_ddl_replay,
     "transcript_replay_lww": transcript_replay_lww,
     "stats_pruned_scan": stats_pruned_scan,
+    "clustered_scan": clustered_scan,
     "stateful_sessions_stream": stateful_sessions_stream,
     "stale_audit_stream": stale_audit_stream,
     "rebucket_replay_lww": rebucket_replay_lww,
