@@ -297,6 +297,69 @@ class LakeTable:
     def bucket_expr(self, col: str | None = None):
         return F.pmod(F.xxhash64(F.col(col or self.bucket_col)), F.lit(self.num_buckets))
 
+    # ------------------------------------------------------ tags
+    #
+    # Iceberg table refs (tags): named, expiry-pinned snapshot pointers.
+    # A tag is how a 100 TB pipeline names the exact table state a
+    # training run / audit / experiment consumed — retention can then
+    # run aggressively (metadata stays O(keep_last)) without losing the
+    # states someone still depends on, and a reader asks for
+    # ``read(tag="v1-train")`` instead of a raw snapshot id.
+
+    @property
+    def tags(self) -> dict[str, int]:
+        return {k: int(v) for k, v in self.metadata.get("tags", {}).items()}
+
+    def tag(self, name: str, snapshot_id: int | None = None,
+            replace: bool = False) -> int:
+        """Pin ``name`` to a snapshot (default: current). Tagged
+        snapshots survive ``expire_snapshots``. Idempotent: re-tagging
+        to the same id is a no-op; moving an existing tag requires
+        ``replace=True`` (a tag names an immutable state — silently
+        repointing it is the bug class tags exist to prevent)."""
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.metadata["current_snapshot_id"]
+        )
+        if sid is None:
+            raise ValueError("cannot tag an empty table")
+        self._raw_snapshot(sid)  # raises if expired / never existed
+        cur = self.metadata.get("tags", {}).get(name)
+        if cur is not None:
+            if int(cur) == sid:
+                return sid
+            if not replace:
+                raise ValueError(
+                    f"tag {name!r} already pins snapshot {cur}; pass "
+                    f"replace=True to move it"
+                )
+        meta = dict(self.metadata)
+        meta["tags"] = {**meta.get("tags", {}), name: sid}
+        self._write_metadata(meta, expected_version=self.metadata["version"])
+        return sid
+
+    def drop_tag(self, name: str) -> bool:
+        """Remove a tag (the snapshot becomes expirable again).
+        Returns False if the tag did not exist (idempotent)."""
+        tags = dict(self.metadata.get("tags", {}))
+        if name not in tags:
+            return False
+        del tags[name]
+        meta = dict(self.metadata, tags=tags)
+        self._write_metadata(meta, expected_version=self.metadata["version"])
+        return True
+
+    def snapshot_as_of(self, ts_ms: int) -> int | None:
+        """Largest retained snapshot committed at or before ``ts_ms``
+        (Iceberg TIMESTAMP AS OF). None when nothing that old remains."""
+        ids = [
+            s["id"]
+            for s in self.metadata["snapshots"]
+            if s["timestamp_ms"] <= ts_ms
+        ]
+        return max(ids) if ids else None
+
     @property
     def cluster_cols(self) -> list[str]:
         """Sort-order columns set by ``cluster_by`` (current names, by
@@ -460,6 +523,8 @@ class LakeTable:
         include_system: bool = False,
         snapshot_id: int | None = None,
         ranges: dict[str, tuple] | None = None,
+        tag: str | None = None,
+        as_of=None,
         _align_schema_version: int | None = None,
     ) -> DataFrame:
         """Read the current snapshot (optionally pruned to buckets),
@@ -488,7 +553,30 @@ class LakeTable:
         is fully reconstructable, and rows align to the SCHEMA IN
         EFFECT AT THAT SNAPSHOT (Iceberg VERSION AS OF: each snapshot
         records its schema id; pre-rename history reads under the old
-        names)."""
+        names).
+
+        ``tag`` time-travels to a named, expiry-pinned snapshot
+        (Iceberg ref); ``as_of`` (datetime or epoch-ms) to the last
+        snapshot committed at or before that instant (TIMESTAMP AS
+        OF). Both resolve to ``snapshot_id`` — pass at most one of the
+        three."""
+        if sum(x is not None for x in (snapshot_id, tag, as_of)) > 1:
+            raise ValueError("pass at most one of snapshot_id / tag / as_of")
+        if tag is not None:
+            snapshot_id = self.tags.get(tag)
+            if snapshot_id is None:
+                raise ValueError(f"no tag {tag!r} (have {sorted(self.tags)})")
+        elif as_of is not None:
+            ts_ms = (
+                int(as_of.timestamp() * 1000)
+                if hasattr(as_of, "timestamp")
+                else int(as_of)
+            )
+            snapshot_id = self.snapshot_as_of(ts_ms)
+            if snapshot_id is None:
+                raise ValueError(
+                    f"no retained snapshot at or before {as_of!r}"
+                )
         if snapshot_id is not None:
             raw = self._raw_snapshot(snapshot_id)
             snap = {**raw, "files": self._resolve_files(raw)}
@@ -1590,7 +1678,14 @@ class LakeTable:
         if len(snaps) <= keep_last:
             return 0
         snaps_sorted = sorted(snaps, key=lambda s: s["id"])
-        expired, retained = snaps_sorted[:-keep_last], snaps_sorted[-keep_last:]
+        # tagged snapshots are pinned (Iceberg refs): retention prunes
+        # around them, so a tag outlives any keep_last policy
+        pinned = set(self.tags.values())
+        tail = {s["id"] for s in snaps_sorted[-keep_last:]}
+        retained = [s for s in snaps_sorted if s["id"] in tail or s["id"] in pinned]
+        expired = [s for s in snaps_sorted if s["id"] not in tail and s["id"] not in pinned]
+        if not expired:
+            return 0
         markers = {k: list(v) for k, v in self.metadata.get("applied_markers", {}).items()}
         for s in expired:
             w, b = s["summary"].get("writer-id"), s["summary"].get("batch-id")
