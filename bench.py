@@ -37,7 +37,9 @@ BENCH_QUERIES = [
     "region_customer_rollup",
     "order_priority_revenue",
     "table_changes_feed",
+    "matview_rollup",
     "stats_pruned_scan",
+    "clustered_scan",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash16",

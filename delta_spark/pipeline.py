@@ -106,6 +106,14 @@ class PipelineConfig:
     # one incremental Iceberg snapshot per published micro-batch
     publish_every: int = 1                 # publish every N micro-batches
     # (must stay well under expire_every or the publish cursor expires)
+    matview_dest: str | None = None        # maintain a MaterializedAggregate
+    # (lake/materialized.py) in lockstep with the sink: the view folds
+    # each micro-batch's pre-image change feed at O(changed keys +
+    # touched groups) — the per-domain/per-role summary tables a 100 TB
+    # corpus cannot afford to recompute by rescanning the base
+    matview_group_cols: tuple = ("role",)
+    matview_sums: object = None            # dict: out col -> SQL expr
+    matview_every: int = 1                 # advance every N micro-batches
 
     def __post_init__(self):
         if self.generation is None:
@@ -218,6 +226,23 @@ class Pipeline:
                 publish_iceberg(
                     table.refresh(), self.cfg.publish_iceberg_dest
                 )
+            # continuous materialized-view maintenance: fold this
+            # micro-batch's change feed into the aggregate view —
+            # BEFORE expiry so the view cursor stays readable (an
+            # expired cursor still recovers via rebootstrap, but that
+            # costs O(base) instead of O(batch))
+            if self.cfg.matview_dest and (
+                epoch_id % max(1, self.cfg.matview_every) == 0
+            ):
+                from .lake.materialized import MaterializedAggregate
+
+                MaterializedAggregate(
+                    self.spark,
+                    table.refresh(),
+                    self.cfg.matview_dest,
+                    list(self.cfg.matview_group_cols),
+                    dict(self.cfg.matview_sums or {}),
+                ).advance()
             # periodic metadata maintenance: a per-micro-batch sink
             # accumulates snapshots without bound otherwise
             if (

@@ -242,6 +242,35 @@ def test_matview_expired_base_cursor_rebootstraps(spark, tmp_path):
     _check(mv, t)
 
 
+def test_matview_streaming_sink(spark, tmp_path):
+    """The pipeline's matview hook keeps the aggregate view in
+    lockstep with the streaming sink: after a multi-epoch run the view
+    equals the batch GROUP BY over the final table — each epoch folded
+    its own change feed, none rescanned the base."""
+    from delta_spark.changelog import ChangelogSpec, generate_and_write
+    from delta_spark.pipeline import Pipeline, PipelineConfig
+
+    spec = ChangelogSpec(n_events=2000, n_convs=30, seed=33, n_files=6)
+    generate_and_write(str(tmp_path / "log"), spec)
+    cfg = PipelineConfig(
+        changelog_path=str(tmp_path / "log"),
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        generation=1,
+        max_files_per_trigger=2,
+        matview_dest=str(tmp_path / "mv"),
+        matview_group_cols=("role",),
+        matview_sums={"sum_chars": "length(text)"},
+    )
+    p = Pipeline(spark, cfg)
+    p.run_stream_to_completion()
+    assert len(p.stats) >= 2  # several micro-batches, several advances
+    t = LakeTable.load(spark, cfg.table_path)
+    mv = _mv(spark, t, str(tmp_path / "mv"))
+    assert mv._cursor() == t.metadata["current_snapshot_id"]
+    _check(mv, t)
+
+
 def test_matview_count_only_no_sums(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"), n=8)
     mv = MaterializedAggregate(spark, t, str(tmp_path / "mv"), ["role"], {})
