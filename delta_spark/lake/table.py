@@ -117,6 +117,9 @@ class LakeTable:
         self.spark = spark
         self.path = path
         self.metadata = metadata
+        # mutable-ref binding: None = main; set via for_branch() —
+        # reads and commits on a bound handle address the branch head
+        self._branch: str | None = None
 
     # ------------------------------------------------------ lifecycle
 
@@ -317,11 +320,7 @@ class LakeTable:
         to the same id is a no-op; moving an existing tag requires
         ``replace=True`` (a tag names an immutable state — silently
         repointing it is the bug class tags exist to prevent)."""
-        sid = (
-            snapshot_id
-            if snapshot_id is not None
-            else self.metadata["current_snapshot_id"]
-        )
+        sid = snapshot_id if snapshot_id is not None else self._head_id()
         if sid is None:
             raise ValueError("cannot tag an empty table")
         self._raw_snapshot(sid)  # raises if expired / never existed
@@ -349,6 +348,131 @@ class LakeTable:
         meta = dict(self.metadata, tags=tags)
         self._write_metadata(meta, expected_version=self.metadata["version"])
         return True
+
+    # ------------------------------------------------------ branches
+    #
+    # Iceberg mutable refs (branches), rebuilt for the WAP
+    # (write-audit-publish) pattern a 100 TB CDC deployment uses to
+    # stage risky loads: commit a batch to a branch, run audit queries
+    # against the branch head while main serves readers the last good
+    # state, then FAST-FORWARD main to the branch head — an O(1)
+    # metadata pointer move, never a data rewrite. Branch commits are
+    # real snapshots in the shared snapshot list (shared manifests,
+    # shared exactly-once markers — a batch staged on a branch and
+    # published can never re-apply), and the schema is TABLE-level
+    # exactly as in Iceberg: branches stage DATA, not DDL.
+    # Reference analog: the worker applies to the target only after the
+    # consumer's idempotency contract holds (EventConsumer.java:39-76);
+    # WAP adds the audit gate in front of publication.
+
+    @property
+    def branches(self) -> dict[str, int]:
+        return {k: int(v) for k, v in self.metadata.get("branches", {}).items()}
+
+    def _head_id(self) -> int | None:
+        """Snapshot id this handle's commits parent on and reads from:
+        main's current snapshot, or the bound branch's head."""
+        if self._branch is None:
+            return self.metadata["current_snapshot_id"]
+        br = self.metadata.get("branches", {})
+        if self._branch not in br:
+            raise ValueError(
+                f"branch {self._branch!r} no longer exists "
+                f"(have {sorted(br)})"
+            )
+        return int(br[self._branch])
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Create a branch pointing at ``snapshot_id`` (default: the
+        current main head). The branch head is pinned against
+        ``expire_snapshots`` like a tag. Errors if the name exists
+        (a branch is a line of development — silently resetting one is
+        the bug class refs exist to prevent)."""
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.metadata["current_snapshot_id"]
+        )
+        if sid is None:
+            raise ValueError("cannot branch an empty table")
+        self._raw_snapshot(sid)  # raises if expired / never existed
+        if name in self.metadata.get("branches", {}):
+            raise ValueError(f"branch {name!r} already exists")
+        meta = dict(self.metadata)
+        meta["branches"] = {**meta.get("branches", {}), name: sid}
+        self._write_metadata(meta, expected_version=self.metadata["version"])
+        return sid
+
+    def drop_branch(self, name: str) -> bool:
+        """Remove a branch ref (its unpublished snapshots become
+        expirable). Returns False if absent (idempotent)."""
+        br = dict(self.metadata.get("branches", {}))
+        if name not in br:
+            return False
+        del br[name]
+        meta = dict(self.metadata, branches=br)
+        self._write_metadata(meta, expected_version=self.metadata["version"])
+        return True
+
+    def for_branch(self, name: str) -> "LakeTable":
+        """A handle bound to ``name``: its ``read()`` sees the branch
+        head and its ``merge``/``overwrite``/``compact`` commits move
+        the branch pointer, leaving main untouched. The handle is an
+        independent writer (same optimistic-concurrency rules as any
+        second handle on the table): ``refresh()`` this table to see
+        the branch's commits."""
+        if name not in self.metadata.get("branches", {}):
+            raise ValueError(
+                f"no branch {name!r} (have "
+                f"{sorted(self.metadata.get('branches', {}))})"
+            )
+        import copy
+
+        h = copy.copy(self)
+        h._branch = name
+        return h
+
+    def _is_ancestor(self, ancestor: int | None, sid: int | None) -> bool:
+        """True when ``ancestor`` is on ``sid``'s parent chain (or equal).
+        Walks only RETAINED snapshots: a chain broken by expiry is
+        conservatively not an ancestor."""
+        if ancestor is None:
+            return True
+        by_id = {s["id"]: s for s in self.metadata["snapshots"]}
+        while sid is not None:
+            if sid == ancestor:
+                return True
+            s = by_id.get(sid)
+            if s is None:
+                return False
+            sid = s.get("parent")
+        return False
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch: move main's head to the branch head — the
+        WAP publication step, O(1) metadata. Requires main's current
+        head to be an ancestor of the branch head (same rule as
+        Iceberg's fast_forward): if main advanced independently the
+        publish is refused rather than silently dropping main's
+        commits. The branch ref survives (drop it separately)."""
+        br = self.metadata.get("branches", {})
+        if name not in br:
+            raise ValueError(f"no branch {name!r} (have {sorted(br)})")
+        head = int(br[name])
+        main = self.metadata["current_snapshot_id"]
+        if head == main:
+            return head
+        if not self._is_ancestor(main, head):
+            raise ValueError(
+                f"cannot fast-forward: main head {main} is not an "
+                f"ancestor of branch {name!r} head {head} (main "
+                f"advanced independently — rebase the branch or "
+                f"replay onto a fresh one)"
+            )
+        meta = dict(self.metadata)
+        meta["current_snapshot_id"] = head
+        self._write_metadata(meta, expected_version=self.metadata["version"])
+        return head
 
     def snapshot_as_of(self, ts_ms: int) -> int | None:
         """Largest retained snapshot committed at or before ``ts_ms``
@@ -429,7 +553,7 @@ class LakeTable:
         return out
 
     def _raw_snapshot(self, sid: int | None = None) -> dict | None:
-        sid = self.metadata["current_snapshot_id"] if sid is None else sid
+        sid = self._head_id() if sid is None else sid
         if sid is None:
             return None
         snap = next(
@@ -525,6 +649,7 @@ class LakeTable:
         ranges: dict[str, tuple] | None = None,
         tag: str | None = None,
         as_of=None,
+        branch: str | None = None,
         _align_schema_version: int | None = None,
     ) -> DataFrame:
         """Read the current snapshot (optionally pruned to buckets),
@@ -558,11 +683,18 @@ class LakeTable:
         ``tag`` time-travels to a named, expiry-pinned snapshot
         (Iceberg ref); ``as_of`` (datetime or epoch-ms) to the last
         snapshot committed at or before that instant (TIMESTAMP AS
-        OF). Both resolve to ``snapshot_id`` — pass at most one of the
-        three."""
-        if sum(x is not None for x in (snapshot_id, tag, as_of)) > 1:
-            raise ValueError("pass at most one of snapshot_id / tag / as_of")
-        if tag is not None:
+        OF); ``branch`` to a mutable ref's current head (WAP audit
+        reads). All resolve to ``snapshot_id`` — pass at most one."""
+        if sum(x is not None for x in (snapshot_id, tag, as_of, branch)) > 1:
+            raise ValueError(
+                "pass at most one of snapshot_id / tag / as_of / branch"
+            )
+        if branch is not None:
+            br = self.metadata.get("branches", {})
+            if branch not in br:
+                raise ValueError(f"no branch {branch!r} (have {sorted(br)})")
+            snapshot_id = int(br[branch])
+        elif tag is not None:
             snapshot_id = self.tags.get(tag)
             if snapshot_id is None:
                 raise ValueError(f"no tag {tag!r} (have {sorted(self.tags)})")
@@ -1018,7 +1150,17 @@ class LakeTable:
           and add one new manifest with just these entries — the MoR
           hot path; metadata written per commit is O(batch)."""
         meta = dict(self.metadata)
-        sid = (meta["current_snapshot_id"] or 0) + 1
+        # ids are globally unique across main AND branches: interleaved
+        # branch/main commits must never collide (expiry keeps heads
+        # pinned, so the max over retained snapshots + live refs is the
+        # true high-water mark)
+        sid = 1 + max(
+            [
+                meta["current_snapshot_id"] or 0,
+                *(int(v) for v in meta.get("branches", {}).values()),
+                *(s["id"] for s in meta["snapshots"]),
+            ]
+        )
         if added is not None:
             parent = self._raw_snapshot()
             if parent is None:
@@ -1033,14 +1175,21 @@ class LakeTable:
             refs = [self._write_manifest(files)] if files else []
         snap = {
             "id": sid,
-            "parent": meta["current_snapshot_id"],
+            "parent": self._head_id(),
             "timestamp_ms": int(time.time() * 1000),
             "schema_version": meta["schema_version"],
             "summary": summary,
             "manifests": refs,
         }
         meta["snapshots"] = [*meta["snapshots"], snap]
-        meta["current_snapshot_id"] = sid
+        if self._branch is None:
+            meta["current_snapshot_id"] = sid
+        else:
+            if self._branch not in meta.get("branches", {}):
+                raise ValueError(
+                    f"branch {self._branch!r} was dropped mid-write"
+                )
+            meta["branches"] = {**meta["branches"], self._branch: sid}
         self._write_metadata(meta, expected_version=self.metadata["version"])
 
     def _stat_fields(self) -> list[tuple]:
@@ -1678,9 +1827,13 @@ class LakeTable:
         if len(snaps) <= keep_last:
             return 0
         snaps_sorted = sorted(snaps, key=lambda s: s["id"])
-        # tagged snapshots are pinned (Iceberg refs): retention prunes
-        # around them, so a tag outlives any keep_last policy
-        pinned = set(self.tags.values())
+        # tagged snapshots, branch heads, and main's head are pinned
+        # (Iceberg refs): retention prunes around them, so a ref
+        # outlives any keep_last policy (and a burst of branch commits
+        # can never expire main's serving state out from under readers)
+        pinned = set(self.tags.values()) | set(self.branches.values())
+        if self.metadata["current_snapshot_id"] is not None:
+            pinned.add(self.metadata["current_snapshot_id"])
         tail = {s["id"] for s in snaps_sorted[-keep_last:]}
         retained = [s for s in snaps_sorted if s["id"] in tail or s["id"] in pinned]
         expired = [s for s in snaps_sorted if s["id"] not in tail and s["id"] not in pinned]

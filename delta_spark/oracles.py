@@ -376,6 +376,22 @@ ALL_ORACLES: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
             AND NOT del
     """,
+    # write-audit-publish: staging half the log on a branch and
+    # fast-forwarding main must be invisible — same LWW oracle
+    "wap_publish": """
+        WITH log AS (
+            SELECT 'c' || user_id AS conv_id,
+                   CAST(event_id % 20 AS INT) AS turn_idx,
+                   event_type AS role, props AS text,
+                   CAST(NULL AS VARCHAR) AS tool, ts,
+                   event_id AS seq,
+                   (event_type = 'error') AS del
+            FROM events)
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM log
+        QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
+            AND NOT del
+    """,
     "cdc_replay_stream_lww": """
         WITH log AS (
             SELECT 'c' || user_id AS conv_id,

@@ -114,6 +114,10 @@ class PipelineConfig:
     matview_group_cols: tuple = ("role",)
     matview_sums: object = None            # dict: out col -> SQL expr
     matview_every: int = 1                 # advance every N micro-batches
+    branch: str | None = None              # write-audit-publish: commit
+    # every epoch to this branch (created at the table's current head on
+    # first use) instead of main — an auditor validates read(branch=...)
+    # and fast_forward()s main, so readers only ever see audited states
 
     def __post_init__(self):
         if self.generation is None:
@@ -142,8 +146,10 @@ class Pipeline:
 
     def ensure_table(self) -> LakeTable:
         if LakeTable.exists(self.cfg.table_path):
-            return LakeTable.load(self.spark, self.cfg.table_path)
-        return LakeTable.create(
+            return self._bind_branch(
+                LakeTable.load(self.spark, self.cfg.table_path)
+            )
+        return self._bind_branch(LakeTable.create(
             self.spark,
             self.cfg.table_path,
             TRANSCRIPT_SCHEMA,
@@ -151,7 +157,24 @@ class Pipeline:
             bucket_col="conv_id",
             num_buckets=self.cfg.num_buckets,
             stats_cols=list(self.cfg.stats_cols),
-        )
+        ))
+
+    def _bind_branch(self, table: LakeTable) -> LakeTable:
+        """WAP staging: bind the sink to ``cfg.branch`` (creating it at
+        the table's current head the first time), so every epoch this
+        pipeline commits is unpublished until an auditor
+        ``fast_forward``s main. No-op without a configured branch."""
+        if self.cfg.branch is None:
+            return table
+        if self.cfg.branch not in table.branches:
+            if table.metadata["current_snapshot_id"] is None:
+                # branching needs a snapshot to point at: seed an empty
+                # one (Iceberg: a branch ref cannot be null)
+                table._commit_snapshot(
+                    added=[], summary={"operation": "seed-branch"}
+                )
+            table.create_branch(self.cfg.branch)
+        return table.for_branch(self.cfg.branch)
 
     # ---------------------------------------------------- batch mode
 

@@ -1070,6 +1070,67 @@ def rebucket_replay_lww(spark, sf_dir):
     return t.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def wap_publish(spark, sf_dir):
+    """Write-audit-publish E2E WITH a SQL oracle (Iceberg branch refs /
+    WAP, the staging pattern a 100 TB deployment gates risky loads
+    with): the SAME mapped changelog as ``transcript_replay_lww``,
+    first half replayed straight to main, second half replayed by the
+    REAL Pipeline onto a BRANCH (``PipelineConfig(branch=...)``) —
+    main keeps serving the half-1 state while the staged head is
+    audited (key uniqueness + tombstone hygiene on ``read(branch=)``),
+    then ``fast_forward`` publishes it: one metadata pointer move, no
+    data rewrite. The published table must be IDENTICAL to the
+    single-replay LWW oracle — staging is invisible to the final
+    state. Reference analog: the consumer's idempotent-apply contract
+    (EventConsumer.java:39-76) with an audit gate before publication."""
+    import tempfile
+
+    from .lake import LakeTable
+    from .pipeline import Pipeline, PipelineConfig
+
+    d = tempfile.mkdtemp(prefix="wap_publish_")
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit(None).cast("string").alias("prev_text"),
+        F.lit(False).alias("is_snapshot"),
+        F.col("ts").cast("timestamp").alias("ingest_ts"),
+        F.lit(None).cast("string").alias("ddl"),
+    )
+    mid = log.agg(F.expr("percentile_approx(seq, 0.5)")).collect()[0][0]
+    log.filter(F.col("seq") <= mid).write.parquet(f"{d}/log1")
+    log.filter(F.col("seq") > mid).write.parquet(f"{d}/log2")
+    Pipeline(spark, PipelineConfig(
+        changelog_path=f"{d}/log1", table_path=f"{d}/tbl",
+        checkpoint_dir=f"{d}/ck1", generation=1, num_buckets=8,
+    )).run_batch()
+    Pipeline(spark, PipelineConfig(
+        changelog_path=f"{d}/log2", table_path=f"{d}/tbl",
+        checkpoint_dir=f"{d}/ck2", generation=1, instance_id=1,
+        num_buckets=8, merge_mode="mor", branch="audit",
+    )).run_batch(batch_id="batch-1")
+    t = LakeTable.load(spark, f"{d}/tbl")
+    # AUDIT against the staged head (main still serves half-1)
+    staged = t.read(branch="audit")
+    dup = (
+        staged.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+    )
+    assert dup == 0, f"audit failed: {dup} duplicate keys on staged head"
+    # PUBLISH: O(1) pointer move
+    t.fast_forward("audit")
+    t.drop_branch("audit")
+    return t.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 # ===================================================== engine E2E (rows-only)
 
 
@@ -1478,6 +1539,7 @@ ALL_QUERIES = {
     "stateful_sessions_stream": stateful_sessions_stream,
     "stale_audit_stream": stale_audit_stream,
     "rebucket_replay_lww": rebucket_replay_lww,
+    "wap_publish": wap_publish,
     "cdc_replay_stream_lww": cdc_replay_stream_lww,
     "table_changes_feed": table_changes_feed,
     "matview_rollup": matview_rollup,

@@ -1,0 +1,146 @@
+"""Branches (Iceberg mutable refs) + write-audit-publish.
+
+The WAP pattern a 100 TB CDC deployment stages risky loads with:
+commit a batch to a branch, audit the branch head while main keeps
+serving the last good state, then fast-forward main — an O(1)
+metadata pointer move. Invariants: branch writes never move main,
+read(branch=) == the branch head, fast_forward is refused when main
+diverged, exactly-once markers are shared (a batch staged on a branch
+can never re-apply after publication), expiry pins branch heads AND
+main's head, and snapshot ids never collide across refs."""
+
+import datetime
+
+import pytest
+
+from delta_spark.lake import LakeTable
+from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+TS = datetime.datetime(2026, 1, 1)
+DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, op string, seq long"
+)
+
+
+def _mk(spark, path):
+    t = LakeTable.create(
+        spark, path, TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], "conv_id", 4
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(f"c{i}", 0, "user", f"v0-{i}", "", TS, "INSERT", i + 1)
+             for i in range(6)],
+            DDL,
+        ),
+        "w", "b0",
+    )
+    return t
+
+
+def _batch(spark, n, text, op="UPDATE", conv="c0"):
+    return spark.createDataFrame(
+        [(conv, 0, "user", text, "", TS, op, 1000 + n)], DDL
+    )
+
+
+def test_wap_write_audit_publish(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    main_before = {r["text"] for r in t.read().collect()}
+    t.create_branch("audit")
+    b = t.for_branch("audit")
+    assert b.merge(_batch(spark, 1, "staged"), "w", "b1") is not None
+    # WRITE landed on the branch, main untouched
+    t.refresh()
+    assert {r["text"] for r in t.read().collect()} == main_before
+    staged = {r["text"] for r in t.read(branch="audit").collect()}
+    assert "staged" in staged and "v0-0" not in staged
+    # branch-bound handle reads its own head
+    assert {r["text"] for r in b.read().collect()} == staged
+    # AUDIT passes → PUBLISH: main == the audited branch state
+    t.fast_forward("audit")
+    assert {r["text"] for r in t.read().collect()} == staged
+    # exactly-once survives publication: the staged batch cannot re-apply
+    assert t.merge(_batch(spark, 1, "replayed"), "w", "b1") is None
+    assert t.drop_branch("audit") is True
+    assert t.drop_branch("audit") is False
+
+
+def test_fast_forward_refused_on_divergence(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.create_branch("audit")
+    b = t.for_branch("audit")
+    b.merge(_batch(spark, 1, "staged"), "w", "b1")
+    # main advances independently → publish must refuse, not drop
+    t.refresh().merge(_batch(spark, 2, "mainline", conv="c1"), "w", "b2")
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.fast_forward("audit")
+    assert "mainline" in {r["text"] for r in t.read().collect()}
+
+
+def test_fast_forward_multi_commit_chain(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.create_branch("audit")
+    b = t.for_branch("audit")
+    for i in (1, 2, 3):
+        b.merge(_batch(spark, i, f"s{i}", conv=f"c{i}"), "w", f"b{i}")
+    head = t.refresh().branches["audit"]
+    assert t.fast_forward("audit") == head
+    got = {r["text"] for r in t.read().collect()}
+    assert {"s1", "s2", "s3"} <= got
+    # idempotent: ffwd to an already-published head is a no-op
+    assert t.fast_forward("audit") == head
+
+
+def test_branch_ids_never_collide_with_main(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.create_branch("x")
+    b = t.for_branch("x")
+    b.merge(_batch(spark, 1, "bx"), "w", "b1")
+    t.refresh().merge(_batch(spark, 2, "bm", conv="c1"), "w", "b2")
+    b.refresh()
+    ids = [s["id"] for s in t.metadata["snapshots"]]
+    assert len(ids) == len(set(ids))
+    assert t.branches["x"] != t.metadata["current_snapshot_id"]
+    # the two lines really hold different states
+    assert "bx" not in {r["text"] for r in t.read().collect()}
+    assert "bm" not in {r["text"] for r in t.read(branch="x").collect()}
+
+
+def test_expiry_pins_branch_head_and_main_head(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.create_branch("keep")
+    b = t.for_branch("keep")
+    b.merge(_batch(spark, 1, "staged"), "w", "b1")
+    branch_head = t.refresh().branches["keep"]
+    main_head = t.metadata["current_snapshot_id"]
+    # a burst of branch commits after main's head
+    for i in range(2, 8):
+        b.merge(_batch(spark, i, f"s{i}", conv=f"c{i % 3}"), "w", f"b{i}")
+    t.refresh().expire_snapshots(keep_last=2)
+    kept = {s["id"] for s in t.metadata["snapshots"]}
+    assert main_head in kept, "main's serving state expired under readers"
+    assert t.branches["keep"] in kept
+    # main still reads its (old) head after aggressive expiry
+    assert "v0-0" in {r["text"] for r in t.read().collect()}
+    # early branch-intermediate snapshots are NOT pinned
+    assert branch_head not in kept
+    # dropped branch becomes expirable
+    t.drop_branch("keep")
+    t.expire_snapshots(keep_last=1)
+    assert t.metadata["current_snapshot_id"] in {
+        s["id"] for s in t.metadata["snapshots"]
+    }
+
+
+def test_read_ref_resolution_is_exclusive(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.create_branch("x")
+    with pytest.raises(ValueError, match="at most one"):
+        t.read(branch="x", tag="y")
+    with pytest.raises(ValueError, match="no branch"):
+        t.read(branch="nope")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("x")
+    with pytest.raises(ValueError, match="no branch"):
+        t.for_branch("nope")
