@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "token_count",
     "pii_scrub",
     "doc_chunks",
+    "pack_sequences",
+    "temperature_sample",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "media_features",

@@ -20,10 +20,10 @@ the corpus down to O(domains) rows before any window runs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import md5_long, token_count, tokens
 
 # first hex nibble of md5(id): 0-9ab → train (12/16), cd → valid
 # (2/16), ef → test (2/16). Stable under corpus growth: a document's
@@ -163,4 +163,98 @@ def domain_mix_weights(
         "n_tokens",
         F.round(share, 6).alias("token_share"),
         F.round(F.least(share, F.lit(cap)), 6).alias("capped_share"),
+    )
+
+
+def pack_bins(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Sequence packing at document granularity: assign documents to
+    fixed-token-budget training bins. Documents are never split
+    (``chunk_spans`` handles intra-document cuts); the discipline is
+    greedy boundary packing — within a shard, documents are laid out
+    in id order and a bin is cut at the first document boundary at or
+    past the budget, so a bin overflows by at most one document's
+    tail. Deterministic: the same corpus packs identically across
+    runs, engines, and cluster sizes.
+
+    Returns the doc-level assignment: id, token count, ``shard``,
+    ``bin_start`` (the document's token offset inside its shard's
+    layout), and ``bin`` = bin_start // budget — monotone within a
+    shard; an over-budget document occupies several budget slots, so
+    the indices after it skip accordingly.
+
+    Scale (100 TB): ONE shuffle — the window partitions by the md5
+    shard of the id (``n_shards`` bounds the window state per task and
+    is the parallelism knob; 64 here, tens of thousands at full
+    scale), and the running sum inside a shard is streamed by the
+    window operator, never materialized. No global coordination, no
+    driver-side state. Reference analog: none — this is the
+    training-data layer the reference's CDC targets feed.
+    """
+    toks = token_count(text_col).cast("long")
+    shard = F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards))
+    base = df.select(
+        F.col(id_col), toks.alias("n_tokens"), shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("bin_start")
+    return base.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        off,
+    ).withColumn("bin", F.floor(F.col("bin_start") / F.lit(budget)))
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    text_col: str,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Deterministic temperature resampling of a multi-domain corpus
+    (the multilingual-sampling standard: keep-rate ∝ share^(τ−1),
+    τ<1 flattens the domain distribution toward uniform). The rarest
+    domain keeps everything (rate 1); a domain with k× its token mass
+    keeps a k^(τ−1) fraction, decided per document by a stable md5
+    coin — reruns, engines, and corpus growth never flip a kept
+    document to dropped.
+
+    Returns one row per document: domain, token count, the domain's
+    ``keep_rate``, and the ``keep`` verdict.
+
+    τ=0.5 (the default) computes rates as sqrt(min_tokens/tokens) —
+    division and square root are both exactly rounded under IEEE 754,
+    so the rate is BIT-IDENTICAL in any engine and the op is
+    oracle-checkable; other τ go through pow (correct, but only
+    ULP-reproducible). Scale (100 TB): one map-side-combined
+    aggregation to O(domains) rows, broadcast back over the corpus
+    scan — the keep decision is stateless per row, no shuffle of
+    document text, the same plan at 1000 executors.
+    """
+    per = df.groupBy(domain_col).agg(
+        F.sum(token_count(text_col).cast("long")).alias("_dom_tokens")
+    )
+    floor_t = per.agg(F.min("_dom_tokens").alias("_min_tokens"))
+    if tau == 0.5:
+        rate = F.sqrt(F.col("_min_tokens") / F.col("_dom_tokens"))
+    else:
+        rate = F.pow(
+            F.col("_dom_tokens") / F.col("_min_tokens"), F.lit(tau - 1.0)
+        )
+    rates = per.crossJoin(F.broadcast(floor_t)).select(
+        domain_col, rate.alias("keep_rate")
+    )
+    # 60-bit md5 uniform in [0, 1): exact-rounded double division
+    u = md5_long(F.col(id_col).cast("string")) / F.lit(float(1 << 60))
+    return (
+        df.select(id_col, domain_col, token_count(text_col).alias("n_tokens"))
+        .join(F.broadcast(rates), domain_col)
+        .withColumn("keep", u < F.col("keep_rate"))
     )

@@ -724,6 +724,42 @@ ALL_ORACLES: dict[str, str] = {
                round(least(n_tokens / t, 0.15), 6) AS capped_share
         FROM per, tot
     """,
+    # greedy boundary packing mirrors curation.pack_bins: md5 shard,
+    # exclusive running token sum in doc-id order, bin = offset//budget
+    "pack_sequences": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+                     AS n_tokens,
+                 {_md5long("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+          FROM documents)
+        SELECT doc_id, n_tokens, shard,
+               CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS bin_start,
+               CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT)
+                   AS bin
+        FROM d
+        WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
+    """,
+    # τ=0.5 temperature resampling: rate = sqrt(min_domain_tokens /
+    # domain_tokens); divide + sqrt are exactly rounded IEEE ops, so
+    # the doubles (and every keep verdict) match Spark bit-for-bit
+    "temperature_sample": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0 THEN source
+                      ELSE 'common_crawl' END AS domain,
+                 CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+                     AS n_tokens
+          FROM documents),
+        per AS (SELECT domain, CAST(sum(n_tokens) AS BIGINT) AS dt
+                FROM d GROUP BY domain),
+        mn AS (SELECT min(dt) AS mint FROM per),
+        r AS (SELECT domain, sqrt(mint / dt) AS keep_rate FROM per, mn)
+        SELECT d.doc_id, d.domain, d.n_tokens, r.keep_rate,
+               ({_md5long("CAST(d.doc_id AS VARCHAR)")}
+                   / 1152921504606846976.0) < r.keep_rate AS keep
+        FROM d JOIN r USING (domain)
+    """,
     # ------------------------------------------------- embeddings
     "ann_cosine_topk": f"""
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -527,6 +527,36 @@ def domain_mix(spark, sf_dir):
     )
 
 
+def pack_sequences(spark, sf_dir):
+    """Sequence packing for training batches: every document assigned
+    to a fixed-token-budget bin (budget 512, docs never split) by
+    greedy boundary packing in stable id order within md5 shards.
+    ONE window shuffle keyed by shard — the shard count is the
+    parallelism knob at 100 TB, and the same corpus packs identically
+    on any cluster size."""
+    d = _t(spark, sf_dir, "documents")
+    return cur.pack_bins(d, "doc_id", "text", budget=512, n_shards=8)
+
+
+def temperature_sample(spark, sf_dir):
+    """Deterministic τ=0.5 temperature resampling over the same skewed
+    domain derivation as ``domain_mix``: the dominant crawl domain is
+    downsampled toward sqrt-share, the rarest domain keeps everything,
+    and each document's verdict is a stable md5 coin. Rates use only
+    exactly-rounded IEEE ops (divide, sqrt), so DuckDB reproduces the
+    doubles bit-for-bit. One O(domains) aggregation broadcast back
+    over the scan — no shuffle of document text."""
+    d = _t(spark, sf_dir, "documents")
+    dom = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0, F.col("source"))
+        .otherwise(F.lit("common_crawl"))
+        .alias("domain")
+    )
+    return cur.temperature_sample(
+        d.select("doc_id", dom, "text"), "doc_id", "domain", "text", tau=0.5
+    )
+
+
 # ===================================================== embeddings
 
 
@@ -1527,6 +1557,8 @@ ALL_QUERIES = {
     "repetition_stats": repetition_stats,
     "decontaminate": decontaminate,
     "domain_mix": domain_mix,
+    "pack_sequences": pack_sequences,
+    "temperature_sample": temperature_sample,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,

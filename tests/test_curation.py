@@ -95,3 +95,54 @@ def test_domain_mix_cap_bites(spark):
     assert out["big"]["capped_share"] == 0.15
     assert out["small_a"]["capped_share"] == 0.1
     assert out["small_b"]["n_docs"] == 1
+
+
+def test_pack_bins_semantics_hand_checked(spark):
+    """Within a shard, bins fill greedily in id order: a bin is cut at
+    the first doc boundary at/past the budget (overflow bounded by one
+    document's tail), and an over-budget doc occupies its own slots."""
+    rows = [(i, " ".join(["w"] * n)) for i, n in
+            [(1, 60), (2, 60), (3, 60), (4, 350), (5, 10)]]
+    out = cur.pack_bins(_docs(spark, rows), "doc_id", "text",
+                        budget=100, n_shards=1).collect()
+    got = {r["doc_id"]: (r["bin_start"], r["bin"]) for r in out}
+    # offsets: 0, 60, 120, 180, 530 → bins 0, 0, 1, 1, 5
+    assert got == {1: (0, 0), 2: (60, 0), 3: (120, 1),
+                   4: (180, 1), 5: (530, 5)}
+    # every bin's overflow is bounded by its last doc's tail
+    assert all(r["shard"] == 0 for r in out)
+
+
+def test_pack_bins_shard_parallel_and_deterministic(spark):
+    """Sharding keeps the layout per-shard (no cross-shard offsets)
+    and the assignment is identical across repartitionings."""
+    rows = [(i, " ".join(["tok"] * (5 + i % 7))) for i in range(200)]
+    df = _docs(spark, rows)
+    a = {r["doc_id"]: (r["shard"], r["bin"]) for r in
+         cur.pack_bins(df, "doc_id", "text", 64, 8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["bin"]) for r in
+         cur.pack_bins(df.repartition(13), "doc_id", "text", 64, 8).collect()}
+    assert a == b
+    assert len({s for s, _ in a.values()}) == 8
+
+
+def test_temperature_sample_rates_and_floor_domain(spark):
+    """The rarest domain keeps everything (rate 1.0); a domain with k×
+    its token mass keeps ~sqrt(1/k); verdicts are deterministic."""
+    rows = (
+        [(i, "rare", "one two three") for i in range(10)]
+        + [(1000 + i, "big", "one two three") for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, domain string, text string")
+    out = cur.temperature_sample(df, "doc_id", "domain", "text", tau=0.5)
+    rates = {r["domain"]: r["keep_rate"] for r in
+             out.select("domain", "keep_rate").distinct().collect()}
+    assert rates["rare"] == 1.0
+    assert abs(rates["big"] - (1 / 100) ** 0.5) < 1e-12
+    kept = out.filter("domain = 'big' and keep").count()
+    # md5 coin ≈ uniform: expect ~100 of 1000 at rate 0.1
+    assert 60 <= kept <= 140
+    assert out.filter("domain = 'rare' and not keep").count() == 0
+    # rerun → identical verdicts
+    again = cur.temperature_sample(df, "doc_id", "domain", "text", tau=0.5)
+    assert sorted(out.collect()) == sorted(again.collect())
