@@ -144,3 +144,35 @@ def test_read_ref_resolution_is_exclusive(spark, tmp_path):
         t.create_branch("x")
     with pytest.raises(ValueError, match="no branch"):
         t.for_branch("nope")
+
+
+def test_streaming_wap_branch(spark, tmp_path):
+    """The streaming sink stages every micro-batch on the configured
+    branch (PipelineConfig.branch): main stays empty until the auditor
+    fast-forwards, and the published state equals the golden oracle —
+    WAP over the REAL Structured-Streaming path, multiple epochs."""
+    from delta_spark.changelog import ChangelogSpec, generate_and_write, oracle_apply
+    from delta_spark.pipeline import Pipeline, PipelineConfig
+    from conftest import assert_pdf_equal
+
+    log_dir = str(tmp_path / "changelog")
+    raw = generate_and_write(
+        log_dir, ChangelogSpec(n_events=2000, n_convs=30, seed=11, n_files=6)
+    )
+    cfg = PipelineConfig(
+        changelog_path=log_dir,
+        table_path=str(tmp_path / "table"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        generation=1,
+        max_files_per_trigger=3,
+        branch="staged",
+    )
+    p = Pipeline(spark, cfg)
+    p.run_stream_to_completion()
+    assert len(p.stats) >= 2  # several micro-batches, all staged
+    t = LakeTable.load(spark, cfg.table_path)
+    assert t.read().count() == 0, "main must stay empty until publish"
+    t.fast_forward("staged")
+    assert_pdf_equal(
+        t.read().toPandas(), oracle_apply(raw), ["conv_id", "turn_idx"]
+    )
