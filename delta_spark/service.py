@@ -142,6 +142,10 @@ class DiagnosticsService:
             "foreign_spec_files": self._foreign_spec_files(m, path),
             "snapshots": len(snaps),
             "current_snapshot_id": m["current_snapshot_id"],
+            # named refs (Iceberg tags/branches): what an operator asks
+            # a deployment before expiring or publishing anything
+            "tags": {k: int(v) for k, v in m.get("tags", {}).items()},
+            "branches": {k: int(v) for k, v in m.get("branches", {}).items()},
             "last_commit": snaps[-1]["summary"] if snaps else None,
         }
 

@@ -60,6 +60,17 @@ def test_service_end_to_end_over_http(spark, tmp_path):
         assert desc["snapshots"] >= 1
         assert desc["last_commit"]["writer-id"] == cfg.writer_id
 
+        # named refs surface in describe (empty here; shape pinned)
+        assert desc["tags"] == {} and desc["branches"] == {}
+        from delta_spark.lake import LakeTable
+
+        t = LakeTable.load(spark, cfg.table_path)
+        t.tag("v1")
+        t.create_branch("staged")
+        desc2 = _get(port, "/v1/tables/transcripts")[1]
+        assert desc2["tags"] == {"v1": t.tags["v1"]}
+        assert desc2["branches"] == {"staged": t.branches["staged"]}
+
         # offsets: the snapshot summaries ARE the offset store
         code, offs = _get(port, f"/v1/tables/transcripts/offsets?writer={cfg.writer_id}")
         assert code == 200 and offs["max_seq"] == st.max_seq
