@@ -474,6 +474,30 @@ class LakeTable:
         self._write_metadata(meta, expected_version=self.metadata["version"])
         return head
 
+    def audit_diff(self, name: str) -> DataFrame:
+        """The auditor's primary tool: exactly what publishing branch
+        ``name`` would change on main, as a change feed (insert /
+        update / delete rows keyed like ``read_changes``) between
+        main's head and the branch head. Driver-side manifest diff +
+        bucket-pruned reads — cost scales with the staged commits'
+        touched buckets, not table size, so auditing a small staged
+        batch on a 100 TB table is cheap. Refuses a diverged branch
+        (the same ancestry rule ``fast_forward`` enforces — a diff
+        against a non-ancestor main would conflate the two lines)."""
+        br = self.metadata.get("branches", {})
+        if name not in br:
+            raise ValueError(f"no branch {name!r} (have {sorted(br)})")
+        head = int(br[name])
+        main = self.metadata["current_snapshot_id"]
+        if head == main:
+            return self.read_changes(main, head)  # empty feed, right schema
+        if not self._is_ancestor(main, head):
+            raise ValueError(
+                f"cannot audit: main head {main} is not an ancestor of "
+                f"branch {name!r} head {head}"
+            )
+        return self.read_changes(main, head)
+
     def snapshot_as_of(self, ts_ms: int) -> int | None:
         """Largest retained snapshot committed at or before ``ts_ms``
         (Iceberg TIMESTAMP AS OF). None when nothing that old remains."""

@@ -176,3 +176,25 @@ def test_streaming_wap_branch(spark, tmp_path):
     assert_pdf_equal(
         t.read().toPandas(), oracle_apply(raw), ["conv_id", "turn_idx"]
     )
+
+
+def test_audit_diff_matches_change_feed(spark, tmp_path):
+    """audit_diff(branch) == what publish would change: inserts/
+    updates/deletes from the staged commits only, and empty once the
+    branch is published; diverged branches are refused."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.create_branch("audit")
+    b = t.for_branch("audit")
+    b.merge(_batch(spark, 1, "changed"), "w", "b1")            # update c0
+    b.merge(_batch(spark, 2, "", op="DELETE", conv="c1"), "w", "b2")  # delete c1
+    b.merge(_batch(spark, 3, "new", conv="c9"), "w", "b3")     # insert c9
+    t.refresh()
+    feed = {(r["conv_id"], r["_change_type"]) for r in
+            t.audit_diff("audit").collect()}
+    assert feed == {("c0", "update"), ("c1", "delete"), ("c9", "insert")}
+    t.fast_forward("audit")
+    assert t.audit_diff("audit").count() == 0  # published → empty feed
+    # diverged branch refused, same rule as fast_forward
+    t.merge(_batch(spark, 4, "main-only", conv="c2"), "w", "b4")
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.audit_diff("audit")
