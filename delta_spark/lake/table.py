@@ -1172,49 +1172,76 @@ class LakeTable:
           complete list (CoW merge / compact / overwrite / truncate).
         * ``added=[...]`` — APPEND: inherit the parent's manifest refs
           and add one new manifest with just these entries — the MoR
-          hot path; metadata written per commit is O(batch)."""
-        meta = dict(self.metadata)
-        # ids are globally unique across main AND branches: interleaved
-        # branch/main commits must never collide (expiry keeps heads
-        # pinned, so the max over retained snapshots + live refs is the
-        # true high-water mark)
-        sid = 1 + max(
-            [
-                meta["current_snapshot_id"] or 0,
-                *(int(v) for v in meta.get("branches", {}).values()),
-                *(s["id"] for s in meta["snapshots"]),
-            ]
-        )
-        if added is not None:
-            parent = self._raw_snapshot()
-            if parent is None:
-                refs: list[str] = []
-            elif "files" in parent:  # legacy inline parent → split once
-                refs = [self._write_manifest(parent["files"])]
+          hot path; metadata written per commit is O(batch).
+
+        Concurrent-writer behavior: losing the optimistic version race
+        is RETRIED (refresh + rebase) as long as the refreshed state
+        shows this handle's own ref (main or its branch) unmoved — the
+        written data files were computed against that head, so a race
+        with a ref-disjoint commit (a tag, another branch's epoch, a
+        state write, fast-forward of a different branch) is harmless
+        and must not fail a micro-batch. If the ref itself moved, the
+        staged files are stale and the conflict is re-raised — the
+        caller owns true same-ref conflicts (one writer per ref, the
+        reference's per-instance table ownership)."""
+        expected_parent = self._head_id()
+        for _ in range(10):
+            meta = dict(self.metadata)
+            # ids are globally unique across main AND branches:
+            # interleaved branch/main commits must never collide
+            # (expiry keeps heads pinned, so the max over retained
+            # snapshots + live refs is the true high-water mark)
+            sid = 1 + max(
+                [
+                    meta["current_snapshot_id"] or 0,
+                    *(int(v) for v in meta.get("branches", {}).values()),
+                    *(s["id"] for s in meta["snapshots"]),
+                ]
+            )
+            if added is not None:
+                parent = self._raw_snapshot()
+                if parent is None:
+                    refs: list[str] = []
+                elif "files" in parent:  # legacy inline parent → split once
+                    refs = [self._write_manifest(parent["files"])]
+                else:
+                    refs = list(parent.get("manifests", ()))
+                if added:
+                    refs.append(self._write_manifest(added))
             else:
-                refs = list(parent.get("manifests", ()))
-            if added:
-                refs.append(self._write_manifest(added))
-        else:
-            refs = [self._write_manifest(files)] if files else []
-        snap = {
-            "id": sid,
-            "parent": self._head_id(),
-            "timestamp_ms": int(time.time() * 1000),
-            "schema_version": meta["schema_version"],
-            "summary": summary,
-            "manifests": refs,
-        }
-        meta["snapshots"] = [*meta["snapshots"], snap]
-        if self._branch is None:
-            meta["current_snapshot_id"] = sid
-        else:
-            if self._branch not in meta.get("branches", {}):
-                raise ValueError(
-                    f"branch {self._branch!r} was dropped mid-write"
+                refs = [self._write_manifest(files)] if files else []
+            snap = {
+                "id": sid,
+                "parent": expected_parent,
+                "timestamp_ms": int(time.time() * 1000),
+                "schema_version": meta["schema_version"],
+                "summary": summary,
+                "manifests": refs,
+            }
+            meta["snapshots"] = [*meta["snapshots"], snap]
+            if self._branch is None:
+                meta["current_snapshot_id"] = sid
+            else:
+                if self._branch not in meta.get("branches", {}):
+                    raise ValueError(
+                        f"branch {self._branch!r} was dropped mid-write"
+                    )
+                meta["branches"] = {**meta["branches"], self._branch: sid}
+            try:
+                self._write_metadata(
+                    meta, expected_version=self.metadata["version"]
                 )
-            meta["branches"] = {**meta["branches"], self._branch: sid}
-        self._write_metadata(meta, expected_version=self.metadata["version"])
+                return
+            except CommitConflict:
+                self.refresh()
+                if self._head_id() != expected_parent:
+                    raise  # true conflict: OUR ref moved under us
+                # ref-disjoint race (loser's manifest files are
+                # unreferenced; remove_orphans reclaims them) — rebase
+        raise CommitConflict(
+            f"_commit_snapshot lost 10 straight ref-disjoint races at "
+            f"{self.path}"
+        )
 
     def _stat_fields(self) -> list[tuple]:
         """(field_id_str, current_name, type) for the stats columns."""

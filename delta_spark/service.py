@@ -230,14 +230,24 @@ class DiagnosticsService:
         """Change-feed summary between two snapshots, computed
         Spark-free via the interop CDC-out SQL (DuckDB): counts by
         change type plus the snapshot range actually used — the
-        "what happened between these two commits" ops question."""
+        "what happened between these two commits" ops question.
+        ``?branch=NAME`` instead summarizes what PUBLISHING that
+        branch would change (main head → branch head): the WAP audit
+        question, answered with no Spark session."""
         import duckdb
 
         from .lake.interop import changes_sql, read_metadata
 
         meta = read_metadata(path)
-        frm = int(q["from"]) if "from" in q else None
-        to = int(q["to"]) if "to" in q else None
+        if "branch" in q:
+            br = meta.get("branches", {})
+            if q["branch"] not in br:
+                raise KeyError(f"no branch {q['branch']!r}")
+            frm = meta["current_snapshot_id"]
+            to = int(br[q["branch"]])
+        else:
+            frm = int(q["from"]) if "from" in q else None
+            to = int(q["to"]) if "to" in q else None
         sql = changes_sql(path, frm, to)
         rows = duckdb.sql(
             f"SELECT _change_type, count(*) AS n, max(_seq) AS max_seq "

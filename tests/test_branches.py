@@ -198,3 +198,30 @@ def test_audit_diff_matches_change_feed(spark, tmp_path):
     t.merge(_batch(spark, 4, "main-only", conv="c2"), "w", "b4")
     with pytest.raises(ValueError, match="not an ancestor"):
         t.audit_diff("audit")
+
+
+def test_ref_disjoint_commit_race_is_rebased(spark, tmp_path):
+    """A branch writer whose handle is STALE (main committed a tag /
+    epoch since it last refreshed) must not fail its micro-batch: the
+    commit rebases onto the new metadata version as long as its own
+    ref didn't move. A same-ref race still raises CommitConflict."""
+    from delta_spark.lake import CommitConflict
+
+    t = _mk(spark, str(tmp_path / "t"))
+    t.create_branch("staged")
+    b = t.for_branch("staged")  # b holds version V
+    # main moves on: a data epoch + a tag (two version bumps b missed)
+    t.refresh().merge(_batch(spark, 1, "mainline", conv="c1"), "w", "b1")
+    t.tag("v1")
+    # stale branch handle commits → ref-disjoint race → rebase succeeds
+    assert b.merge(_batch(spark, 2, "staged"), "w", "b2") is not None
+    t.refresh()
+    assert "staged" in {r["text"] for r in t.read(branch="staged").collect()}
+    assert "mainline" in {r["text"] for r in t.read().collect()}
+    assert "v1" in t.tags  # nobody's write was lost
+    # true same-ref conflict: two stale handles racing on ONE branch
+    b1 = t.for_branch("staged")
+    b2 = t.for_branch("staged")
+    b1.merge(_batch(spark, 3, "first", conv="c3"), "w", "b3")
+    with pytest.raises(CommitConflict):
+        b2.merge(_batch(spark, 4, "second", conv="c4"), "w", "b4")

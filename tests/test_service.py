@@ -97,6 +97,24 @@ def test_service_end_to_end_over_http(spark, tmp_path):
         assert "update" not in ch["counts"] and "delete" not in ch["counts"]
         assert ch["max_seq"] == st.max_seq
 
+        # WAP audit over HTTP, Spark-free: ?branch= summarizes what
+        # publishing the staged branch would change (main → head)
+        bt = t.for_branch("staged")
+        import datetime as _dt
+
+        bt.merge(
+            spark.createDataFrame(
+                [("c0", 0, "user", "staged-x", "", _dt.datetime(2026, 1, 1),
+                  "UPDATE", 10_000_000)],
+                "conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp, op string, seq long",
+            ),
+            "aud", "ab1",
+        )
+        code, au = _get(port, "/v1/tables/transcripts/changes?branch=staged")
+        assert code == 200
+        assert au["counts"] == {"update": 1} and au["max_seq"] == 10_000_000
+
         # scan planning from manifest stats: a narrow key range plans
         # fewer files than the full table, a no-op range plans all
         code, plan = _get(port, "/v1/tables/transcripts/plan?col=conv_id&lo=c1&hi=c1")
