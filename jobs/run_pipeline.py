@@ -60,6 +60,15 @@ def main() -> None:
                     help="after the run (and each stream-continuous "
                     "attempt), publish the applied table incrementally "
                     "as a standard Iceberg v2 table at DEST")
+    ap.add_argument("--branch", default=None, metavar="NAME",
+                    help="write-audit-publish: stage every epoch on this "
+                    "branch instead of main; after the run the built-in "
+                    "audit (key uniqueness, non-null keys) runs against "
+                    "the staged head and its verdict is printed")
+    ap.add_argument("--publish-on-clean-audit", action="store_true",
+                    help="with --branch: fast-forward main when the "
+                    "audit passes (a failed audit leaves main untouched, "
+                    "marks the pipeline FAILING, and exits 3)")
     args = ap.parse_args()
 
     # fail FAST on storage schemes the commit protocol can't make
@@ -110,11 +119,49 @@ def main() -> None:
         max_bytes_per_trigger=args.max_bytes_per_trigger,
         sort_key_col=args.sort_key_col,
         column_whitelist=tuple(x for x in args.columns.split(",") if x) or None,
+        branch=args.branch,
     )
     if args.stats_dir:
         from delta_spark.progress import attach_progress_logger
 
         attach_progress_logger(spark, stats_dir=args.stats_dir)
+    def _audit_publish() -> None:
+        """WAP gate: audit the staged branch head; publish only when
+        clean (and asked to). Main is never touched by a failed audit —
+        readers keep the last good state, the pipeline is marked
+        FAILING, and the exit code tells the scheduler."""
+        if not args.branch:
+            return
+        from delta_spark.lake import LakeTable
+
+        t = LakeTable.load(spark, args.table)
+        staged = t.read(branch=args.branch)
+        dups = (
+            staged.groupBy(*t.key_cols).count().filter("count > 1").count()
+        )
+        nulls = staged.filter(
+            " OR ".join(f"{k} IS NULL" for k in t.key_cols)
+        ).count()
+        audit = {
+            "branch": args.branch,
+            "staged_rows": staged.count(),
+            "dup_keys": dups,
+            "null_keys": nulls,
+        }
+        if dups or nulls:
+            from delta_spark.state import StateStore
+
+            StateStore(args.table, args.pipeline_name).set_failing(
+                f"WAP audit failed: {audit}"
+            )
+            print(json.dumps({"audit": audit, "published": False}))
+            sys.exit(3)
+        if args.publish_on_clean_audit:
+            audit["published_snapshot"] = t.fast_forward(args.branch)
+        print(json.dumps(
+            {"audit": audit, "published": args.publish_on_clean_audit}
+        ))
+
     def _publish() -> None:
         if not args.publish_iceberg:
             return
@@ -132,6 +179,7 @@ def main() -> None:
         print(json.dumps({"rows_in": st.rows_in, "upserts": st.upserts,
                           "deletes": st.deletes, "ddls": st.ddls_applied,
                           "wall_ms": st.wall_ms}))
+        _audit_publish()
         _publish()
     elif args.mode == "stream":
         # in-engine supervised retry (reference RetryConfig semantics:
@@ -145,6 +193,7 @@ def main() -> None:
         )
         print(json.dumps({"batches": len(p.stats), "attempts": attempts,
                           "rows_in": sum(s.rows_in for s in p.stats)}))
+        _audit_publish()
         _publish()
     else:  # stream-continuous: tail forever under the same supervisor
         from delta_spark.pipeline import RetryConfig, is_unretryable

@@ -69,3 +69,68 @@ def test_maintain_compacts_expires_and_reports(spark, tmp_path):
     # idempotent: a second run is a no-op
     out2 = mt.maintain(spark, t.path, compact_pressure=1, expire_keep_last=2)
     assert out2["compacted_buckets"] == 0 and out2["orphans_removed"] == 0
+
+
+def test_run_pipeline_wap_gate(spark, tmp_path):
+    """The deployment entrypoint's write-audit-publish gate: with
+    --branch --publish-on-clean-audit a clean run stages, audits, and
+    publishes (main == oracle); with a poisoned staged head (NULL key
+    written around the pipeline) the audit fails, main stays
+    untouched, the state doc flips to FAILING, and the exit code is 3."""
+    import datetime as dt
+    import json
+    import subprocess
+    import sys as _sys
+
+    from delta_spark.changelog import ChangelogSpec, generate_and_write, oracle_apply
+    from delta_spark.state import StateStore
+    from conftest import assert_pdf_equal
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    log_dir = str(tmp_path / "log")
+    raw = generate_and_write(
+        log_dir, ChangelogSpec(n_events=800, n_convs=15, seed=41)
+    )
+    env = dict(os.environ, PYTHONPATH=repo)
+    base = [
+        _sys.executable, os.path.join(repo, "jobs", "run_pipeline.py"),
+        "--changelog", log_dir, "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ck"), "--mode", "batch",
+        "--buckets", "4", "--generation", "1",
+        "--branch", "staged", "--publish-on-clean-audit",
+    ]
+    out = subprocess.run(base, capture_output=True, text=True, env=env,
+                         timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    audit = next(
+        json.loads(line) for line in out.stdout.splitlines()
+        if line.startswith("{") and "audit" in line
+    )
+    assert audit["published"] is True
+    assert audit["audit"]["dup_keys"] == 0 and audit["audit"]["null_keys"] == 0
+    t = LakeTable.load(spark, str(tmp_path / "tbl"))
+    assert_pdf_equal(
+        t.read().toPandas(), oracle_apply(raw), ["conv_id", "turn_idx"]
+    )
+
+    # poison the staged head around the pipeline (simulates a corrupt
+    # upstream batch): a NULL-key row the merge's collapse would never
+    # produce — overwrite the BRANCH only, main keeps the good state
+    good = t.metadata["current_snapshot_id"]
+    t.for_branch("staged").overwrite(
+        spark.createDataFrame(
+            [(None, 0, "user", "nullkey", "", dt.datetime(2026, 1, 1))],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        ),
+        "poison", "p1",
+    )
+    out2 = subprocess.run(
+        base + ["--generation", "2"], capture_output=True, text=True,
+        env=env, timeout=600,
+    )
+    assert out2.returncode == 3, (out2.returncode, out2.stderr[-2000:])
+    t.refresh()
+    assert t.metadata["current_snapshot_id"] == good, "failed audit moved main"
+    assert StateStore(str(tmp_path / "tbl"), "transcripts").read()[
+        "pipeline"] == "FAILING"
