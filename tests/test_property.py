@@ -291,3 +291,55 @@ def test_apply_batch_with_ddl_equals_oracle_property(
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@given(
+    seed=st.integers(0, 2**20),
+    n_events=st.integers(60, 400),
+    n_convs=st.integers(2, 30),
+    n_segs=st.integers(1, 4),
+    wap_mask=st.integers(0, 15),
+    aggressive_expiry=st.booleans(),
+)
+@settings(max_examples=8, deadline=None)
+def test_wap_interleaved_equals_oracle_property(
+    spark, seed, n_events, n_convs, n_segs, wap_mask, aggressive_expiry
+):
+    """Random log, random segmentation, each segment randomly applied
+    straight to main or staged on a branch and published (WAP), with
+    optional aggressive expiry between segments: the final main state
+    must equal the plain LWW oracle — staging, fast-forward, branch
+    GC, and expiry are all invisible to the replayed result."""
+    log = generate_changelog(
+        ChangelogSpec(
+            n_events=n_events, n_convs=n_convs, seed=seed, include_ddl=False
+        )
+    )
+    d = tempfile.mkdtemp(prefix="prop_wap_")
+    try:
+        t = LakeTable.create(
+            spark, f"{d}/t", TRANSCRIPT_SCHEMA,
+            ["conv_id", "turn_idx"], "conv_id", 4,
+        )
+        bounds = [round(i * len(log) / n_segs) for i in range(n_segs + 1)]
+        for i in range(n_segs):
+            chunk = log.iloc[bounds[i]:bounds[i + 1]]
+            if chunk.empty:
+                continue
+            df = spark.createDataFrame(chunk[COLS], DDL)
+            if wap_mask >> i & 1:
+                if t.metadata["current_snapshot_id"] is None:
+                    t._commit_snapshot(added=[], summary={"operation": "seed"})
+                t.create_branch(f"s{i}")
+                t.for_branch(f"s{i}").merge(df, "w", f"b{i}", mode="auto")
+                t.refresh().fast_forward(f"s{i}")
+                t.drop_branch(f"s{i}")
+            else:
+                t.merge(df, "w", f"b{i}", mode="auto")
+            if aggressive_expiry:
+                t.expire_snapshots(keep_last=1)
+        assert_pdf_equal(
+            t.read().toPandas(), oracle_apply(log), ["conv_id", "turn_idx"]
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
