@@ -225,3 +225,30 @@ def test_ref_disjoint_commit_race_is_rebased(spark, tmp_path):
     b1.merge(_batch(spark, 3, "first", conv="c3"), "w", "b3")
     with pytest.raises(CommitConflict):
         b2.merge(_batch(spark, 4, "second", conv="c4"), "w", "b4")
+
+
+def test_publish_iceberg_across_fast_forward(spark, tmp_path):
+    """Continuous Iceberg publishing sees a fast-forward as one
+    incremental delta: publish main, stage several commits on a
+    branch, fast-forward, publish again — the published Iceberg table
+    reads row-equal to main, with exactly one new metadata version."""
+    import glob as _glob
+
+    from delta_spark.lake.iceberg import publish_iceberg, read_iceberg_duckdb
+
+    t = _mk(spark, str(tmp_path / "t"))
+    ice = str(tmp_path / "ice")
+    publish_iceberg(t, ice)
+    v_before = len(_glob.glob(f"{ice}/metadata/v*.metadata.json"))
+    t.create_branch("staged")
+    b = t.for_branch("staged")
+    b.merge(_batch(spark, 1, "changed"), "w", "b1")
+    b.merge(_batch(spark, 2, "", op="DELETE", conv="c1"), "w", "b2")
+    b.merge(_batch(spark, 3, "new", conv="c9"), "w", "b3")
+    t.refresh().fast_forward("staged")
+    mp = publish_iceberg(t, ice)
+    want = sorted(tuple(r) for r in t.read().collect())
+    got = sorted(tuple(r) for r in read_iceberg_duckdb(mp).fetchall())
+    assert want == got
+    v_after = len(_glob.glob(f"{ice}/metadata/v*.metadata.json"))
+    assert v_after == v_before + 1  # ONE incremental publish, not a rebuild
