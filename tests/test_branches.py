@@ -252,3 +252,28 @@ def test_publish_iceberg_across_fast_forward(spark, tmp_path):
     assert want == got
     v_after = len(_glob.glob(f"{ice}/metadata/v*.metadata.json"))
     assert v_after == v_before + 1  # ONE incremental publish, not a rebuild
+
+
+def test_ddl_is_table_level_data_stays_staged(spark, tmp_path):
+    """Schema is TABLE-level exactly as in Iceberg: a DDL applied while
+    a branch is staging becomes visible to main reads immediately
+    (old rows NULL-fill the new column), while the branch's DATA stays
+    invisible until fast-forward."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.create_branch("staged")
+    b = t.for_branch("staged")
+    b.merge(_batch(spark, 1, "staged-row", conv="c7"), "w", "b1")
+    t.refresh()
+    assert t.apply_ddl(
+        {"op": "ADD_COLUMN", "column": "score", "new_type": "double"}
+    )
+    main = t.read()
+    assert "score" in main.columns  # DDL visible on main at once
+    assert main.filter("score IS NOT NULL").count() == 0
+    assert main.filter("text = 'staged-row'").count() == 0  # data staged
+    # the branch read speaks the snapshot's OWN schema epoch (pre-DDL)
+    assert "score" not in t.read(branch="staged").columns
+    t.fast_forward("staged")
+    pub = t.read()
+    assert "score" in pub.columns  # published rows align to current schema
+    assert pub.filter("text = 'staged-row'").count() == 1
