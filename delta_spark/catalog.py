@@ -216,6 +216,30 @@ class Catalog:
 
         return self._commit(mutate)
 
+    def fast_forward_all(
+        self, branch: str, drop: bool = False
+    ) -> dict[str, int | None]:
+        """Publish a fleet-wide WAP staging round: fast-forward every
+        table whose ``branch`` exists to its staged head (tables
+        without the branch are skipped with None). Per-table
+        fast-forwards are individually atomic and idempotent, so a
+        crash mid-fleet is resumed by re-running — already-published
+        tables no-op, the rest publish; there is no cross-table
+        torn-read window beyond what independent tables always have
+        (the reference replicates tables independently too,
+        DeltaWorker.java:594-620). ``drop=True`` also drops each
+        published branch ref. Returns table → published snapshot id."""
+        out: dict[str, int | None] = {}
+        for name in self.list_tables():
+            t = self.table(name)
+            if branch not in t.branches:
+                out[name] = None
+                continue
+            out[name] = t.fast_forward(branch)
+            if drop:
+                t.drop_branch(branch)
+        return out
+
     def truncate_table(self, name: str) -> bool:
         """TRUNCATE: commit an empty snapshot. Exactly-once markers of
         earlier batches live on in the retained snapshot history, so a

@@ -62,6 +62,20 @@ def expand_blacklist(
     return tuple(sorted(bl))
 
 
+def _branched(h, branch: str | None):
+    """Bind a table handle to the WAP staging branch (creating it at
+    the table's head — seeded when empty — on first use). No-op
+    without a branch; used by BOTH multi-table apply paths so every
+    epoch stages identically."""
+    if branch is None:
+        return h
+    if branch not in h.branches:
+        if h.metadata["current_snapshot_id"] is None:
+            h._commit_snapshot(added=[], summary={"operation": "seed-branch"})
+        h.create_branch(branch)
+    return h.for_branch(branch)
+
+
 def _fused_mor_apply(
     catalog: Catalog,
     batch: DataFrame,
@@ -75,6 +89,7 @@ def _fused_mor_apply(
     sort_key_col,
     lineage: bool = True,
     per_table_transforms: dict | None = None,
+    branch: str | None = None,
 ) -> dict[str, list[ApplyStats]] | None:
     """Single-pass multi-table demux — the steady-state streaming fast
     path. Jobs per epoch are INDEPENDENT of table count: ONE fused
@@ -120,7 +135,7 @@ def _fused_mor_apply(
     for t in mine:
         if not catalog.has_table(t):
             return None  # pending CREATE_TABLE — let the loop handle it
-        h = catalog.table(t)
+        h = _branched(catalog.table(t), branch)
         cur = h.current_snapshot
         if cur is None or not cur["files"]:
             return None  # snapshot-load epoch — CoW path is right
@@ -326,6 +341,7 @@ def apply_multi_batch(
     per_table_blacklists: dict | None = None,
     per_table_columns: dict | None = None,
     per_table_transforms: dict | None = None,
+    branch: str | None = None,
     **apply_kw,
 ) -> dict[str, list[ApplyStats]]:
     """Apply one micro-batch of a multi-table changelog: table- and
@@ -386,7 +402,7 @@ def apply_multi_batch(
         sub = batch.filter(F.col(table_col) == t).drop(table_col)
         sub_id = f"{batch_id}.{t}" if n_segs[t] == 1 else f"{batch_id}.{t}.s{i}"
         st = apply_batch(
-            catalog.table(t),
+            _branched(catalog.table(t), branch),
             sub.filter((F.col("seq") > fence) & (F.col("seq") < s_hi)),
             writer_id=writer_id,
             batch_id=sub_id,
@@ -414,6 +430,7 @@ def apply_multi_batch(
                 apply_kw.get("sort_key_col"),
                 lineage=apply_kw.get("lineage", True),
                 per_table_transforms=per_table_transforms,
+                branch=branch,
             )
             if fused is not None:
                 return fused
@@ -457,6 +474,10 @@ class MultiPipelineConfig:
     sort_key_col: object = None            # str | tuple of columns
     changelog_schema: object = None        # StructType; None → transcript
     # changelog + tbl column (the default payload shape)
+    branch: str | None = None              # write-audit-publish across the
+    # WHOLE table set: every table's epochs stage on this branch (both
+    # the fused and per-table paths); an auditor validates and
+    # Catalog.fast_forward_all() publishes the fleet
 
     def __post_init__(self):
         if self.generation is None:
@@ -520,6 +541,7 @@ class MultiTablePipeline:
             per_table_blacklists=self.cfg.per_table_blacklists,
             per_table_columns=self.cfg.per_table_columns,
             per_table_transforms=self.cfg.per_table_transforms,
+            branch=self.cfg.branch,
             merge_mode=self.cfg.merge_mode,
             sort_key_col=self.cfg.sort_key_col,
         )

@@ -506,3 +506,48 @@ def test_fused_demux_falls_back_on_column_ddl(spark, tmp_path):
             oracle_apply(raw[raw["tbl"] == t]),
             ["conv_id", "turn_idx"],
         )
+
+
+def test_multi_table_wap_stage_and_publish_fleet(spark, tmp_path):
+    """Fleet-wide write-audit-publish: every table's epochs stage on
+    MultiPipelineConfig.branch (exercising BOTH the fused steady-state
+    path and the CoW bootstrap), mains stay empty until
+    Catalog.fast_forward_all publishes, after which each table equals
+    its oracle. Re-running the publish is a no-op (idempotent resume
+    after a crash mid-fleet)."""
+    raw = generate_multi_changelog(_specs())
+    # two chunks: chunk 1 bootstraps (CoW, per-table), chunk 2 lands
+    # via the fused MoR demux — both must stage on the branch
+    cut = raw["seq"].median()
+    log1, log2 = str(tmp_path / "log1"), str(tmp_path / "log2")
+    write_changelog(raw[raw["seq"] <= cut], log1, 2)
+    write_changelog(raw[raw["seq"] > cut], log2, 2)
+    _mk_catalog_with_tables(spark, tmp_path / "cat")
+
+    for i, log in enumerate((log1, log2)):
+        cfg = MultiPipelineConfig(
+            changelog_path=log,
+            catalog_root=str(tmp_path / "cat"),
+            checkpoint_dir=str(tmp_path / f"ck{i}"),
+            tables=TABLES,
+            generation=1 + i,
+            merge_mode="auto",
+            branch="staged",
+        )
+        MultiTablePipeline(spark, cfg).run_batch()
+
+    cat = Catalog.load_or_create(spark, str(tmp_path / "cat"))
+    for t in TABLES:
+        assert cat.table(t).read().count() == 0, f"{t}: main moved pre-publish"
+        assert cat.table(t).read(branch="staged").count() > 0
+
+    pub = cat.fast_forward_all("staged")
+    assert set(pub) == set(TABLES) and all(v is not None for v in pub.values())
+    for t in TABLES:
+        expected = oracle_apply(raw[raw["tbl"] == t])
+        assert_pdf_equal(
+            cat.table(t).read().toPandas(), expected, ["conv_id", "turn_idx"]
+        )
+    # idempotent resume: publishing again changes nothing
+    assert cat.fast_forward_all("staged", drop=True) == pub
+    assert all("staged" not in cat.table(t).branches for t in TABLES)
