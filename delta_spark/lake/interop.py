@@ -177,6 +177,7 @@ def read_sql(
     align_schema_version: int | None = None,
     ranges: dict[str, tuple] | None = None,
     bucket_udf: str | None = None,
+    branch: str | None = None,
 ) -> str:
     """Return one DuckDB SQL statement equivalent to
     ``LakeTable.read(buckets, include_system, snapshot_id, ranges)``.
@@ -199,6 +200,15 @@ def read_sql(
     key-column row filters apply pre-fold, non-key post-fold."""
     table_path = os.path.abspath(table_path)
     meta = read_metadata(table_path)
+    if branch is not None:
+        # Spark-free audit read of a WAP staging branch: resolve the
+        # ref to its head exactly like LakeTable.read(branch=)
+        if snapshot_id is not None:
+            raise ValueError("pass at most one of snapshot_id / branch")
+        br = meta.get("branches", {})
+        if branch not in br:
+            raise ValueError(f"no branch {branch!r} (have {sorted(br)})")
+        snapshot_id = int(br[branch])
     snap = resolve_snapshot(meta, table_path, snapshot_id)
     sv_cur = (
         meta["schema_version"]
@@ -586,6 +596,7 @@ def read_duckdb(
     buckets: list[int] | None = None,
     snapshot_id: int | None = None,
     ranges: dict[str, tuple] | None = None,
+    branch: str | None = None,
 ):
     """Read a lake table through DuckDB; returns a DuckDB relation
     (``.df()`` / ``.fetchall()`` to materialize). Unlike the pure-SQL
@@ -596,7 +607,10 @@ def read_duckdb(
     bucket_udf = None
     if buckets is not None:
         meta = read_metadata(os.path.abspath(table_path))
-        snap = resolve_snapshot(meta, os.path.abspath(table_path), snapshot_id)
+        sid = snapshot_id
+        if branch is not None and branch in meta.get("branches", {}):
+            sid = int(meta["branches"][branch])
+        snap = resolve_snapshot(meta, os.path.abspath(table_path), sid)
         cur_spec = int(meta.get("bucket_spec_id", 0))
         if snap is not None and any(
             int(f.get("spec", 0)) != cur_spec for f in snap["files"]
@@ -610,6 +624,7 @@ def read_duckdb(
         snapshot_id=snapshot_id,
         ranges=ranges,
         bucket_udf=bucket_udf,
+        branch=branch,
     )
     if con is not None:
         return con.sql(sql)

@@ -277,3 +277,26 @@ def test_ddl_is_table_level_data_stays_staged(spark, tmp_path):
     pub = t.read()
     assert "score" in pub.columns  # published rows align to current schema
     assert pub.filter("text = 'staged-row'").count() == 1
+
+
+def test_interop_reads_branch_spark_free(spark, tmp_path):
+    """A DuckDB consumer audits the staged branch with no Spark:
+    interop.read_duckdb(branch=) equals LakeTable.read(branch=)
+    bit-for-bit, while the default read still serves main."""
+    from delta_spark.lake import interop
+
+    t = _mk(spark, str(tmp_path / "t"))
+    t.create_branch("staged")
+    t.for_branch("staged").merge(_batch(spark, 1, "staged-v"), "w", "b1")
+    t.refresh()
+    path = str(tmp_path / "t")
+    want = sorted(tuple(r) for r in t.read(branch="staged").collect())
+    got = sorted(tuple(r) for r in interop.read_duckdb(
+        path, branch="staged").fetchall())
+    assert want == got and any("staged-v" in str(r) for r in got)
+    main = sorted(tuple(r) for r in interop.read_duckdb(path).fetchall())
+    assert main == sorted(tuple(r) for r in t.read().collect())
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no branch"):
+        interop.read_sql(path, branch="nope")
