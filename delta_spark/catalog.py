@@ -228,16 +228,31 @@ class Catalog:
         torn-read window beyond what independent tables always have
         (the reference replicates tables independently too,
         DeltaWorker.java:594-620). ``drop=True`` also drops each
-        published branch ref. Returns table → published snapshot id."""
+        published branch ref. Returns table → published snapshot id
+        (None = table has no such branch). A table whose publish is
+        REFUSED (diverged) does not abort the fleet: the rest still
+        publish, and one ValueError naming every refused table is
+        raised at the end — the returned report is in its message."""
         out: dict[str, int | None] = {}
+        refused: dict[str, str] = {}
         for name in self.list_tables():
             t = self.table(name)
             if branch not in t.branches:
                 out[name] = None
                 continue
-            out[name] = t.fast_forward(branch)
+            try:
+                out[name] = t.fast_forward(branch)
+            except ValueError as e:
+                refused[name] = str(e)
+                continue
             if drop:
                 t.drop_branch(branch)
+        if refused:
+            raise ValueError(
+                f"fast_forward_all({branch!r}): {len(refused)} table(s) "
+                f"refused (diverged): {refused}; published: "
+                f"{ {k: v for k, v in out.items() if v is not None} }"
+            )
         return out
 
     def truncate_table(self, name: str) -> bool:

@@ -82,6 +82,19 @@ def read_metadata(table_path: str) -> dict:
     raise FileNotFoundError(f"no readable metadata at {table_path}")
 
 
+def branch_ref(meta: dict, name: str) -> tuple[int, int | None]:
+    """(head, fork) of a branch ref from raw metadata — the Spark-free
+    mirror of LakeTable._ref resolution (legacy int refs: fork
+    unknown). Raises on a missing branch."""
+    br = meta.get("branches", {})
+    if name not in br:
+        raise ValueError(f"no branch {name!r} (have {sorted(br)})")
+    v = br[name]
+    if isinstance(v, dict):
+        return int(v["head"]), int(v["fork"])
+    return int(v), None
+
+
 def resolve_snapshot(meta: dict, table_path: str, snapshot_id: int | None = None) -> dict | None:
     sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
     if sid is None:
@@ -205,10 +218,7 @@ def read_sql(
         # ref to its head exactly like LakeTable.read(branch=)
         if snapshot_id is not None:
             raise ValueError("pass at most one of snapshot_id / branch")
-        br = meta.get("branches", {})
-        if branch not in br:
-            raise ValueError(f"no branch {branch!r} (have {sorted(br)})")
-        snapshot_id = int(br[branch])
+        snapshot_id = branch_ref(meta, branch)[0]
     snap = resolve_snapshot(meta, table_path, snapshot_id)
     sv_cur = (
         meta["schema_version"]
@@ -609,7 +619,7 @@ def read_duckdb(
         meta = read_metadata(os.path.abspath(table_path))
         sid = snapshot_id
         if branch is not None and branch in meta.get("branches", {}):
-            sid = int(meta["branches"][branch])
+            sid = branch_ref(meta, branch)[0]
         snap = resolve_snapshot(meta, os.path.abspath(table_path), sid)
         cur_spec = int(meta.get("bucket_spec_id", 0))
         if snap is not None and any(

@@ -365,9 +365,24 @@ class LakeTable:
     # consumer's idempotency contract holds (EventConsumer.java:39-76);
     # WAP adds the audit gate in front of publication.
 
+    @staticmethod
+    def _ref(v) -> tuple[int, int | None]:
+        """(head, fork) of a stored branch ref. The FORK POINT is the
+        main-line snapshot the staging round started from — recorded so
+        divergence checks survive expiry of the branch's intermediate
+        snapshots (the parent-chain walk alone would break). Legacy
+        int-shaped refs (pre-fork metadata) have an unknown fork."""
+        if isinstance(v, dict):
+            return int(v["head"]), int(v["fork"])
+        return int(v), None
+
     @property
     def branches(self) -> dict[str, int]:
-        return {k: int(v) for k, v in self.metadata.get("branches", {}).items()}
+        """Branch name → head snapshot id."""
+        return {
+            k: self._ref(v)[0]
+            for k, v in self.metadata.get("branches", {}).items()
+        }
 
     def _head_id(self) -> int | None:
         """Snapshot id this handle's commits parent on and reads from:
@@ -380,11 +395,12 @@ class LakeTable:
                 f"branch {self._branch!r} no longer exists "
                 f"(have {sorted(br)})"
             )
-        return int(br[self._branch])
+        return self._ref(br[self._branch])[0]
 
     def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
         """Create a branch pointing at ``snapshot_id`` (default: the
-        current main head). The branch head is pinned against
+        current main head); that snapshot is also recorded as the
+        branch's FORK POINT. The branch head is pinned against
         ``expire_snapshots`` like a tag. Errors if the name exists
         (a branch is a line of development — silently resetting one is
         the bug class refs exist to prevent)."""
@@ -399,9 +415,43 @@ class LakeTable:
         if name in self.metadata.get("branches", {}):
             raise ValueError(f"branch {name!r} already exists")
         meta = dict(self.metadata)
-        meta["branches"] = {**meta.get("branches", {}), name: sid}
+        meta["branches"] = {
+            **meta.get("branches", {}),
+            name: {"head": sid, "fork": sid},
+        }
         self._write_metadata(meta, expected_version=self.metadata["version"])
         return sid
+
+    def ensure_branch(self, name: str) -> "LakeTable":
+        """Concurrent-safe bootstrap + bind: create ``name`` at the
+        current head if absent (seeding an empty snapshot on a virgin
+        table — a ref cannot be null) and return a handle bound to it.
+        Safe for N instances racing at startup: a lost create (the
+        branch appeared, or the optimistic version race failed) is
+        retried/absorbed rather than raised — every racer ends bound
+        to the same branch. This is THE entry point pipelines use;
+        ``create_branch`` stays strict for operators."""
+        from .commit import CommitConflict
+
+        for _ in range(10):
+            if name in self.metadata.get("branches", {}):
+                return self.for_branch(name)
+            try:
+                if self.metadata["current_snapshot_id"] is None:
+                    self._commit_snapshot(
+                        added=[], summary={"operation": "seed-branch"}
+                    )
+                self.create_branch(name)
+            except CommitConflict:
+                self.refresh()  # someone else committed — re-check
+            except ValueError as e:
+                if "already exists" not in str(e):
+                    raise
+                # lost the create race — the branch is there now
+            self.refresh()
+        raise CommitConflict(
+            f"ensure_branch({name!r}) lost 10 straight races at {self.path}"
+        )
 
     def drop_branch(self, name: str) -> bool:
         """Remove a branch ref (its unpublished snapshots become
@@ -448,29 +498,45 @@ class LakeTable:
             sid = s.get("parent")
         return False
 
-    def fast_forward(self, name: str) -> int:
-        """Publish a branch: move main's head to the branch head — the
-        WAP publication step, O(1) metadata. Requires main's current
-        head to be an ancestor of the branch head (same rule as
-        Iceberg's fast_forward): if main advanced independently the
-        publish is refused rather than silently dropping main's
-        commits. The branch ref survives (drop it separately)."""
+    def _publishable(self, name: str) -> tuple[int, int | None]:
+        """(head, main) if publishing ``name`` is safe; raises when
+        main diverged. Divergence test: main still equals the branch's
+        recorded fork point (exact, survives expiry of the branch's
+        intermediate snapshots), falling back to the retained-parent
+        walk for legacy refs without one."""
         br = self.metadata.get("branches", {})
         if name not in br:
             raise ValueError(f"no branch {name!r} (have {sorted(br)})")
-        head = int(br[name])
+        head, fork = self._ref(br[name])
         main = self.metadata["current_snapshot_id"]
         if head == main:
-            return head
-        if not self._is_ancestor(main, head):
+            return head, main
+        if main != fork and not self._is_ancestor(main, head):
             raise ValueError(
-                f"cannot fast-forward: main head {main} is not an "
+                f"cannot publish: main head {main} is not an "
                 f"ancestor of branch {name!r} head {head} (main "
                 f"advanced independently — rebase the branch or "
                 f"replay onto a fresh one)"
             )
+        return head, main
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch: move main's head to the branch head — the
+        WAP publication step, O(1) metadata. Requires main's current
+        head to be the branch's fork point or an ancestor of its head
+        (same rule as Iceberg's fast_forward): if main advanced
+        independently the publish is refused rather than silently
+        dropping main's commits. The branch ref survives with its fork
+        point advanced to the published head, so the next staging
+        round continues on the same branch."""
+        head, main = self._publishable(name)
+        if head == main:
+            return head
         meta = dict(self.metadata)
         meta["current_snapshot_id"] = head
+        meta["branches"] = {
+            **meta["branches"], name: {"head": head, "fork": head},
+        }
         self._write_metadata(meta, expected_version=self.metadata["version"])
         return head
 
@@ -482,20 +548,9 @@ class LakeTable:
         bucket-pruned reads — cost scales with the staged commits'
         touched buckets, not table size, so auditing a small staged
         batch on a 100 TB table is cheap. Refuses a diverged branch
-        (the same ancestry rule ``fast_forward`` enforces — a diff
+        (the same fork-point rule ``fast_forward`` enforces — a diff
         against a non-ancestor main would conflate the two lines)."""
-        br = self.metadata.get("branches", {})
-        if name not in br:
-            raise ValueError(f"no branch {name!r} (have {sorted(br)})")
-        head = int(br[name])
-        main = self.metadata["current_snapshot_id"]
-        if head == main:
-            return self.read_changes(main, head)  # empty feed, right schema
-        if not self._is_ancestor(main, head):
-            raise ValueError(
-                f"cannot audit: main head {main} is not an ancestor of "
-                f"branch {name!r} head {head}"
-            )
+        head, main = self._publishable(name)
         return self.read_changes(main, head)
 
     def snapshot_as_of(self, ts_ms: int) -> int | None:
@@ -717,7 +772,7 @@ class LakeTable:
             br = self.metadata.get("branches", {})
             if branch not in br:
                 raise ValueError(f"no branch {branch!r} (have {sorted(br)})")
-            snapshot_id = int(br[branch])
+            snapshot_id = self._ref(br[branch])[0]
         elif tag is not None:
             snapshot_id = self.tags.get(tag)
             if snapshot_id is None:
@@ -1194,7 +1249,7 @@ class LakeTable:
             sid = 1 + max(
                 [
                     meta["current_snapshot_id"] or 0,
-                    *(int(v) for v in meta.get("branches", {}).values()),
+                    *(self._ref(v)[0] for v in meta.get("branches", {}).values()),
                     *(s["id"] for s in meta["snapshots"]),
                 ]
             )
@@ -1226,7 +1281,16 @@ class LakeTable:
                     raise ValueError(
                         f"branch {self._branch!r} was dropped mid-write"
                     )
-                meta["branches"] = {**meta["branches"], self._branch: sid}
+                _, fork = self._ref(meta["branches"][self._branch])
+                meta["branches"] = {
+                    **meta["branches"],
+                    self._branch: {
+                        "head": sid,
+                        # legacy int refs: adopt the commit's own parent
+                        # as the fork point going forward
+                        "fork": fork if fork is not None else expected_parent,
+                    },
+                }
             try:
                 self._write_metadata(
                     meta, expected_version=self.metadata["version"]
@@ -1883,6 +1947,13 @@ class LakeTable:
         # outlives any keep_last policy (and a burst of branch commits
         # can never expire main's serving state out from under readers)
         pinned = set(self.tags.values()) | set(self.branches.values())
+        # fork points pin too: audit_diff/fast_forward file-diff against
+        # the fork when main sits there (branches created from an older
+        # snapshot would otherwise lose it)
+        for v in self.metadata.get("branches", {}).values():
+            _, fork = self._ref(v)
+            if fork is not None:
+                pinned.add(fork)
         if self.metadata["current_snapshot_id"] is not None:
             pinned.add(self.metadata["current_snapshot_id"])
         tail = {s["id"] for s in snaps_sorted[-keep_last:]}

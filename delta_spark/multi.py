@@ -63,17 +63,11 @@ def expand_blacklist(
 
 
 def _branched(h, branch: str | None):
-    """Bind a table handle to the WAP staging branch (creating it at
-    the table's head — seeded when empty — on first use). No-op
-    without a branch; used by BOTH multi-table apply paths so every
-    epoch stages identically."""
-    if branch is None:
-        return h
-    if branch not in h.branches:
-        if h.metadata["current_snapshot_id"] is None:
-            h._commit_snapshot(added=[], summary={"operation": "seed-branch"})
-        h.create_branch(branch)
-    return h.for_branch(branch)
+    """Bind a table handle to the WAP staging branch (created
+    concurrent-safely, seeded when empty — LakeTable.ensure_branch).
+    No-op without a branch; used by BOTH multi-table apply paths so
+    every epoch stages identically."""
+    return h if branch is None else h.ensure_branch(branch)
 
 
 def _fused_mor_apply(

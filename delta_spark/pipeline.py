@@ -160,21 +160,13 @@ class Pipeline:
         ))
 
     def _bind_branch(self, table: LakeTable) -> LakeTable:
-        """WAP staging: bind the sink to ``cfg.branch`` (creating it at
-        the table's current head the first time), so every epoch this
-        pipeline commits is unpublished until an auditor
-        ``fast_forward``s main. No-op without a configured branch."""
+        """WAP staging: bind the sink to ``cfg.branch`` (created
+        concurrent-safely at the table's current head on first use), so
+        every epoch this pipeline commits is unpublished until an
+        auditor ``fast_forward``s main. No-op without a branch."""
         if self.cfg.branch is None:
             return table
-        if self.cfg.branch not in table.branches:
-            if table.metadata["current_snapshot_id"] is None:
-                # branching needs a snapshot to point at: seed an empty
-                # one (Iceberg: a branch ref cannot be null)
-                table._commit_snapshot(
-                    added=[], summary={"operation": "seed-branch"}
-                )
-            table.create_branch(self.cfg.branch)
-        return table.for_branch(self.cfg.branch)
+        return table.ensure_branch(self.cfg.branch)
 
     # ---------------------------------------------------- batch mode
 
@@ -238,6 +230,14 @@ class Pipeline:
                 and table.delta_file_pressure() >= self.cfg.compact_pressure
             ):
                 table.compact(max_files_per_bucket=1)
+            # downstream maintenance reads MAIN, never the staging
+            # branch: under WAP (cfg.branch) unaudited staged rows must
+            # not leak into the published Iceberg copy or the matview —
+            # main is frozen while staging, so these become no-ops and
+            # the first run after fast_forward catches downstream up
+            main_view = table if self.cfg.branch is None else (
+                LakeTable.load(self.spark, self.cfg.table_path)
+            )
             # continuous Iceberg publishing: one incremental Iceberg
             # snapshot per published micro-batch, O(changed rows) each
             # — BEFORE expiry so the publish cursor stays readable
@@ -247,7 +247,7 @@ class Pipeline:
                 from .lake.iceberg import publish_iceberg
 
                 publish_iceberg(
-                    table.refresh(), self.cfg.publish_iceberg_dest
+                    main_view.refresh(), self.cfg.publish_iceberg_dest
                 )
             # continuous materialized-view maintenance: fold this
             # micro-batch's change feed into the aggregate view —
@@ -261,7 +261,7 @@ class Pipeline:
 
                 MaterializedAggregate(
                     self.spark,
-                    table.refresh(),
+                    main_view.refresh(),
                     self.cfg.matview_dest,
                     list(self.cfg.matview_group_cols),
                     dict(self.cfg.matview_sums or {}),

@@ -145,7 +145,10 @@ class DiagnosticsService:
             # named refs (Iceberg tags/branches): what an operator asks
             # a deployment before expiring or publishing anything
             "tags": {k: int(v) for k, v in m.get("tags", {}).items()},
-            "branches": {k: int(v) for k, v in m.get("branches", {}).items()},
+            "branches": {
+                k: (int(v["head"]) if isinstance(v, dict) else int(v))
+                for k, v in m.get("branches", {}).items()
+            },
             "last_commit": snaps[-1]["summary"] if snaps else None,
         }
 
@@ -240,11 +243,33 @@ class DiagnosticsService:
 
         meta = read_metadata(path)
         if "branch" in q:
-            br = meta.get("branches", {})
-            if q["branch"] not in br:
-                raise KeyError(f"no branch {q['branch']!r}")
+            from .lake.interop import branch_ref
+
+            try:
+                head, fork = branch_ref(meta, q["branch"])
+            except ValueError as e:
+                raise KeyError(str(e)) from e
             frm = meta["current_snapshot_id"]
-            to = int(br[q["branch"]])
+            # same divergence rule as LakeTable.audit_diff: a diff
+            # against a non-ancestor main would conflate the two lines
+            # (answering it would report main's own commits as
+            # would-be deletes). Published branch → empty feed.
+            if frm != head and frm != fork:
+                by_id = {s["id"]: s for s in meta["snapshots"]}
+                sid, ok = head, False
+                while sid is not None:
+                    if sid == frm:
+                        ok = True
+                        break
+                    s = by_id.get(sid)
+                    sid = s.get("parent") if s else None
+                if not ok:
+                    raise KeyError(
+                        f"branch {q['branch']!r} diverged from main "
+                        f"(main {frm}, fork {fork}, head {head}) — "
+                        f"not auditable"
+                    )
+            to = head
         else:
             frm = int(q["from"]) if "from" in q else None
             to = int(q["to"]) if "to" in q else None

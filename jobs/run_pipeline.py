@@ -206,6 +206,7 @@ def main() -> None:
             try:
                 q = p.run_stream(available_now=False)
                 q.awaitTermination()
+                _audit_publish()
                 _publish()
                 break
             except Exception as e:

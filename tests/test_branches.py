@@ -300,3 +300,116 @@ def test_interop_reads_branch_spark_free(spark, tmp_path):
 
     with _pt.raises(ValueError, match="no branch"):
         interop.read_sql(path, branch="nope")
+
+
+def test_fast_forward_survives_aggressive_expiry(spark, tmp_path):
+    """The fork-point rule: expiring a staging round's intermediate
+    snapshots (routine maintenance) must not make a legitimate publish
+    unprovable — audit_diff and fast_forward still work after the
+    parent chain is pruned, because divergence is checked against the
+    recorded fork, not the retained chain."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.create_branch("staged")
+    b = t.for_branch("staged")
+    for i in range(1, 7):
+        b.merge(_batch(spark, i, f"s{i}", conv=f"c{i % 3}"), "w", f"b{i}")
+    t.refresh().expire_snapshots(keep_last=2)  # breaks the parent chain
+    kept = {s["id"] for s in t.metadata["snapshots"]}
+    assert not all(
+        sid in kept for sid in range(2, 7)
+    ), "test needs expired intermediates"
+    feed = t.audit_diff("staged")
+    assert feed.count() > 0
+    t.fast_forward("staged")
+    assert {"s4", "s5", "s6"} <= {r["text"] for r in t.read().collect()}
+    # publish advanced the fork: the next staging round keeps working
+    b.refresh().merge(_batch(spark, 9, "next-round", conv="c9"), "w", "b9")
+    t.refresh().fast_forward("staged")
+    assert "next-round" in {r["text"] for r in t.read().collect()}
+
+
+def test_ensure_branch_race_is_absorbed(spark, tmp_path):
+    """Two pipeline instances bootstrapping the same staging branch
+    from stale handles must both end up bound — the loser of the
+    create race absorbs instead of crashing."""
+    t = _mk(spark, str(tmp_path / "t"))
+    h1 = LakeTable.load(spark, str(tmp_path / "t"))
+    h2 = LakeTable.load(spark, str(tmp_path / "t"))  # both at version V
+    b1 = h1.ensure_branch("staged")
+    b2 = h2.ensure_branch("staged")  # stale: create must be absorbed
+    assert b1.branches["staged"] == b2.branches["staged"]
+    b1.merge(_batch(spark, 1, "i0", conv="cA"), "w0", "b1")
+    b2.refresh()
+    b2.merge(_batch(spark, 2, "i1", conv="cB"), "w1", "b2")
+    t.refresh().fast_forward("staged")
+    got = {r["text"] for r in t.read().collect()}
+    assert {"i0", "i1"} <= got
+
+
+def test_fast_forward_all_partial_refusal(spark, tmp_path):
+    """A diverged table refuses its publish without aborting the
+    fleet: the other tables publish, and the error names the refused
+    table and the published report."""
+    from delta_spark.catalog import Catalog
+    from delta_spark.schema import KEY_COLS
+
+    cat = Catalog.load_or_create(spark, str(tmp_path / "cat"))
+    for n in ("ok_t", "bad_t"):
+        cat.create_table(n, TRANSCRIPT_SCHEMA, KEY_COLS, "conv_id", 4)
+        h = cat.table(n)
+        h.merge(_batch(spark, 0, "base", conv="c0"), "w", "b0")
+        h.ensure_branch("staged").merge(
+            _batch(spark, 1, "staged", conv="c1"), "w", "b1"
+        )
+    # bad_t's main advances independently → diverged
+    cat.table("bad_t").merge(_batch(spark, 2, "main-only", conv="c2"), "w", "b2")
+    with pytest.raises(ValueError, match="bad_t.*refused|refused.*bad_t"):
+        cat.fast_forward_all("staged")
+    # ok_t still published despite the refusal
+    assert "staged" in {
+        r["text"] for r in cat.table("ok_t").read().collect()
+    }
+    assert "staged" not in {
+        r["text"] for r in cat.table("bad_t").read().collect()
+    }
+
+
+def test_wap_never_leaks_staged_rows_downstream(spark, tmp_path):
+    """With WAP staging on, the sink's continuous Iceberg publishing
+    and matview maintenance track MAIN, never the staged branch: the
+    downstream Iceberg copy stays at the last audited state through
+    every staged epoch, and catches up only after fast_forward."""
+    from delta_spark.changelog import ChangelogSpec, generate_and_write
+    from delta_spark.lake.iceberg import publish_iceberg, read_iceberg_duckdb
+    from delta_spark.pipeline import Pipeline, PipelineConfig
+
+    log_dir = str(tmp_path / "changelog")
+    generate_and_write(
+        log_dir, ChangelogSpec(n_events=1200, n_convs=20, seed=13, n_files=4)
+    )
+    ice = str(tmp_path / "ice")
+    cfg = PipelineConfig(
+        changelog_path=log_dir,
+        table_path=str(tmp_path / "table"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        generation=1,
+        max_files_per_trigger=2,
+        branch="staged",
+        publish_iceberg_dest=ice,
+    )
+    Pipeline(spark, cfg).run_stream_to_completion()
+    t = LakeTable.load(spark, str(tmp_path / "table"))
+    # every epoch staged; the Iceberg copy must hold MAIN's state (empty)
+    assert t.read().count() == 0
+    mp = read_iceberg_duckdb  # alias for line length
+    import glob as _glob
+
+    metas = sorted(_glob.glob(f"{ice}/metadata/v*.metadata.json"))
+    assert metas, "publisher must have run (and published emptiness)"
+    assert mp(metas[-1]).df().shape[0] == 0, "staged rows leaked downstream"
+    # publish, then one more maintenance publish catches downstream up
+    t.fast_forward("staged")
+    final = publish_iceberg(t.refresh(), ice)
+    want = sorted(tuple(r) for r in t.read().collect())
+    got = sorted(tuple(r) for r in mp(final).fetchall())
+    assert want == got and len(got) > 0

@@ -5,6 +5,8 @@ Spark-free stdlib server over the engine's on-disk artifacts."""
 import json
 import urllib.request
 
+import pytest
+
 from delta_spark.changelog import ChangelogSpec, generate_and_write
 from delta_spark.pipeline import Pipeline, PipelineConfig
 from delta_spark.service import DiagnosticsService
@@ -114,6 +116,20 @@ def test_service_end_to_end_over_http(spark, tmp_path):
         code, au = _get(port, "/v1/tables/transcripts/changes?branch=staged")
         assert code == 200
         assert au["counts"] == {"update": 1} and au["max_seq"] == 10_000_000
+
+        # diverged branch → clean 400 refusal (mirrors audit_diff),
+        # never a conflated diff or a raw range error
+        t.refresh().merge(
+            spark.createDataFrame(
+                [("c1", 0, "user", "main-x", "", _dt.datetime(2026, 1, 1),
+                  "UPDATE", 10_000_001)],
+                "conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp, op string, seq long",
+            ),
+            "mainw", "mb1",
+        )
+        code, body = _get(port, "/v1/tables/transcripts/changes?branch=staged")
+        assert code == 400 and "diverged" in body["error"]
 
         # scan planning from manifest stats: a narrow key range plans
         # fewer files than the full table, a no-op range plans all
