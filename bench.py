@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "doc_chunks",
     "pack_sequences",
+    "packed_corpus",
     "temperature_sample",
     "ann_lsh_topk",
     "ann_ivf_topk",

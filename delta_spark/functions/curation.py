@@ -258,3 +258,48 @@ def temperature_sample(
         .join(F.broadcast(rates), domain_col)
         .withColumn("keep", u < F.col("keep_rate"))
     )
+
+
+def pack_concat(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 2048,
+    n_shards: int = 64,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize the packed dataset: one row per training bin from
+    :func:`pack_bins` — documents concatenated in layout order with
+    ``sep`` (the EOD separator a trainer splits on), plus bin-level
+    stats (doc count, token total). This is what actually ships to a
+    tokenizer: pack_bins plans, pack_concat builds.
+
+    Scale (100 TB): TWO exchanges total — the text rides through the
+    packing window (no join back to the corpus), then one aggregation
+    keyed by (shard, bin), map-side combined, each group bounded by
+    ~budget tokens so no reducer ever sees more than one bin's text.
+    Order inside a bin is recovered by sorting the collected
+    (id, text) structs — bins hold a handful of docs, so the per-group
+    sort is O(bin) — with no driver-side state anywhere.
+    """
+    toks = token_count(text_col).cast("long")
+    shard = F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards))
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        toks.alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    laid = base.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)),
+    )
+    structs = F.collect_list(F.struct(F.col(id_col), F.col("_text")))
+    return laid.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.array_join(
+            F.transform(F.array_sort(structs), lambda s: s["_text"]), sep
+        ).alias("text"),
+    )

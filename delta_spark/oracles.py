@@ -740,6 +740,26 @@ ALL_ORACLES: dict[str, str] = {
         FROM d
         WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
     """,
+    # the materialized packed set: same layout as pack_sequences,
+    # documents concatenated in id order inside each bin
+    "packed_corpus": f"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+                     AS n_tokens,
+                 {_md5long("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+          FROM documents),
+        p AS (
+          SELECT *,
+                 CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT)
+                     AS bin
+          FROM d
+          WINDOW w AS (PARTITION BY shard ORDER BY doc_id))
+        SELECT shard, bin, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+        FROM p GROUP BY shard, bin
+    """,
     # τ=0.5 temperature resampling: rate = sqrt(min_domain_tokens /
     # domain_tokens); divide + sqrt are exactly rounded IEEE ops, so
     # the doubles (and every keep verdict) match Spark bit-for-bit

@@ -538,6 +538,17 @@ def pack_sequences(spark, sf_dir):
     return cur.pack_bins(d, "doc_id", "text", budget=512, n_shards=8)
 
 
+def packed_corpus(spark, sf_dir):
+    """Materialized packed training set: the ``pack_sequences`` layout
+    turned into one row per bin — documents concatenated in layout
+    order with an EOD separator, plus doc/token totals. Two exchanges
+    total (the packing window, then a map-side-combined agg keyed by
+    (shard, bin)); every group is bounded by ~budget tokens, so no
+    reducer holds more than one bin's text at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    return cur.pack_concat(d, "doc_id", "text", budget=512, n_shards=8)
+
+
 def temperature_sample(spark, sf_dir):
     """Deterministic τ=0.5 temperature resampling over the same skewed
     domain derivation as ``domain_mix``: the dominant crawl domain is
@@ -1558,6 +1569,7 @@ ALL_QUERIES = {
     "decontaminate": decontaminate,
     "domain_mix": domain_mix,
     "pack_sequences": pack_sequences,
+    "packed_corpus": packed_corpus,
     "temperature_sample": temperature_sample,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,

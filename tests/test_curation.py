@@ -146,3 +146,22 @@ def test_temperature_sample_rates_and_floor_domain(spark):
     # rerun → identical verdicts
     again = cur.temperature_sample(df, "doc_id", "domain", "text", tau=0.5)
     assert sorted(out.collect()) == sorted(again.collect())
+
+
+def test_pack_concat_materializes_in_layout_order(spark):
+    """pack_concat joins text back and concatenates in id order with
+    the EOD separator; bin stats match the planned layout."""
+    # pure-alpha words: one token each under the BPE-ish pattern
+    rows = [(i, " ".join(["w" + "a" * i] * 50)) for i in range(1, 6)]
+    out = cur.pack_concat(_docs(spark, rows), "doc_id", "text",
+                          budget=100, n_shards=1, sep="<EOD>").collect()
+    by_bin = {r["bin"]: r for r in out}
+    # offsets 0,50,100,... → bins {0: docs 1,2}, {1: docs 3,4}, {2: doc 5}
+    assert by_bin[0]["n_docs"] == 2 and by_bin[0]["n_tokens"] == 100
+    assert by_bin[0]["text"] == " ".join(["wa"] * 50) + "<EOD>" + " ".join(["waa"] * 50)
+    assert by_bin[2]["n_docs"] == 1
+    # two exchanges total: the packing window + the bin agg
+    plan = cur.pack_concat(
+        _docs(spark, rows), "doc_id", "text", 100, 1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # window + agg, no join-back
