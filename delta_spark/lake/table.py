@@ -553,6 +553,31 @@ class LakeTable:
         head, main = self._publishable(name)
         return self.read_changes(main, head)
 
+    def expire_branches(self, older_than_ms: int) -> list[str]:
+        """Branch retention (Iceberg ``max-ref-age-ms``): drop branch
+        refs whose HEAD was committed before the cutoff — an abandoned
+        staging round must not pin its snapshots (and their data
+        files) against ``expire_snapshots`` forever. Published-and-idle
+        branches age out the same way (main keeps the data; only the
+        ref goes). Returns the dropped names. Disabled-by-default at
+        call sites: dropping staged work is a retention POLICY, never
+        an implicit side effect."""
+        by_id = {s["id"]: s for s in self.metadata["snapshots"]}
+        dropped = [
+            name
+            for name, v in self.metadata.get("branches", {}).items()
+            if by_id.get(self._ref(v)[0], {}).get("timestamp_ms", 0)
+            < older_than_ms
+        ]
+        if not dropped:
+            return []
+        br = dict(self.metadata.get("branches", {}))
+        for name in dropped:
+            del br[name]
+        meta = dict(self.metadata, branches=br)
+        self._write_metadata(meta, expected_version=self.metadata["version"])
+        return dropped
+
     def snapshot_as_of(self, ts_ms: int) -> int | None:
         """Largest retained snapshot committed at or before ``ts_ms``
         (Iceberg TIMESTAMP AS OF). None when nothing that old remains."""

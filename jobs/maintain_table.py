@@ -44,6 +44,7 @@ def maintain(
     orphan_age_s: float = 3600.0,
     dry_run: bool = False,
     publish_iceberg_dest: str | None = None,
+    branch_age_s: float | None = None,
 ) -> dict:
     from delta_spark.lake import LakeTable
 
@@ -77,6 +78,15 @@ def maintain(
         )
     if compact_pressure >= 0:
         out["compacted_buckets"] = t.compact(max_files_per_bucket=compact_pressure)
+    # branch retention BEFORE snapshot expiry, so an abandoned staging
+    # branch stops pinning its snapshots in the same run (opt-in: a
+    # retention policy, never an implicit side effect)
+    if branch_age_s is not None:
+        import time as _time
+
+        out["expired_branches"] = t.expire_branches(
+            int((_time.time() - branch_age_s) * 1000)
+        )
     if expire_keep_last > 0:
         out["expired_snapshots"] = t.expire_snapshots(keep_last=expire_keep_last)
     out["orphans_removed"] = len(t.remove_orphans(orphan_age_s))
@@ -97,6 +107,10 @@ def main() -> None:
                     help="incrementally publish the table as a standard "
                     "Iceberg v2 table at DEST (runs before expiry so the "
                     "publish cursor stays readable)")
+    ap.add_argument("--branch-age-s", type=float, default=None,
+                    help="drop branch refs whose head is older than this "
+                    "(Iceberg max-ref-age): abandoned staging rounds stop "
+                    "pinning snapshots; off unless set")
     args = ap.parse_args()
 
     from delta_spark.lake.commit import ObjectStoreCommit, protocol_for
@@ -133,6 +147,7 @@ def main() -> None:
                 orphan_age_s=args.orphan_age_s,
                 dry_run=args.dry_run,
                 publish_iceberg_dest=args.publish_iceberg,
+                branch_age_s=args.branch_age_s,
             )
         )
     )

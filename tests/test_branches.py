@@ -413,3 +413,27 @@ def test_wap_never_leaks_staged_rows_downstream(spark, tmp_path):
     want = sorted(tuple(r) for r in t.read().collect())
     got = sorted(tuple(r) for r in mp(final).fetchall())
     assert want == got and len(got) > 0
+
+
+def test_expire_branches_retention(spark, tmp_path):
+    """Branch retention (max-ref-age): an abandoned staging branch is
+    dropped once its head ages past the cutoff, after which snapshot
+    expiry reclaims what it pinned; fresh branches survive."""
+    import time as _time
+
+    t = _mk(spark, str(tmp_path / "t"))
+    t.create_branch("old")
+    t.for_branch("old").merge(_batch(spark, 1, "abandoned"), "w", "b1")
+    t.refresh()
+    future = int((_time.time() + 3600) * 1000)
+    past = int((_time.time() - 3600) * 1000)
+    assert t.expire_branches(past) == []          # nothing that old
+    t.create_branch("fresh")
+    dropped = t.expire_branches(future)           # everything is older
+    assert sorted(dropped) == ["fresh", "old"]
+    assert t.branches == {}
+    # the abandoned staged snapshot is now expirable
+    t.expire_snapshots(keep_last=1)
+    assert "abandoned" not in {
+        r["text"] for r in t.read().collect()
+    }  # main never had it; nothing resurrects it
