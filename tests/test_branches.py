@@ -437,3 +437,21 @@ def test_expire_branches_retention(spark, tmp_path):
     assert "abandoned" not in {
         r["text"] for r in t.read().collect()
     }  # main never had it; nothing resurrects it
+
+
+def test_compact_on_branch_moves_branch_only(spark, tmp_path):
+    """Maintenance on a branch-bound handle (MoR compaction) commits to
+    the branch pointer: main's head and state are untouched, and the
+    branch still folds to the same rows afterwards."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.create_branch("staged")
+    b = t.for_branch("staged")
+    for i in (1, 2, 3):
+        b.merge(_batch(spark, i, f"s{i}"), "w", f"b{i}", mode="mor")
+    before = sorted(tuple(r) for r in b.read().collect())
+    main_head = t.refresh().metadata["current_snapshot_id"]
+    b.compact(max_files_per_bucket=1)
+    t.refresh()
+    assert t.metadata["current_snapshot_id"] == main_head
+    assert sorted(tuple(r) for r in t.read(branch="staged").collect()) == before
+    assert "s3" not in {r["text"] for r in t.read().collect()}
