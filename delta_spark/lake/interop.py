@@ -697,8 +697,14 @@ def write_delta_duckdb(
     seq_col: str = "seq",
     delete_op: str = "DELETE",
     sort_col: str | None = None,
+    branch: str | None = None,
 ) -> dict | None:
     """Commit one merge-on-read delta batch from DuckDB — no Spark.
+
+    ``branch`` stages the commit on a WAP branch instead of main (the
+    Spark-free producer's write-audit-publish: stage from DuckDB,
+    audit ``read_duckdb(branch=)``, publish with ``fast_forward``).
+    The branch must already exist.
 
     ``select_sql`` must yield the table's CURRENT payload columns (by
     name) plus ``op_col`` and ``seq_col`` (and ``sort_col`` if given —
@@ -791,7 +797,12 @@ def write_delta_duckdb(
             raise commit.CommitConflict(
                 "schema changed while staging — recompute and retry"
             )
-        parent_id = meta["current_snapshot_id"]
+        fork = None
+        if branch is not None:
+            head, fork = branch_ref(meta, branch)  # raises if missing
+            parent_id = head
+        else:
+            parent_id = meta["current_snapshot_id"]
         parent = next(
             (s for s in meta["snapshots"] if s["id"] == parent_id), None
         )
@@ -805,8 +816,18 @@ def write_delta_duckdb(
             refs = [legacy_rel]
         else:
             refs = list(parent.get("manifests", ()))
+        # ids are globally unique across main AND branch refs — a
+        # "parent + 1" id could collide with a branch commit's
         snap = {
-            "id": (parent_id or 0) + 1,
+            "id": 1 + max(
+                parent_id or 0,
+                meta["current_snapshot_id"] or 0,
+                *(
+                    (int(v["head"]) if isinstance(v, dict) else int(v))
+                    for v in meta.get("branches", {}).values()
+                ),
+                *(sn["id"] for sn in meta["snapshots"]),
+            ),
             "parent": parent_id,
             "timestamp_ms": int(
                 (datetime.datetime.now(datetime.timezone.utc)
@@ -829,8 +850,17 @@ def write_delta_duckdb(
             **meta,
             "version": new_version,
             "snapshots": [*meta["snapshots"], snap],
-            "current_snapshot_id": snap["id"],
         }
+        if branch is None:
+            payload["current_snapshot_id"] = snap["id"]
+        else:
+            payload["branches"] = {
+                **meta.get("branches", {}),
+                branch: {
+                    "head": snap["id"],
+                    "fork": fork if fork is not None else parent_id,
+                },
+            }
         try:
             proto.claim(
                 os.path.join(table_path, "metadata"), f"v{new_version}.json", payload

@@ -147,3 +147,53 @@ def test_duck_writer_rejects_unknown_sort_and_empty(spark, tmp_path):
     assert st == {"files": 0, "upserts": 0, "deletes": 0}
     # an empty stage commits nothing and is NOT marked applied
     assert write_delta_duckdb(t.path, con, DUCK_BATCH, "duck-w", "d9") is not None
+
+
+def test_duck_writer_stages_on_branch(spark, tmp_path):
+    """Spark-free WAP: a DuckDB producer stages a commit on a branch
+    (main untouched), a Spark/DuckDB auditor reads the staged head,
+    fast_forward publishes — and snapshot ids never collide even when
+    a branch commit landed after main's head."""
+    import duckdb
+
+    from delta_spark.lake import LakeTable, interop
+
+    t = _mk(spark, str(tmp_path / "t"))
+    t.create_branch("staged")
+    con = duckdb.connect()
+    res = interop.write_delta_duckdb(
+        str(tmp_path / "t"), con,
+        "SELECT 'c0' AS conv_id, 0 AS turn_idx, 'user' AS role, "
+        "'duck-staged' AS text, '' AS tool, "
+        "TIMESTAMP '2026-01-01 00:00:00' AS ts, "
+        "'UPDATE' AS op, 999999 AS seq",
+        writer_id="duck", batch_id="db1", branch="staged",
+    )
+    assert res is not None and res["files"] == 1
+    t.refresh()
+    assert "duck-staged" not in {r["text"] for r in t.read().collect()}
+    staged = {r["text"] for r in t.read(branch="staged").collect()}
+    assert "duck-staged" in staged
+    # idempotent replay, still branch-scoped
+    assert interop.write_delta_duckdb(
+        str(tmp_path / "t"), con, "SELECT 1", writer_id="duck",
+        batch_id="db1", branch="staged",
+    ) is None
+    # a MAIN duck write after the branch commit must mint a fresh id
+    interop.write_delta_duckdb(
+        str(tmp_path / "t"), con,
+        "SELECT 'c1' AS conv_id, 0 AS turn_idx, 'user' AS role, "
+        "'duck-main' AS text, '' AS tool, "
+        "TIMESTAMP '2026-01-01 00:00:00' AS ts, "
+        "'UPDATE' AS op, 999998 AS seq",
+        writer_id="duck", batch_id="db2",
+    )
+    t.refresh()
+    ids = [s["id"] for s in t.metadata["snapshots"]]
+    assert len(ids) == len(set(ids)), "snapshot id collision"
+    # main advanced independently after the fork → publish refuses
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not an ancestor"):
+        t.fast_forward("staged")
+    assert "duck-main" in {r["text"] for r in t.read().collect()}
