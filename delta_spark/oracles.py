@@ -376,6 +376,29 @@ ALL_ORACLES: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
             AND NOT del
     """,
+    # CDC replay + corpus assembly in one: LWW winners per (conv,
+    # turn), then turns concatenated in turn order per conversation
+    "conversation_corpus": f"""
+        WITH log AS (
+            SELECT 'c' || user_id AS conv_id,
+                   CAST(event_id % 20 AS INT) AS turn_idx,
+                   event_type AS role, props AS text,
+                   event_id AS seq,
+                   (event_type = 'error') AS del
+            FROM events),
+        lww AS (
+            SELECT conv_id, turn_idx, role, text
+            FROM log
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
+                AND NOT del)
+        SELECT conv_id, count(*) AS n_turns,
+               CAST(sum(len(regexp_extract_all(coalesce(text, ''),
+                   '{TOKEN_PATTERN}'))) AS BIGINT) AS n_tokens,
+               string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                   ORDER BY turn_idx) AS dialogue
+        FROM lww GROUP BY conv_id
+    """,
     # write-audit-publish: staging half the log on a branch and
     # fast-forwarding main must be invisible — same LWW oracle
     "wap_publish": """

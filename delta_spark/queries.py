@@ -795,6 +795,61 @@ def table_ddl_replay(spark, sf_dir):
     )
 
 
+def conversation_corpus(spark, sf_dir):
+    """The engine's whole purpose end-to-end: CDC-replay the transcript
+    changelog through the REAL pipeline (seq-guarded LWW + tombstones
+    into the lake table), then assemble the applied state into a
+    TRAINING corpus — one row per conversation, turns concatenated in
+    turn order as ``role: text`` lines, with turn/token totals. One
+    aggregation keyed by conv_id after the replay; per-group sort is
+    O(turns per conversation). DuckDB reproduces it as windowed LWW +
+    ordered string_agg, so replay AND assembly are hash-checked
+    together."""
+    import tempfile
+
+    from .lake import LakeTable
+    from .pipeline import Pipeline, PipelineConfig
+
+    d = tempfile.mkdtemp(prefix="conv_corpus_")
+    ev = _t(spark, sf_dir, "events")
+    (
+        ev.select(
+            F.col("event_id").cast("long").alias("seq"),
+            F.when(F.col("event_type") == "error", F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("op"),
+            F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+            F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+            F.col("event_type").alias("role"),
+            F.col("props").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.lit(None).cast("string").alias("prev_text"),
+            F.lit(False).alias("is_snapshot"),
+            F.col("ts").cast("timestamp").alias("ingest_ts"),
+            F.lit(None).cast("string").alias("ddl"),
+        ).write.parquet(f"{d}/log")
+    )
+    Pipeline(spark, PipelineConfig(
+        changelog_path=f"{d}/log", table_path=f"{d}/tbl",
+        checkpoint_dir=f"{d}/ck", generation=1, num_buckets=8,
+    )).run_batch()
+    t = LakeTable.load(spark, f"{d}/tbl").read()
+    line = F.concat(
+        F.col("role"), F.lit(": "), F.coalesce(F.col("text"), F.lit(""))
+    )
+    structs = F.collect_list(F.struct(F.col("turn_idx"), line.alias("_l")))
+    return t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(
+            tx.token_count(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("n_tokens"),
+        F.array_join(
+            F.transform(F.array_sort(structs), lambda s: s["_l"]), "\n"
+        ).alias("dialogue"),
+    )
+
+
 def transcript_replay_lww(spark, sf_dir):
     """Flagship E2E WITH a SQL oracle: the events view mapped
     deterministically onto the input_hint transcript changelog shape
@@ -1578,6 +1633,7 @@ ALL_QUERIES = {
     "multi_table_replay": multi_table_replay,
     "table_ddl_replay": table_ddl_replay,
     "transcript_replay_lww": transcript_replay_lww,
+    "conversation_corpus": conversation_corpus,
     "stats_pruned_scan": stats_pruned_scan,
     "clustered_scan": clustered_scan,
     "stateful_sessions_stream": stateful_sessions_stream,
