@@ -74,6 +74,11 @@ def synth_media_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFram
         F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8").alias("_tb"),
     )
 
+    # captured BY VALUE outside the closure: the executors stay free of
+    # delta_spark imports, and the constants remain the single source
+    # of truth the SQL oracle mirrors
+    audio_rate, video_fps = AUDIO_RATE, VIDEO_FPS
+
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
         import struct
@@ -94,7 +99,9 @@ def synth_media_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFram
                 b"RIFF"
                 + struct.pack("<I", 36 + len(data))
                 + b"WAVEfmt "
-                + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+                + struct.pack(
+                    "<IHHIIHH", 16, 1, 1, audio_rate, 2 * audio_rate, 2, 16
+                )
                 + b"data"
                 + struct.pack("<I", len(data))
                 + data
@@ -102,7 +109,7 @@ def synth_media_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
         def rvid(nf: int, w: int, h: int, off: int) -> bytes:
             frames = b"".join(ppm(w, h, off + i) for i in range(nf))
-            return b"RVID" + struct.pack("<II", nf, 24) + frames
+            return b"RVID" + struct.pack("<II", nf, video_fps) + frames
 
         for pdf in batches:
             kinds, payloads, metas = [], [], []

@@ -496,7 +496,11 @@ def export_iceberg(table, dest: str, snapshot_id: int | None = None) -> str:
     dest = os.path.abspath(dest)
     data_dir = os.path.join(dest, "data")
     meta_dir = os.path.join(dest, "metadata")
-    os.makedirs(data_dir)
+    # crash-retryable bootstrap: a prior attempt may have created the
+    # dirs, linked files (_link_or_copy tolerates that), and even
+    # written v1.metadata.json before dying pre-hint — every step below
+    # must be re-runnable, or continuous publishing wedges forever
+    os.makedirs(data_dir, exist_ok=True)
     os.makedirs(meta_dir, exist_ok=True)
 
     meta = table.metadata
@@ -582,9 +586,21 @@ def export_iceberg(table, dest: str, snapshot_id: int | None = None) -> str:
         "metadata-log": [],
     }
     md_path = os.path.join(meta_dir, "v1.metadata.json")
-    with open(md_path, "x") as f:
+    hint_path = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint_path):
+        # a LIVE table (hint published) must never be clobbered — use
+        # publish_iceberg for incremental updates
+        raise FileExistsError(
+            f"{dest} is already a published Iceberg table (version-hint "
+            f"present); export refuses to overwrite it"
+        )
+    # no hint ⇒ any existing v1 is an unpublished leftover of a crashed
+    # bootstrap: overwrite atomically, then publish the hint LAST
+    tmp = md_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(md, f, indent=2)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+    os.replace(tmp, md_path)
+    with open(hint_path, "w") as f:
         f.write("1")
     return md_path
 
@@ -806,6 +822,13 @@ def publish_iceberg(
                 _name_mapping(meta, fields)
             ),
             "delta-spark.lake-snapshot-id": str(cur_sid),
+            # monotone lineage epoch: bumped on every REPLACE so the
+            # change-feed squash guard survives snapshot-log pruning
+            # (expire_iceberg may drop the replace snapshot itself)
+            "delta-spark.squash-count": str(
+                int(md.get("properties", {}).get("delta-spark.squash-count", "0"))
+                + (1 if op_label == "replace" else 0)
+            ),
         },
         "current-snapshot-id": snapshot_id_out,
         "refs": {"main": {"snapshot-id": snapshot_id_out, "type": "branch"}},
@@ -972,6 +995,56 @@ _SPARK_OF_ICE = {
 }
 
 
+
+
+def _spark_type_of(t: str) -> str:
+    """Iceberg type string → Spark DDL type (shared by both Spark
+    readers — one mapping, one place to extend)."""
+    if t in _SPARK_OF_ICE:
+        return _SPARK_OF_ICE[t]
+    if t.startswith("decimal("):
+        return "decimal(" + t[len("decimal("):]
+    raise ValueError(f"no Spark mapping for Iceberg type {t!r}")
+
+
+def _union_parquet(spark, files, flds, names_of):
+    """Union (path, seq) parquet files into one DataFrame aligned to
+    ``flds`` + a ``__seq`` column, grouping files by (resolved source
+    column per field, seq) so the scan count is O(schema epochs), not
+    O(files). Shared by both Spark readers — the name-mapping
+    resolution must never diverge between the full read and the feed."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    groups: dict[tuple, list[str]] = {}
+    for path, seq in files:
+        have = set(pq.read_schema(path).names)
+        srcs = []
+        for f in flds:
+            src = None
+            for cand in (f["name"], *names_of.get(f["id"], [])):
+                if cand in have:
+                    src = cand
+                    break
+            srcs.append(src)
+        groups.setdefault((tuple(srcs), seq), []).append(path)
+    parts = []
+    for (srcs, seq), paths in groups.items():
+        df = spark.read.parquet(*paths)
+        cols = [
+            (F.col(src) if src is not None else F.lit(None))
+            .cast(_spark_type_of(f["type"]))
+            .alias(f["name"])
+            for f, src in zip(flds, srcs)
+        ]
+        cols.append(F.lit(seq).cast("long").alias("__seq"))
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
 def read_iceberg_spark(metadata_path: str, spark):
     """Read an exported Iceberg table as a Spark DataFrame — the same
     plan a Spark+Iceberg runtime produces for a v2 MoR read: union the
@@ -979,53 +1052,16 @@ def read_iceberg_spark(metadata_path: str, spark):
     O(schema epochs), not O(files)), then one left-anti join against
     the equality-delete files restricted to strictly-older data
     sequence numbers. Driven ONLY by the exported Iceberg metadata."""
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     scan = scan_files(metadata_path)
     fields = scan["schema"]["fields"]
     mapping = scan["name_mapping"]
     names_of = {m["field-id"]: m["names"] for m in mapping}
+    _spark_type = _spark_type_of
 
-    def _spark_type(t: str) -> str:
-        if t in _SPARK_OF_ICE:
-            return _SPARK_OF_ICE[t]
-        if t.startswith("decimal("):
-            return "decimal(" + t[len("decimal("):]
-        raise ValueError(f"no Spark mapping for Iceberg type {t!r}")
-
-    def _union(files: list[tuple[str, int]], flds: list[dict]):
-        # group by (resolved source column per field, seq) — files that
-        # lay out identically share one scan
-        groups: dict[tuple, list[str]] = {}
-        for path, seq in files:
-            have = set(pq.read_schema(path).names)
-            srcs = []
-            for f in flds:
-                src = None
-                for cand in (f["name"], *names_of.get(f["id"], [])):
-                    if cand in have:
-                        src = cand
-                        break
-                srcs.append(src)
-            groups.setdefault((tuple(srcs), seq), []).append(path)
-        parts = []
-        for (srcs, seq), paths in groups.items():
-            df = spark.read.parquet(*paths)
-            cols = []
-            for f, src in zip(flds, srcs):
-                st = _spark_type(f["type"])
-                cols.append(
-                    (F.col(src) if src is not None else F.lit(None))
-                    .cast(st)
-                    .alias(f["name"])
-                )
-            cols.append(F.lit(seq).cast("long").alias("__seq"))
-            parts.append(df.select(*cols))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+    def _union(files, flds):
+        return _union_parquet(spark, files, flds, names_of)
 
     if not scan["data"]:
         ddl = ", ".join(
@@ -1086,6 +1122,18 @@ def _changed_files(dest: str, from_version: int, to_version: int | None):
     seq_from = md_a["last-sequence-number"]
     with open(to_path) as f:
         md_b = json.load(f)
+    # squash-count property is the retention-proof detector: the
+    # replace snapshot itself may have been pruned from md_b's
+    # snapshot log by expire_iceberg's keep_last_snapshots
+    sq_a = int(md_a.get("properties", {}).get("delta-spark.squash-count", "0"))
+    sq_b = int(md_b.get("properties", {}).get("delta-spark.squash-count", "0"))
+    if sq_b != sq_a:
+        raise NotImplementedError(
+            f"a squash (REPLACE) happened in ({from_version}, "
+            f"{to_version}] (lineage epoch {sq_a} -> {sq_b}); a file "
+            "diff is no longer a change feed — read the full state at "
+            "to_version instead"
+        )
     for s in md_b["snapshots"]:
         if (
             s["sequence-number"] > seq_from
@@ -1121,14 +1169,21 @@ def iceberg_changes_sql(
         for f in fields
         if f not in key_fields
     )
+    # empty SELECTs must be TYPED NULL casts with aliases — bare column
+    # names without a FROM clause are a DuckDB binder error (hit on
+    # deletes-only and schema-evolution-only publish ranges)
+    null_all = ", ".join(
+        f'CAST(NULL AS {_duck_of_ice(f["type"])}) AS "{f["name"]}"'
+        for f in fields
+    )
     if not data and not deletes:
         return (
-            f"SELECT {out_cols}, CAST(NULL AS VARCHAR) AS _change_type "
+            f"SELECT {null_all}, CAST(NULL AS VARCHAR) AS _change_type "
             "WHERE FALSE"
         )
     data_sql = "\nUNION ALL BY NAME\n".join(
         _file_select(p, seq, fields, mapping) for p, seq in data
-    ) or f"SELECT {out_cols}, CAST(NULL AS BIGINT) AS __seq WHERE FALSE"
+    ) or f"SELECT {null_all}, CAST(NULL AS BIGINT) AS __seq WHERE FALSE"
     del_sql = "\nUNION ALL BY NAME\n".join(
         _file_select(p, seq, key_fields, mapping) for p, seq, _ in deletes
     )
@@ -1179,43 +1234,10 @@ def read_iceberg_changes_spark(
     key_fields = [by_id[i] for i in eq_ids]
     names_of = {m["field-id"]: m["names"] for m in mapping}
 
-    def _spark_type(t: str) -> str:
-        if t in _SPARK_OF_ICE:
-            return _SPARK_OF_ICE[t]
-        if t.startswith("decimal("):
-            return "decimal(" + t[len("decimal("):]
-        raise ValueError(f"no Spark mapping for Iceberg type {t!r}")
+    _spark_type = _spark_type_of
 
     def _union(files, flds):
-        groups: dict[tuple, list[str]] = {}
-        import pyarrow.parquet as pq
-
-        for path, seq in files:
-            have = set(pq.read_schema(path).names)
-            srcs = []
-            for f in flds:
-                src = None
-                for cand in (f["name"], *names_of.get(f["id"], [])):
-                    if cand in have:
-                        src = cand
-                        break
-                srcs.append(src)
-            groups.setdefault((tuple(srcs), seq), []).append(path)
-        parts = []
-        for (srcs, seq), paths in groups.items():
-            df = spark.read.parquet(*paths)
-            cols = [
-                (F.col(s) if s is not None else F.lit(None))
-                .cast(_spark_type(f["type"]))
-                .alias(f["name"])
-                for f, s in zip(flds, srcs)
-            ]
-            cols.append(F.lit(seq).cast("long").alias("__seq"))
-            parts.append(df.select(*cols))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return _union_parquet(spark, files, flds, names_of)
 
     empty_ddl = ", ".join(
         f"`{f['name']}` {_spark_type(f['type'])}" for f in fields

@@ -294,7 +294,10 @@ def read_sql(
             else:
                 cond = _union_cond(_q(colname), ivals)
                 if cond:
-                    post_conds.append(cond)
+                    # parenthesize: a multi-interval union is an OR —
+                    # appended bare after AND it would flip precedence
+                    # and leak tombstoned rows into the result
+                    post_conds.append(f"({cond})" if " OR " in cond else cond)
 
     # group by (schema_version, spanning?, spec) exactly like
     # LakeTable._scan_entries

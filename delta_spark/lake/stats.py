@@ -70,9 +70,17 @@ def normalize_ranges(ranges: dict) -> dict[str, list[tuple]]:
         if isinstance(spec, tuple) and len(spec) == 2:
             ivals = [spec]
         elif isinstance(spec, list) and spec and all(
-            isinstance(iv, tuple) and len(iv) == 2 for iv in spec
+            isinstance(iv, (tuple, list)) and len(iv) == 2 for iv in spec
         ):
-            ivals = list(spec)
+            ivals = [tuple(iv) for iv in spec]
+        elif (
+            # back-compat: a bare 2-element list of scalars is ONE
+            # interval (the pre-list-of-intervals calling convention)
+            isinstance(spec, list)
+            and len(spec) == 2
+            and not any(isinstance(x, (tuple, list)) for x in spec)
+        ):
+            ivals = [tuple(spec)]
         else:
             raise ValueError(
                 f"range for {colname!r} must be a (lo, hi) tuple or a "

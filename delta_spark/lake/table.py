@@ -1245,6 +1245,7 @@ class LakeTable:
         files: list[dict] | None = None,
         summary: dict | None = None,
         added: list[dict] | None = None,
+        meta_updates: dict | None = None,
     ) -> None:
         """Commit a new snapshot. Two shapes:
 
@@ -1267,6 +1268,11 @@ class LakeTable:
         expected_parent = self._head_id()
         for _ in range(10):
             meta = dict(self.metadata)
+            if meta_updates:
+                # re-applied on every rebase attempt: a ref-disjoint
+                # race must not drop the caller's metadata change
+                # (e.g. cluster_by's stats_ids/cluster_by_ids)
+                meta.update(meta_updates)
             # ids are globally unique across main AND branches:
             # interleaved branch/main commits must never collide
             # (expiry keeps heads pinned, so the max over retained
@@ -2260,22 +2266,36 @@ class LakeTable:
             raise ValueError("cluster_by needs at least one column")
         # stats for the sort columns are what makes the layout prunable
         # — added to the SAME metadata commit as the rewritten files
-        meta = dict(self.metadata)
         stat_ids = list(self.stats_ids)
         for c in cols:
             if name_to_id[c] not in stat_ids:
                 stat_ids.append(name_to_id[c])
-        meta["stats_ids"] = stat_ids
-        meta["cluster_by_ids"] = [name_to_id[c] for c in cols]
-        self.metadata = meta  # _write_data reads _stat_fields from here;
-        # nothing is on disk until _commit_snapshot claims the version
-        data = self.read(include_system=True).filter(~F.col("_deleted"))
-        data = data.withColumn("_bucket", self.bucket_expr())
-        files_new = self._write_data(
-            data, f"cluster-{uuid.uuid4().hex[:12]}", range_by=cols
-        )
-        self._commit_snapshot(
-            files_new,
-            {"operation": "cluster", "cluster-by": ",".join(cols)},
-        )
+        updates = {
+            "stats_ids": stat_ids,
+            "cluster_by_ids": [name_to_id[c] for c in cols],
+        }
+        original = self.metadata
+        # _write_data reads _stat_fields from self.metadata, so the
+        # updates apply in-memory for the write — restored on ANY
+        # failure (a phantom cluster claim must never leak into a later
+        # commit), and passed to _commit_snapshot so a ref-disjoint
+        # rebase re-applies them instead of dropping them on refresh()
+        self.metadata = {**original, **updates}
+        try:
+            data = self.read(include_system=True).filter(~F.col("_deleted"))
+            data = data.withColumn("_bucket", self.bucket_expr())
+            files_new = self._write_data(
+                data, f"cluster-{uuid.uuid4().hex[:12]}", range_by=cols
+            )
+            self._commit_snapshot(
+                files_new,
+                {"operation": "cluster", "cluster-by": ",".join(cols)},
+                meta_updates=updates,
+            )
+        except BaseException:
+            if self.metadata.get("cluster_by_ids") == updates["cluster_by_ids"] and (
+                self.metadata.get("version") == original.get("version")
+            ):
+                self.metadata = original  # commit never landed
+            raise
         return len(files_new)

@@ -179,3 +179,25 @@ def test_cluster_rejects_unknown_column(spark, tmp_path):
         t.cluster_by(["nope"])
     with pytest.raises(ValueError, match="at least one"):
         t.cluster_by([])
+
+
+def test_cluster_by_survives_ref_disjoint_race(spark, tmp_path):
+    """Regression: losing the optimistic version race to a
+    ref-disjoint commit (a tag from another handle) used to drop the
+    clustering metadata on the rebase — the files landed but
+    cluster_cols/stats came back empty."""
+    t = _mk(spark, str(tmp_path / "t"), stats_cols=("ts",))
+    stale = LakeTable.load(spark, str(tmp_path / "t"))  # version V
+    t.tag("pin")  # bumps the version; `stale` doesn't see it
+    n = stale.cluster_by(["ts"])  # loses the race once, rebases
+    assert n > 0
+    t.refresh()
+    assert t.cluster_cols == ["ts"]
+    assert "pin" in t.tags  # nobody's write was lost
+    # and a FAILED rewrite never leaks phantom clustering
+    t2 = _mk(spark, str(tmp_path / "t2"))
+    try:
+        t2.cluster_by(["nope"])
+    except ValueError:
+        pass
+    assert t2.cluster_cols == []

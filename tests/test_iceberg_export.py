@@ -795,3 +795,82 @@ def test_changes_feed_across_rename_in_range(spark, tmp_path):
     got_s = {(r["conversation_id"], r["turn_idx"]): r["text"]
              for _i, r in sdf.iterrows()}
     assert got_s == got
+
+
+def test_bootstrap_crash_retry_and_live_guard(spark, tmp_path):
+    """Regression: a bootstrap export that crashed after creating
+    dirs/linking files/writing v1 — but BEFORE publishing the hint —
+    must be retryable (continuous publishing used to wedge forever on
+    os.makedirs). A LIVE dest (hint present) still refuses export."""
+    import pytest as _pt
+
+    from delta_spark.lake.iceberg import export_iceberg, publish_iceberg
+
+    t = _mk(spark, str(tmp_path / "t"))
+    ice = str(tmp_path / "ice")
+    # simulate the deepest crash: everything written except the hint
+    export_iceberg(t, ice)
+    os.remove(os.path.join(ice, "metadata", "version-hint.text"))
+    mp = publish_iceberg(t, ice)  # retries the bootstrap, succeeds
+    _rows_equal(t.read(), read_iceberg_duckdb(mp))
+    # live table → export refuses rather than clobbering
+    with _pt.raises(FileExistsError, match="already a published"):
+        export_iceberg(t, str(tmp_path / "ice"))
+
+
+def test_changes_sql_deletes_only_range(spark, tmp_path):
+    """Regression: a publish range whose only change is deletes used to
+    generate a FROM-less bare-column SELECT that DuckDB rejects; the
+    feed must instead emit the delete rows."""
+    import duckdb
+
+    from delta_spark.lake.iceberg import iceberg_changes_sql, publish_iceberg
+
+    t = _mk(spark, str(tmp_path / "t"))
+    ice = str(tmp_path / "ice")
+    publish_iceberg(t, ice)  # v1
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 0, None, None, None, None, "DELETE", 5000),
+             ("c2", 1, None, None, None, None, "DELETE", 5001)], DDL
+        ),
+        "w", "d1", mode="mor",
+    )
+    publish_iceberg(t.refresh(), ice)  # v2: deletes only
+    rows = duckdb.sql(iceberg_changes_sql(ice, 1, 2)).fetchall()
+    kinds = {r[-1] for r in rows}
+    assert kinds == {"delete"} and len(rows) == 2
+
+
+def test_squash_guard_survives_snapshot_pruning(spark, tmp_path):
+    """Regression: the change feed's REPLACE guard used to rely on the
+    replace snapshot being retained in the TO metadata's snapshot log;
+    the squash-count property detects it even after pruning."""
+    import json as _json
+
+    import pytest as _pt
+
+    from delta_spark.lake.iceberg import iceberg_changes_sql, publish_iceberg
+
+    t = _mk(spark, str(tmp_path / "t"))
+    ice = str(tmp_path / "ice")
+    publish_iceberg(t, ice)  # v1
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 0, "assistant", "v2", "", TS, "UPDATE", 6000)], DDL
+        ),
+        "w", "s1", mode="mor",
+    )
+    publish_iceberg(t.refresh(), ice, squash=True)  # v2 = REPLACE
+    # simulate expire_iceberg pruning the replace snapshot from v2's log
+    v2 = os.path.join(ice, "metadata", "v2.metadata.json")
+    with open(v2) as f:
+        md = _json.load(f)
+    md["snapshots"] = [
+        s for s in md["snapshots"]
+        if s.get("summary", {}).get("operation") != "replace"
+    ]
+    with open(v2, "w") as f:
+        _json.dump(md, f)
+    with _pt.raises(NotImplementedError, match="squash|REPLACE"):
+        iceberg_changes_sql(ice, 1, 2)

@@ -138,3 +138,33 @@ def test_duckdb_reads_composite_sortkey_table(spark, tmp_path):
     assert (expected.loc[expected.conv_id == "c1", "text"] == "winner").all()
     got = _norm(interop.read_duckdb(t.path).df())
     assert_pdf_equal(got, expected, ["conv_id", "turn_idx"])
+
+
+def test_multi_interval_nonkey_range_respects_tombstones(spark, tmp_path):
+    """Regression: a multi-interval range on a NON-key column used to
+    append an unparenthesized OR after 'NOT _deleted', resurrecting
+    tombstoned rows whose value fell in the later interval."""
+    DDL = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, op string, seq long"
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], "conv_id", 4,
+    )
+    t.merge(spark.createDataFrame(
+        [(f"c{i}", 0, "user", f"t{i:02d}", "", TS, "INSERT", i + 1)
+         for i in range(10)], DDL), "w", "b0")
+    # tombstone a row whose text lands in the SECOND interval
+    t.merge(spark.createDataFrame(
+        [("c8", 0, None, None, None, None, "DELETE", 100)], DDL),
+        "w", "b1", mode="mor")
+    t.compact(max_files_per_bucket=1)  # delta-free: non-key skip legal
+    ranges = {"text": [("t00", "t02"), ("t07", "t09")]}
+    want = sorted(r["text"] for r in t.read(ranges=ranges).collect())
+    got = sorted(
+        r[3] for r in interop.read_duckdb(str(tmp_path / "t"), ranges=ranges).fetchall()
+    )
+    assert got == want
+    assert "t08" not in got, "tombstoned row resurrected by OR precedence"
+    assert set(got) == {"t00", "t01", "t02", "t07", "t09"}

@@ -332,3 +332,22 @@ def test_pii_scrub_and_chunks(spark):
     q = df.select("doc_id", F.posexplode(tx.chunk_spans(t)).alias("i", "st"))
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_normalize_ranges_accepts_bare_two_list():
+    """Back-compat: a bare 2-element list of scalars is one interval
+    (the pre-list-of-intervals calling convention must keep working)."""
+    from delta_spark.lake.stats import normalize_ranges
+
+    assert normalize_ranges({"ts": [1, 9]}) == {"ts": [(1, 9)]}
+    assert normalize_ranges({"ts": (1, 9)}) == {"ts": [(1, 9)]}
+    assert normalize_ranges({"ts": [(1, 2), (5, 9)]}) == {
+        "ts": [(1, 2), (5, 9)]
+    }
+    assert normalize_ranges({"ts": [[1, 2], (5, 9)]}) == {
+        "ts": [(1, 2), (5, 9)]
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        normalize_ranges({"ts": [1, 2, 3]})
