@@ -10,9 +10,13 @@ engine (see SURVEY.md §2 and delta_spark/__init__.py). Queries cover
 the CDC operator surface (scan/filter, LWW dedup, MERGE emulation,
 delete apply, metrics, sessionization), relational breadth, the
 Iceberg publish/consume chain (export, continuous publish, artifact
--only change feed), and the training-data-pipeline library (dedup —
-batch AND incrementally maintained over the CDC feed, similarity
-search, text analysis, PII scrub, chunking, real media codecs).
+-only change feed), write-audit-publish staging (branch refs —
+``wap_publish`` replays through a staged branch and fast-forwards),
+and the training-data-pipeline library (dedup — batch AND
+incrementally maintained over the CDC feed, similarity search, text
+analysis, PII scrub, chunking, sequence packing + packed-corpus
+materialization, temperature resampling, real media codecs, and the
+CDC-to-training-corpus assembly ``conversation_corpus``).
 """
 
 from __future__ import annotations
