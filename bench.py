@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "packed_corpus",
     "temperature_sample",
+    "conversation_corpus",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "media_features",

@@ -455,3 +455,49 @@ def test_compact_on_branch_moves_branch_only(spark, tmp_path):
     assert t.metadata["current_snapshot_id"] == main_head
     assert sorted(tuple(r) for r in t.read(branch="staged").collect()) == before
     assert "s3" not in {r["text"] for r in t.read().collect()}
+
+
+def test_streaming_wap_kill_resume_then_publish(spark, tmp_path):
+    """Chaos: kill the staging stream mid-way, resume from checkpoint
+    (same generation → same writer/branch), publish — exactly-once
+    holds across the crash (no epoch staged twice) and the published
+    state equals the golden oracle."""
+    from delta_spark.changelog import ChangelogSpec, generate_and_write, oracle_apply
+    from delta_spark.pipeline import Pipeline, PipelineConfig
+    from conftest import assert_pdf_equal
+
+    log_dir = str(tmp_path / "changelog")
+    raw = generate_and_write(
+        log_dir, ChangelogSpec(n_events=2500, n_convs=40, seed=23, n_files=8)
+    )
+    cfg = PipelineConfig(
+        changelog_path=log_dir,
+        table_path=str(tmp_path / "table"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        generation=1,
+        max_files_per_trigger=2,
+        branch="staged",
+    )
+    p1 = Pipeline(spark, cfg)
+    q = p1.run_stream(available_now=True)
+    while not p1.stats:
+        q.awaitTermination(1)
+    q.stop()
+    q.awaitTermination(60)
+    assert len(p1.stats) < 4  # genuinely mid-stream
+    t = LakeTable.load(spark, cfg.table_path)
+    assert t.read().count() == 0  # crash leaked nothing to main
+
+    Pipeline(spark, cfg).run_stream_to_completion()  # resume
+    t.refresh()
+    assert t.read().count() == 0  # still staged only
+    t.fast_forward("staged")
+    assert_pdf_equal(
+        t.read().toPandas(), oracle_apply(raw), ["conv_id", "turn_idx"]
+    )
+    # no epoch staged twice across the crash
+    batch_ids = [
+        s["batch-id"] for s in t.snapshot_summaries()
+        if s and "batch-id" in s
+    ]
+    assert len(batch_ids) == len(set(batch_ids))
