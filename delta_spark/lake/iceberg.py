@@ -605,6 +605,54 @@ def export_iceberg(table, dest: str, snapshot_id: int | None = None) -> str:
     return md_path
 
 
+def _claim_metadata_version(meta_dir: str, version: int, md: dict) -> str:
+    """Atomically claim v{version}.metadata.json: write a COMPLETE temp
+    file, fsync, then os.link it into place — all-or-nothing, so any
+    v-file that exists is complete by construction (a racing or
+    crashed writer can never leave a truncated claimed file). Raises
+    FileExistsError when the version is already claimed."""
+    path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(md, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
+    return path
+
+
+def _adopt_orphan_version(meta_dir: str, version: int) -> None:
+    """Crash recovery: v{version} was claimed but the hint was never
+    published (writer died in the claim→hint window). The claim is
+    atomic, so a REAL publisher's file is complete — finishing the
+    dead writer's job (publishing the hint) unwedges the destination;
+    the caller then re-reads and retries its own publish on top. A
+    file that is NOT valid Iceberg metadata of THIS table (garbage, or
+    a foreign write squatting on the version number) is never adopted:
+    that stays a loud FileExistsError for the operator."""
+    path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    try:
+        with open(path) as f:
+            md = json.load(f)
+        ok = all(
+            k in md
+            for k in ("format-version", "schemas", "snapshots", "table-uuid")
+        )
+    except (json.JSONDecodeError, OSError):
+        ok = False
+    if not ok:
+        raise FileExistsError(
+            f"{path} is claimed by something that is not this table's "
+            f"Iceberg metadata — refusing to adopt or overwrite it"
+        )
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+
+
+
 def publish_iceberg(
     table,
     dest: str,
@@ -835,17 +883,29 @@ def publish_iceberg(
         "snapshots": md["snapshots"] + [snap_entry],
         "snapshot-log": md["snapshot-log"]
         + [{"snapshot-id": snapshot_id_out, "timestamp-ms": now_ms}],
-        "metadata-log": md["metadata-log"]
+        # capped like Iceberg's write.metadata.previous-versions-max:
+        # un-capped, a per-micro-batch publisher makes every metadata
+        # file carry the full publish history (O(K^2) cumulative bytes)
+        "metadata-log": (md["metadata-log"]
         + [
             {
                 "timestamp-ms": md["last-updated-ms"],
                 "metadata-file": _uri(prev_path),
             }
-        ],
+        ])[-100:],
     }
-    new_path = os.path.join(meta_dir, f"v{v + 1}.metadata.json")
-    with open(new_path, "x") as f:  # atomic claim: racing publisher loses
-        json.dump(new_md, f, indent=2)
+    try:
+        new_path = _claim_metadata_version(meta_dir, v + 1, new_md)
+    except FileExistsError:
+        # v+1 exists but the hint still says v: a writer (possibly a
+        # previous incarnation of THIS publisher) died in the
+        # claim→hint window. Adopt its complete file, then retry this
+        # publish on top of it — never wedge the destination.
+        _adopt_orphan_version(meta_dir, v + 1)
+        return publish_iceberg(
+            table, dest, squash=squash,
+            squash_after_deletes=squash_after_deletes,
+        )
     with open(hint, "w") as f:
         f.write(str(v + 1))
     return new_path
@@ -1018,8 +1078,9 @@ def _union_parquet(spark, files, flds, names_of):
 
     groups: dict[tuple, list[str]] = {}
     for path, seq in files:
-        have = set(pq.read_schema(path).names)
-        srcs = []
+        sch = pq.read_schema(path)
+        have = set(sch.names)
+        srcs, phys = [], []
         for f in flds:
             src = None
             for cand in (f["name"], *names_of.get(f["id"], [])):
@@ -1027,9 +1088,17 @@ def _union_parquet(spark, files, flds, names_of):
                     src = cand
                     break
             srcs.append(src)
-        groups.setdefault((tuple(srcs), seq), []).append(path)
+            # group ALSO by physical type: a widen (int→long) leaves
+            # old int32 and rewritten int64 files at the SAME data
+            # sequence under the same name — one spark.read.parquet
+            # over both trips the vectorized reader; per-type groups
+            # let the cast apply Iceberg's promotion per file layout
+            phys.append(
+                str(sch.field(src).type) if src is not None else None
+            )
+        groups.setdefault((tuple(srcs), tuple(phys), seq), []).append(path)
     parts = []
-    for (srcs, seq), paths in groups.items():
+    for (srcs, _phys, seq), paths in groups.items():
         df = spark.read.parquet(*paths)
         cols = [
             (F.col(src) if src is not None else F.lit(None))
@@ -1333,19 +1402,28 @@ def expire_iceberg(
                     if e["snapshot-id"] in kept_ids
                 ],
                 "last-updated-ms": now_ms,
-                "metadata-log": md["metadata-log"]
+                "metadata-log": (md["metadata-log"]
                 + [
                     {
                         "timestamp-ms": md["last-updated-ms"],
                         "metadata-file": _uri(cur_path),
                     }
-                ],
+                ])[-100:],
             }
-            new_path = os.path.join(meta_dir, f"v{cur_v + 1}.metadata.json")
-            with open(new_path, "x") as f:  # same claim publishers use
-                json.dump(new_md, f, indent=2)
-            with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-                f.write(str(cur_v + 1))
+            # same atomic claim publishers use; an orphan v-file from a
+            # crashed claim→hint window is adopted, not a dead end
+            try:
+                _claim_metadata_version(meta_dir, cur_v + 1, new_md)
+                with open(
+                    os.path.join(meta_dir, "version-hint.text"), "w"
+                ) as f:
+                    f.write(str(cur_v + 1))
+            except FileExistsError:
+                # someone else's complete claim: publish THEIR version;
+                # our prune is stale against it — drop it (the next
+                # scheduled run prunes on top), never overwrite a claim
+                _adopt_orphan_version(meta_dir, cur_v + 1)
+                pruned_snapshots = 0
             cur_v += 1
     versions = sorted(
         int(p[1:-len(".metadata.json")])
@@ -1355,7 +1433,6 @@ def expire_iceberg(
     keep = [v for v in versions if v > cur_v - keep_last_versions]
     if cur_v not in keep:
         keep.append(cur_v)
-    drop = [v for v in versions if v not in keep]
 
     referenced: set[str] = set()
     for v in keep:

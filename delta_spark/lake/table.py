@@ -579,12 +579,23 @@ class LakeTable:
         return dropped
 
     def snapshot_as_of(self, ts_ms: int) -> int | None:
-        """Largest retained snapshot committed at or before ``ts_ms``
-        (Iceberg TIMESTAMP AS OF). None when nothing that old remains."""
+        """Largest snapshot on THIS handle's ref lineage (main, or the
+        bound branch) committed at or before ``ts_ms`` (Iceberg
+        TIMESTAMP AS OF resolves via the branch's snapshot log, never
+        across refs — a reader asking for "the state as of noon" must
+        get the last PUBLISHED state, not an unaudited WAP staging
+        commit that happens to be newer). None when nothing that old
+        remains on the lineage."""
+        by_id = {s["id"]: s for s in self.metadata["snapshots"]}
+        lineage: set[int] = set()
+        sid = self._head_id()
+        while sid is not None and sid in by_id:
+            lineage.add(sid)
+            sid = by_id[sid].get("parent")
         ids = [
             s["id"]
             for s in self.metadata["snapshots"]
-            if s["timestamp_ms"] <= ts_ms
+            if s["id"] in lineage and s["timestamp_ms"] <= ts_ms
         ]
         return max(ids) if ids else None
 

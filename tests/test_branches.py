@@ -501,3 +501,30 @@ def test_streaming_wap_kill_resume_then_publish(spark, tmp_path):
         if s and "batch-id" in s
     ]
     assert len(batch_ids) == len(set(batch_ids))
+
+
+def test_as_of_never_resolves_staged_snapshots(spark, tmp_path):
+    """Regression: TIMESTAMP AS OF used to pick the max-id retained
+    snapshot at/before the cutoff — including unaudited WAP staging
+    commits. It must resolve on main's lineage only (a branch-bound
+    handle resolves on ITS lineage), and see staged data on main only
+    after publication."""
+    import time as _time
+
+    t = _mk(spark, str(tmp_path / "t"))
+    t.create_branch("staged")
+    b = t.for_branch("staged")
+    b.merge(_batch(spark, 1, "unaudited"), "w", "b1")
+    t.refresh()
+    now_ms = int((_time.time() + 60) * 1000)
+    sid = t.snapshot_as_of(now_ms)
+    assert sid == t.metadata["current_snapshot_id"]
+    got = {r["text"] for r in t.read(as_of=now_ms).collect()}
+    assert "unaudited" not in got and "v0-0" in got
+    # the branch-bound handle's as_of resolves on the branch lineage
+    assert b.refresh().snapshot_as_of(now_ms) == t.branches["staged"]
+    # after publish, main's as_of sees it
+    t.fast_forward("staged")
+    assert "unaudited" in {
+        r["text"] for r in t.read(as_of=now_ms).collect()
+    }

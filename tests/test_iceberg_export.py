@@ -874,3 +874,63 @@ def test_squash_guard_survives_snapshot_pruning(spark, tmp_path):
         _json.dump(md, f)
     with _pt.raises(NotImplementedError, match="squash|REPLACE"):
         iceberg_changes_sql(ice, 1, 2)
+
+
+def test_publish_crash_in_claim_to_hint_window(spark, tmp_path):
+    """Regression: a publisher that died AFTER claiming v{N+1} but
+    BEFORE updating version-hint used to wedge the destination forever
+    (FileExistsError on every retry). The claim is atomic, so a retry
+    adopts the complete orphan version and continues publishing."""
+    from delta_spark.lake.iceberg import publish_iceberg
+
+    t = _mk(spark, str(tmp_path / "t"))
+    ice = str(tmp_path / "ice")
+    publish_iceberg(t, ice)  # v1
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 0, "assistant", "v2", "", TS, "UPDATE", 7000)], DDL
+        ),
+        "w", "w1", mode="mor",
+    )
+    publish_iceberg(t.refresh(), ice)  # v2
+    # simulate the crash: roll the hint back to v1, leaving v2 claimed
+    with open(os.path.join(ice, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    t.merge(
+        spark.createDataFrame(
+            [("c2", 0, "assistant", "v3", "", TS, "UPDATE", 7001)], DDL
+        ),
+        "w", "w2", mode="mor",
+    )
+    mp = publish_iceberg(t.refresh(), ice)  # adopts v2, publishes v3
+    _rows_equal(t.read(), read_iceberg_duckdb(mp))
+    with open(os.path.join(ice, "metadata", "version-hint.text")) as f:
+        assert int(f.read().strip()) == 3
+
+
+def test_metadata_log_is_capped(spark, tmp_path):
+    """Regression: every publish used to append a metadata-log entry
+    forever (O(K^2) cumulative metadata bytes for a per-micro-batch
+    publisher); the log is now capped Iceberg-style."""
+    import json as _json
+
+    from delta_spark.lake.iceberg import publish_iceberg
+
+    t = _mk(spark, str(tmp_path / "t"), n=2)
+    ice = str(tmp_path / "ice")
+    publish_iceberg(t, ice)
+    for i in range(3):
+        t.merge(
+            spark.createDataFrame(
+                [("c0", 0, "assistant", f"u{i}", "", TS, "UPDATE", 8000 + i)],
+                DDL,
+            ),
+            "w", f"m{i}", mode="mor",
+        )
+        publish_iceberg(t.refresh(), ice)
+    with open(os.path.join(ice, "metadata", "version-hint.text")) as f:
+        v = int(f.read().strip())
+    with open(os.path.join(ice, "metadata", f"v{v}.metadata.json")) as f:
+        md = _json.load(f)
+    assert len(md["metadata-log"]) <= 100
+    assert md["metadata-log"], "log still links the previous version"
