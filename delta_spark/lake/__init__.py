@@ -19,5 +19,5 @@ Iceberg's (DataFrame read / MERGE INTO / UpdateSchema / snapshot
 summary properties).
 """
 
-from .materialized import MaterializedAggregate  # noqa: F401
+from .materialized import MaterializedAggregate, advance_all  # noqa: F401
 from .table import CommitConflict, LakeTable  # noqa: F401

@@ -129,14 +129,25 @@ class MaterializedAggregate:
 
     # ------------------------------------------------------- advance
 
-    def advance(self, to_snapshot_id: int | None = None) -> int:
+    def advance(
+        self,
+        to_snapshot_id: int | None = None,
+        changes: DataFrame | None = None,
+    ) -> int:
         """Fold the base commits in (cursor, to] into the view; returns
         the epoch advanced to (or the cursor unchanged when there is
         nothing new). Crash-safe with NO extra machinery: the cursor IS
         the merge's exactly-once marker (``_cursor``), so a crash
         anywhere leaves either the old cursor (nothing applied) or the
         new one (delta applied) — there is no window where the view and
-        the cursor disagree."""
+        the cursor disagree.
+
+        ``changes`` lets N views over one base share a SINGLE pre-image
+        change-feed scan (:func:`advance_all`): it must be exactly
+        ``base.read_changes(cursor, to, include_pre_images=True)`` for
+        THIS view's cursor — callers with a different cursor must not
+        reuse it, which is why only :func:`advance_all` (which groups
+        views by cursor) should pass it."""
         cur = self.base.current_snapshot
         to_id = cur["id"] if to_snapshot_id is None and cur else to_snapshot_id
         frm = self._cursor()
@@ -145,7 +156,11 @@ class MaterializedAggregate:
 
         vschema = {f.name: f.dataType for f in self.view.schema.fields}
         try:
-            ch = self.base.read_changes(frm, to_id, include_pre_images=True)
+            ch = (
+                changes
+                if changes is not None
+                else self.base.read_changes(frm, to_id, include_pre_images=True)
+            )
         except ValueError:
             # cursor snapshot EXPIRED (base retention ran ahead of the
             # view): rebootstrap from the absolute state — UPSERT every
@@ -258,3 +273,64 @@ class MaterializedAggregate:
             mode="auto",
         )
         return to_id
+
+
+def advance_all(
+    views: list[MaterializedAggregate], to_snapshot_id: int | None = None
+) -> list[int]:
+    """Advance N views over ONE base table, sharing the pre-image
+    change-feed scan: views whose cursors agree (the steady state — a
+    sink advancing its views in lockstep keeps them equal) fold from a
+    single cached ``read_changes`` frame instead of N identical scans.
+    Views with divergent cursors (one was just bootstrapped, or missed
+    an epoch to a crash) group by cursor — one scan per distinct
+    cursor, each view still folding exactly its own missing range, so
+    correctness never depends on the cursors agreeing.
+
+    Returns the per-view epochs, parallel to ``views``. An expired
+    cursor falls back to that view's own ``advance()`` (which
+    rebootstraps) without disturbing the others."""
+    if not views:
+        return []
+    base_path = views[0].base.path
+    for v in views:
+        if v.base.path != base_path:
+            raise ValueError(
+                "advance_all shares one change-feed scan — every view "
+                f"must target the same base table ({v.base.path!r} != "
+                f"{base_path!r})"
+            )
+    base = views[0].base
+    cur = base.current_snapshot
+    to_id = cur["id"] if to_snapshot_id is None and cur else to_snapshot_id
+
+    epochs: dict[int, int] = {}
+    groups: dict[object, list[int]] = {}
+    for i, v in enumerate(views):
+        groups.setdefault(v._cursor(), []).append(i)
+
+    for frm, idxs in sorted(
+        groups.items(), key=lambda kv: (kv[0] is None, kv[0])
+    ):
+        if to_id is None or (frm is not None and to_id <= frm):
+            for i in idxs:
+                epochs[i] = frm if frm is not None else -1
+            continue
+        if len(idxs) == 1:
+            epochs[idxs[0]] = views[idxs[0]].advance(to_id)
+            continue
+        try:
+            ch = base.read_changes(frm, to_id, include_pre_images=True)
+        except ValueError:
+            # cursor expired: each view rebootstraps through its own
+            # advance() path (O(base) once per view, loud in the log)
+            for i in idxs:
+                epochs[i] = views[i].advance(to_id)
+            continue
+        ch = ch.persist()
+        try:
+            for i in idxs:
+                epochs[i] = views[i].advance(to_id, changes=ch)
+        finally:
+            ch.unpersist()
+    return [epochs[i] for i in range(len(views))]

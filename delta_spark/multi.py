@@ -472,6 +472,16 @@ class MultiPipelineConfig:
     # WHOLE table set: every table's epochs stage on this branch (both
     # the fused and per-table paths); an auditor validates and
     # Catalog.fast_forward_all() publishes the fleet
+    publish_iceberg_dests: dict = field(default_factory=dict)  # table ->
+    # Iceberg v2 dest dir (lake/iceberg.py publish_iceberg): each routed
+    # table with an entry gets one incremental Iceberg snapshot per
+    # published epoch — the single-table publish_iceberg_dest, fleet-wide
+    publish_every: int = 1                  # publish every N micro-batches
+    matview_specs: dict = field(default_factory=dict)  # table -> spec
+    # dict {dest, group_cols, sums} OR a list of them: materialized
+    # aggregates maintained in lockstep per routed table; N views over
+    # one table share a single pre-image change-feed scan (advance_all)
+    matview_every: int = 1                  # advance every N micro-batches
 
     def __post_init__(self):
         if self.generation is None:
@@ -523,7 +533,7 @@ class MultiTablePipeline:
              *CHANGELOG_SCHEMA.fields]
         )
 
-    def _apply(self, df: DataFrame, batch_id: str) -> dict:
+    def _apply(self, df: DataFrame, batch_id: str, epoch_id: int = 0) -> dict:
         res = apply_multi_batch(
             self.catalog,
             df,
@@ -540,7 +550,52 @@ class MultiTablePipeline:
             sort_key_col=self.cfg.sort_key_col,
         )
         self.stats.append(res)
+        self._downstream(epoch_id)
         return res
+
+    def _downstream(self, epoch_id: int) -> None:
+        """Per-table downstream maintenance after an epoch lands —
+        Iceberg publishing and materialized-view advances, the fleet
+        analog of the single-table sink hooks (pipeline.py). Reads MAIN
+        only: under WAP staging (cfg.branch) main is frozen until an
+        auditor fast_forwards, so unaudited staged rows can never leak
+        into published artifacts or views — these become no-ops while
+        staging and the first post-publish epoch catches downstream up."""
+        mine = set(self.my_tables)
+        pubs = {
+            t: d for t, d in (self.cfg.publish_iceberg_dests or {}).items()
+            if t in mine
+        }
+        mvs = {
+            t: s for t, s in (self.cfg.matview_specs or {}).items() if t in mine
+        }
+        if not pubs and not mvs:
+            return
+        cat = self.catalog.refresh()
+        if pubs and epoch_id % max(1, self.cfg.publish_every) == 0:
+            from .lake.iceberg import publish_iceberg
+
+            for t, dest in sorted(pubs.items()):
+                if cat.has_table(t):
+                    publish_iceberg(cat.table(t), dest)
+        if mvs and epoch_id % max(1, self.cfg.matview_every) == 0:
+            from .lake.materialized import MaterializedAggregate, advance_all
+
+            for t, spec in sorted(mvs.items()):
+                if not cat.has_table(t):
+                    continue
+                specs = spec if isinstance(spec, (list, tuple)) else [spec]
+                base = cat.table(t)
+                advance_all([
+                    MaterializedAggregate(
+                        self.spark,
+                        base,
+                        s["dest"],
+                        list(s["group_cols"]),
+                        dict(s.get("sums") or {}),
+                    )
+                    for s in specs
+                ])
 
     def run_batch(self, batch_id: str = "batch-0") -> dict:
         df = self.spark.read.schema(self._read_schema()).parquet(
@@ -559,7 +614,7 @@ class MultiTablePipeline:
         stream = reader.parquet(self.cfg.changelog_path)
         writer = (
             stream.writeStream.foreachBatch(
-                lambda df, eid: self._apply(df, f"epoch-{eid}")
+                lambda df, eid: self._apply(df, f"epoch-{eid}", eid)
             )
             .option("checkpointLocation", self.cfg.checkpoint_location)
             .queryName(self.cfg.writer_id)

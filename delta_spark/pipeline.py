@@ -114,6 +114,11 @@ class PipelineConfig:
     matview_group_cols: tuple = ("role",)
     matview_sums: object = None            # dict: out col -> SQL expr
     matview_every: int = 1                 # advance every N micro-batches
+    matview_specs: tuple = ()              # ADDITIONAL views over the same
+    # sink, each a dict {dest, group_cols, sums} — all views (including
+    # the matview_dest one) advance through lake.materialized.advance_all,
+    # which shares ONE pre-image change-feed scan across the set instead
+    # of N identical scans per micro-batch
     branch: str | None = None              # write-audit-publish: commit
     # every epoch to this branch (created at the table's current head on
     # first use) instead of main — an auditor validates read(branch=...)
@@ -254,18 +259,32 @@ class Pipeline:
             # BEFORE expiry so the view cursor stays readable (an
             # expired cursor still recovers via rebootstrap, but that
             # costs O(base) instead of O(batch))
-            if self.cfg.matview_dest and (
+            if (self.cfg.matview_dest or self.cfg.matview_specs) and (
                 epoch_id % max(1, self.cfg.matview_every) == 0
             ):
-                from .lake.materialized import MaterializedAggregate
+                from .lake.materialized import (
+                    MaterializedAggregate,
+                    advance_all,
+                )
 
-                MaterializedAggregate(
-                    self.spark,
-                    main_view.refresh(),
-                    self.cfg.matview_dest,
-                    list(self.cfg.matview_group_cols),
-                    dict(self.cfg.matview_sums or {}),
-                ).advance()
+                specs = list(self.cfg.matview_specs)
+                if self.cfg.matview_dest:
+                    specs.insert(0, {
+                        "dest": self.cfg.matview_dest,
+                        "group_cols": self.cfg.matview_group_cols,
+                        "sums": self.cfg.matview_sums,
+                    })
+                base = main_view.refresh()
+                advance_all([
+                    MaterializedAggregate(
+                        self.spark,
+                        base,
+                        s["dest"],
+                        list(s["group_cols"]),
+                        dict(s.get("sums") or {}),
+                    )
+                    for s in specs
+                ])
             # periodic metadata maintenance: a per-micro-batch sink
             # accumulates snapshots without bound otherwise
             if (
