@@ -255,6 +255,15 @@ def main() -> None:
                 "cpu_control_sec": controls,
                 "window_degraded_retry": degraded,
                 "cdc_window_degraded_retry": cdc_degraded,
+                # table_changes_feed / matview_rollup run over a shared
+                # cached two-generation fixture: best-of-2 therefore
+                # times the OPERATOR (feed diff / incremental fold)
+                # alone; the one-time E2E replay setup is reported here
+                # (and the replay path itself is the cdc_replay
+                # headline) instead of being double-counted per query
+                "two_gen_fixture_build_sec": (
+                    _q._FIXTURE_CACHE.get(("two_gen", SF_DIR), (0, 0, None))[2]
+                ),
             }
         )
     )
