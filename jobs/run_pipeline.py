@@ -60,6 +60,17 @@ def main() -> None:
                     help="after the run (and each stream-continuous "
                     "attempt), publish the applied table incrementally "
                     "as a standard Iceberg v2 table at DEST")
+    ap.add_argument("--matview", default=None, metavar="DEST",
+                    help="maintain a materialized GROUP BY aggregate at "
+                    "DEST in lockstep with the sink (per micro-batch in "
+                    "stream modes, once after a batch run): folds each "
+                    "commit's pre-image change feed at O(changed keys)")
+    ap.add_argument("--matview-group-cols", default="role",
+                    help="comma-separated view group columns")
+    ap.add_argument("--matview-sums", default="",
+                    help='JSON dict of measure -> SQL expr, e.g. '
+                    '\'{"sum_chars": "length(text)"}\' (count(*) is '
+                    "always maintained)")
     ap.add_argument("--branch", default=None, metavar="NAME",
                     help="write-audit-publish: stage every epoch on this "
                     "branch instead of main; after the run the built-in "
@@ -120,6 +131,11 @@ def main() -> None:
         sort_key_col=args.sort_key_col,
         column_whitelist=tuple(x for x in args.columns.split(",") if x) or None,
         branch=args.branch,
+        matview_dest=args.matview,
+        matview_group_cols=tuple(
+            x for x in args.matview_group_cols.split(",") if x
+        ),
+        matview_sums=json.loads(args.matview_sums) if args.matview_sums else None,
     )
     if args.stats_dir:
         from delta_spark.progress import attach_progress_logger
@@ -173,6 +189,23 @@ def main() -> None:
         )
         print(json.dumps({"published_iceberg_metadata": mp}))
 
+    def _matview() -> None:
+        """Batch mode has no sink hook, so the view advances here; in
+        stream modes the per-micro-batch hook already folded every
+        epoch and this is an idempotent no-op catch-up."""
+        if not args.matview:
+            return
+        from delta_spark.lake import LakeTable, MaterializedAggregate
+
+        epoch = MaterializedAggregate(
+            spark,
+            LakeTable.load(spark, args.table),
+            args.matview,
+            list(cfg.matview_group_cols),
+            dict(cfg.matview_sums or {}),
+        ).advance()
+        print(json.dumps({"matview": args.matview, "matview_epoch": epoch}))
+
     p = Pipeline(spark, cfg)
     if args.mode == "batch":
         st = p.run_batch()
@@ -181,6 +214,7 @@ def main() -> None:
                           "wall_ms": st.wall_ms}))
         _audit_publish()
         _publish()
+        _matview()
     elif args.mode == "stream":
         # in-engine supervised retry (reference RetryConfig semantics:
         # backoff 1->120 s, optional max duration, DeltaFailureException
@@ -195,6 +229,7 @@ def main() -> None:
                           "rows_in": sum(s.rows_in for s in p.stats)}))
         _audit_publish()
         _publish()
+        _matview()
     else:  # stream-continuous: tail forever under the same supervisor
         from delta_spark.pipeline import RetryConfig, is_unretryable
 
@@ -208,6 +243,7 @@ def main() -> None:
                 q.awaitTermination()
                 _audit_publish()
                 _publish()
+                _matview()
                 break
             except Exception as e:
                 if is_unretryable(e):

@@ -65,6 +65,8 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
             "--buckets", "8",
             "--generation", "3",
             "--publish-iceberg", str(tmp_path / "ice"),
+            "--matview", str(tmp_path / "mv"),
+            "--matview-sums", '{"sum_chars": "length(text)"}',
         ],
         capture_output=True,
         text=True,
@@ -97,3 +99,27 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
 
     got = read_iceberg_duckdb(pub["published_iceberg_metadata"]).df()
     assert_pdf_equal(got, oracle_apply(raw), ["conv_id", "turn_idx"])
+    # the --matview flag maintained the aggregate view in the same run
+    from pyspark.sql import functions as F
+
+    from delta_spark.lake import MaterializedAggregate
+
+    mv = next(d for d in lines if "matview_epoch" in d)
+    assert mv["matview_epoch"] == t.metadata["current_snapshot_id"]
+    view = MaterializedAggregate(
+        spark, t, str(tmp_path / "mv"), ["role"], {"sum_chars": "length(text)"}
+    )
+    got_mv = sorted(
+        tuple(r) for r in view.read().select("role", "n_rows", "sum_chars").collect()
+    )
+    want_mv = sorted(
+        tuple(r)
+        for r in t.read()
+        .groupBy("role")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("sum_chars"),
+        )
+        .collect()
+    )
+    assert got_mv == want_mv
