@@ -85,6 +85,32 @@ class MaterializedAggregate:
                 key_cols=self.group_cols,
                 num_buckets=num_buckets,
             )
+        self._write_definition()
+
+    def _write_definition(self) -> None:
+        """Self-describing views: a ``matview.json`` sidecar at the
+        root records the view's DEFINITION (base path, group cols,
+        measures) so Spark-free consumers — the diagnostics service's
+        ``/v1/matview`` lag endpoint, a human at a shell — can discover
+        what the view computes and which base its cursor tracks.
+        Deterministic content; the tmp+rename makes concurrent
+        bootstraps benign (same spec → same bytes)."""
+        import json
+        import uuid as _uuid
+
+        p = os.path.join(self.root, "matview.json")
+        if os.path.exists(p):
+            return
+        body = {
+            "base_path": os.path.abspath(self.base.path),
+            "view_path": os.path.abspath(self.view_path),
+            "group_cols": self.group_cols,
+            "sums": self.sums,
+        }
+        tmp = f"{p}.tmp-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(body, f, indent=2, sort_keys=True)
+        os.replace(tmp, p)
 
     # ------------------------------------------------------- helpers
 

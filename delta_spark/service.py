@@ -326,6 +326,51 @@ class DiagnosticsService:
             "delete_files": len(scan["deletes"]),
         }
 
+    @staticmethod
+    def _matview_status(root: str) -> dict:
+        """Inspect a materialized view (lake/materialized.py) from its
+        on-disk metadata only: the ``matview.json`` definition sidecar
+        names the base table, the view's cursor is parsed from its own
+        exactly-once markers (the same derivation MaterializedAggregate
+        uses), and comparing it to the base head gives the freshness
+        answer an operator actually asks — how many base commits is
+        this view behind, and has base retention already expired the
+        cursor (next advance = O(base) rebootstrap, not O(delta))."""
+        with open(os.path.join(root, "matview.json")) as f:
+            defn = json.load(f)
+        vmeta = _load_table_meta(defn["view_path"])
+        ids = [
+            int(s["summary"]["batch-id"].rsplit("->", 1)[1])
+            for s in vmeta["snapshots"]
+            if s["summary"].get("writer-id") == "matview"
+            and "->" in s["summary"].get("batch-id", "")
+        ]
+        ids += [
+            int(b.rsplit("->", 1)[1])
+            for b in vmeta.get("applied_markers", {}).get("matview", [])
+            if "->" in b
+        ]
+        cursor = max(ids) if ids else None
+        bmeta = _load_table_meta(defn["base_path"])
+        head = bmeta["current_snapshot_id"]
+        base_ids = {s["id"] for s in bmeta["snapshots"]}
+        return {
+            "base_path": defn["base_path"],
+            "view_path": defn["view_path"],
+            "group_cols": defn["group_cols"],
+            "sums": defn["sums"],
+            "cursor": cursor,
+            "base_head": head,
+            "in_sync": cursor == head,
+            "lag_commits": sum(
+                1 for i in base_ids if cursor is None or i > cursor
+            ),
+            "cursor_expired": (
+                cursor is not None and cursor != head and cursor not in base_ids
+            ),
+            "view_snapshots": len(vmeta["snapshots"]),
+        }
+
     def _assess_one(self, body: dict) -> dict:
         schema = _schema_from_fields(body["fields"])
         target = None
@@ -371,6 +416,8 @@ class DiagnosticsService:
                     return 200, {"status": "ok"}
                 if parts == ["v1", "iceberg"]:
                     return 200, self._iceberg_status(q["dest"])
+                if parts == ["v1", "matview"]:
+                    return 200, self._matview_status(q["root"])
                 if parts == ["v1", "tables"]:
                     return 200, {"tables": sorted(self._table_paths())}
                 if len(parts) >= 3 and parts[:2] == ["v1", "tables"]:

@@ -204,3 +204,86 @@ def test_iceberg_status_endpoint(spark, tmp_path):
         assert code == 400
     finally:
         svc.stop()
+
+
+def test_matview_status_endpoint(spark, tmp_path):
+    """GET /v1/matview?root=… answers the operator question about a
+    materialized view from on-disk metadata alone: what it computes
+    (the matview.json definition sidecar), where its cursor sits, and
+    how many base commits it lags — including the expired-cursor signal
+    that predicts an O(base) rebootstrap on the next advance."""
+    import datetime
+    import urllib.parse
+
+    from delta_spark.lake import LakeTable, MaterializedAggregate
+
+    cfg, _st = _run_pipeline(spark, tmp_path)
+    t = LakeTable.load(spark, cfg.table_path)
+    root = str(tmp_path / "mv")
+    mv = MaterializedAggregate(
+        spark, t, root, ["role"], {"sum_chars": "length(text)"}
+    )
+    mv.advance()
+
+    svc = DiagnosticsService(tables={"transcripts": cfg.table_path})
+    _, port = svc.start()
+    try:
+        code, body = _get(port, "/v1/matview?root=" + urllib.parse.quote(root))
+        assert code == 200
+        assert body["in_sync"] and body["lag_commits"] == 0
+        assert body["cursor"] == t.metadata["current_snapshot_id"]
+        assert body["group_cols"] == ["role"]
+        assert body["sums"] == {"sum_chars": "length(text)"}
+        assert not body["cursor_expired"]
+
+        # one more base commit: the view lags by exactly one
+        ddl = (
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp, op string, seq long"
+        )
+        t.merge(
+            spark.createDataFrame(
+                [("c0", 0, "user", "late", "",
+                  datetime.datetime(2026, 1, 1), "UPDATE", 10_000_000)],
+                ddl,
+            ),
+            "w",
+            "late-1",
+        )
+        code, body = _get(port, "/v1/matview?root=" + urllib.parse.quote(root))
+        assert code == 200
+        assert not body["in_sync"] and body["lag_commits"] == 1
+        assert not body["cursor_expired"]
+
+        # catching up restores in_sync (fresh handle — restart shape)
+        MaterializedAggregate(
+            spark, t.refresh(), root, ["role"], {"sum_chars": "length(text)"}
+        ).advance()
+        code, body = _get(port, "/v1/matview?root=" + urllib.parse.quote(root))
+        assert body["in_sync"] and body["lag_commits"] == 0
+
+        # base retention running ahead of the cursor is flagged
+        for i in range(3):
+            t.merge(
+                spark.createDataFrame(
+                    [("c0", 0, "user", f"v{i}", "",
+                      datetime.datetime(2026, 1, 1), "UPDATE",
+                      10_000_001 + i)],
+                    ddl,
+                ),
+                "w",
+                f"late-2-{i}",
+            )
+        t.expire_snapshots(keep_last=1)
+        code, body = _get(port, "/v1/matview?root=" + urllib.parse.quote(root))
+        assert code == 200
+        assert not body["in_sync"] and body["cursor_expired"]
+
+        # unknown root → clean 400, not a 500
+        code, _err = _get(
+            port,
+            "/v1/matview?root=" + urllib.parse.quote(str(tmp_path / "nope")),
+        )
+        assert code == 400
+    finally:
+        svc.stop()
