@@ -123,3 +123,115 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
         .collect()
     )
     assert got_mv == want_mv
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit binary")
+def test_spark_submit_fleet_wap_publish(spark, tmp_path):
+    """The multi-table deployment shape: jobs/run_fleet.py shipped via
+    --py-files stages a 2-table fleet on a WAP branch, audits, publishes
+    via fast_forward_all, and catches the per-table Iceberg copies and
+    matview up to the published state — all in one spark-submit run."""
+    from delta_spark.changelog import (
+        ChangelogSpec,
+        generate_multi_changelog,
+        oracle_apply,
+        write_changelog,
+    )
+
+    raw = generate_multi_changelog({
+        t: ChangelogSpec(n_events=400, n_convs=10, seed=5 + i, n_files=1)
+        for i, t in enumerate(("alpha", "beta"))
+    })
+    log_dir = str(tmp_path / "log")
+    write_changelog(raw, log_dir, 2)
+
+    zpath = _build_zip(str(tmp_path))
+    job = str(tmp_path / "run_fleet.py")
+    shutil.copy(os.path.join(REPO, "jobs", "run_fleet.py"), job)
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    mv_specs = json.dumps({
+        "alpha": {"dest": str(tmp_path / "mv-alpha"),
+                  "group_cols": ["role"],
+                  "sums": {"sum_chars": "length(text)"}},
+    })
+    out = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zpath,
+            job,
+            "--changelog", log_dir,
+            "--catalog", str(tmp_path / "cat"),
+            "--checkpoint", str(tmp_path / "ck"),
+            "--tables", "alpha,beta",
+            "--mode", "batch",
+            "--buckets", "8",
+            "--generation", "3",
+            "--create-tables",
+            "--branch", "stage",
+            "--publish-on-clean-audit",
+            "--publish-iceberg-root", str(tmp_path / "ice"),
+            "--matview-specs", mv_specs,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    lines = [
+        json.loads(line) for line in out.stdout.splitlines()
+        if line.startswith("{")
+    ]
+    run = next(d for d in lines if "my_tables" in d)
+    assert sorted(run["my_tables"]) == ["alpha", "beta"]
+    pub = next(d for d in lines if "published" in d)
+    assert pub["published"]["alpha"] is not None
+    assert not pub["audit"]["alpha"]["dup_keys"]
+
+    # published mains equal the per-table replay oracle; the Iceberg
+    # copies (post-publish catch-up) match them Spark-free
+    from delta_spark.catalog import Catalog
+    from delta_spark.lake import MaterializedAggregate
+    from delta_spark.lake.iceberg import read_iceberg_duckdb
+
+    from conftest import assert_pdf_equal
+
+    cat = Catalog.load_or_create(spark, str(tmp_path / "cat"))
+    for t in ("alpha", "beta"):
+        want = oracle_apply(raw[raw["tbl"] == t])
+        assert_pdf_equal(
+            cat.table(t).read().toPandas(), want, ["conv_id", "turn_idx"]
+        )
+        hint = open(
+            os.path.join(str(tmp_path / "ice"), t, "metadata",
+                         "version-hint.text")
+        ).read().strip()
+        mp = os.path.join(str(tmp_path / "ice"), t, "metadata",
+                          f"v{hint}.metadata.json")
+        assert_pdf_equal(
+            read_iceberg_duckdb(mp).df(), want, ["conv_id", "turn_idx"]
+        )
+    # the matview caught up to the published alpha state
+    from pyspark.sql import functions as F
+
+    alpha = cat.table("alpha")
+    mv = MaterializedAggregate(
+        spark, alpha, str(tmp_path / "mv-alpha"), ["role"],
+        {"sum_chars": "length(text)"},
+    )
+    got = sorted(tuple(r) for r in mv.read()
+                 .select("role", "n_rows", "sum_chars").collect())
+    want_mv = sorted(
+        tuple(r) for r in alpha.read().groupBy("role").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("sum_chars"),
+        ).collect()
+    )
+    assert got == want_mv
