@@ -69,6 +69,10 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--max-bytes-per-trigger", default=None)
     ap.add_argument("--stream-timeout", type=int, default=24 * 3600)
+    ap.add_argument("--retry-max-duration", type=float, default=None,
+                    help="stream mode: supervised-retry budget in "
+                    "seconds (default: forever); checkpoint resume + "
+                    "idempotent apply keep exactly-once across restarts")
     ap.add_argument("--publish-iceberg-root", default=None, metavar="ROOT",
                     help="publish every routed table incrementally as a "
                     "standard Iceberg v2 table at ROOT/<table>")
@@ -157,7 +161,29 @@ def main() -> None:
     if args.mode == "batch":
         res = p.run_batch()
     else:
-        p.run_stream_to_completion(timeout=args.stream_timeout)
+        # supervised stream: restart from the checkpoint with backoff
+        # (reference retry semantics, same loop run_pipeline uses);
+        # replayed epochs hit their per-table markers — exactly-once
+        import time as _time
+
+        from delta_spark.pipeline import RetryConfig, is_unretryable
+
+        retry = RetryConfig(max_duration_seconds=args.retry_max_duration)
+        t0, delay = _time.time(), retry.first_delay_seconds
+        while True:
+            try:
+                p.run_stream_to_completion(timeout=args.stream_timeout)
+                break
+            except Exception as e:
+                if is_unretryable(e):
+                    raise
+                if (
+                    retry.max_duration_seconds is not None
+                    and _time.time() - t0 + delay > retry.max_duration_seconds
+                ):
+                    raise
+                _time.sleep(delay)
+                delay = min(delay * retry.backoff, retry.max_delay_seconds)
         res = {}
         for d in p.stats:
             for t, sts in d.items():
