@@ -6,12 +6,112 @@ by FIELD ID so renames never invalidate them. Values are stored in a
 JSON-safe, totally-ordered domain (ints/floats/strings as-is,
 timestamps as epoch micros); both the Spark reader
 (lake/table.py ``read(ranges=...)``) and the DuckDB interop reader
-(lake/interop.py) plan file skips from the same two functions here.
+(lake/interop.py) plan file skips from the same functions here.
+
+Per-file membership sketches (Iceberg puffin blob / parquet bloom
+filter analog) may additionally live in entries as
+``{"sketch": {"<field_id>": {"m": bits, "k": hashes, "b": base64}}}``
+— built by a DISTRIBUTED Spark job (``LakeTable.compute_sketches``),
+consulted here for point intervals only. Bit positions derive from
+ONE Spark ``xxhash64`` per value (Kirsch–Mitzenmacher double hashing
+on its two 32-bit halves), reproduced driver-side by the pinned
+pure-Python XXH64, so membership tests need no Spark session.
 """
 
 from __future__ import annotations
 
+import base64
 import datetime
+
+try:
+    from .xxh import spark_xxhash64
+except ImportError:
+    # loaded standalone by path (a consumer may vendor just the
+    # Spark-free files; interop.py's import-poisoned subprocess test
+    # exercises this): pull the stdlib-only sibling in by path too
+    import importlib.util as _ilu
+    import os as _os
+
+    _spec = _ilu.spec_from_file_location(
+        "_delta_spark_lake_xxh",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "xxh.py"),
+    )
+    _mod = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
+    spark_xxhash64 = _mod.spark_xxhash64
+
+# column types whose values a driver-side probe can hash EXACTLY the
+# way Spark's xxhash64 expression hashes the column (lake/xxh.py is
+# pinned bit-for-bit against Spark by test); membership sketches are
+# only offered on these. timestamp/date probes are converted to
+# Spark's internal long/int encodings (epoch micros / epoch days)
+# before hashing.
+SKETCH_TYPES = frozenset(
+    {"string", "varchar", "bigint", "long", "timestamp", "int",
+     "integer", "smallint", "tinyint", "date"}
+)
+
+
+def sketch_hash(type_str: str, value):
+    """(lo32, step) double-hashing seeds for a point probe, or None if
+    this (type, value) pair can't be hashed exactly like Spark's
+    ``xxhash64(cast(col as type))`` — None only disables sketch
+    pruning, never correctness. Bit positions are
+    ``(lo32 + i * step) % m`` for i in 0..k-1 (Kirsch–Mitzenmacher on
+    the two halves of ONE xxhash64, so the Spark-side builder needs a
+    single hash expression per row)."""
+    t = (type_str or "").lower()
+    if t not in SKETCH_TYPES or value is None or isinstance(value, bool):
+        return None
+    if t == "timestamp":
+        if isinstance(value, datetime.datetime):
+            if value.tzinfo is not None:
+                value = value.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            value = (value - datetime.datetime(1970, 1, 1)) // (
+                datetime.timedelta(microseconds=1)
+            )
+        elif not isinstance(value, int):
+            return None
+    elif t == "date":
+        if isinstance(value, datetime.datetime):
+            return None  # ambiguous: a datetime is not a date probe
+        if isinstance(value, datetime.date):
+            value = (value - datetime.date(1970, 1, 1)).days
+        elif not isinstance(value, int):
+            return None
+    try:
+        h = spark_xxhash64(value, coltype=t)
+    except (TypeError, OverflowError, UnicodeError):
+        return None
+    u = h & 0xFFFFFFFFFFFFFFFF
+    return (u & 0xFFFFFFFF, (u >> 32) | 1)
+
+
+def sketch_positions(lo: int, step: int, m: int, k: int) -> list[int]:
+    """The k bloom bit positions for a (lo, step) probe — the same
+    arithmetic the Spark-side builder evaluates as column expressions
+    (all operands < 2^36, so bigint math never overflows there)."""
+    return [(lo + i * step) % m for i in range(k)]
+
+
+def sketch_contains(sk: dict, lo: int, step: int) -> bool:
+    """Membership test against one manifest sketch
+    ``{"m": bits, "k": hashes, "b": base64 bitmap}``. True = maybe
+    present (or the sketch is unreadable — any doubt keeps the file);
+    False = DEFINITELY absent, the file can be skipped."""
+    try:
+        m, k = int(sk["m"]), int(sk["k"])
+        bits = base64.b64decode(sk["b"])
+        if m <= 0 or k <= 0 or len(bits) * 8 < m:
+            return True
+        for pos in sketch_positions(lo, step, m, k):
+            if not (bits[pos >> 3] >> (pos & 7)) & 1:
+                return False
+        return True
+    except Exception:
+        return True
 
 
 def stat_encode(type_str: str, v):
@@ -97,7 +197,12 @@ def prune_files(files: list[dict], cur_fields: list[dict], key_ids, ranges: dict
     files (a base row may be superseded by a delta row whose new value
     re-enters the range). A column's spec may be a single (lo, hi) or a
     list of intervals (union): a file survives if ANY interval
-    intersects its bounds. Row-level filtering stays the caller's job."""
+    intersects its bounds. Point intervals (lo == hi) additionally
+    consult the file's membership sketch when one was computed
+    (``LakeTable.compute_sketches``, Iceberg puffin-blob analog):
+    in-bounds but sketch-negative files are skipped too — the payoff
+    for point lookups on columns whose per-file [min, max] spans the
+    probe. Row-level filtering stays the caller's job."""
     by_name = {f["name"]: f for f in cur_fields}
     key_ids = set(key_ids)
     has_delta = any(f.get("kind") == "delta" for f in files)
@@ -107,17 +212,28 @@ def prune_files(files: list[dict], cur_fields: list[dict], key_ids, ranges: dict
             raise ValueError(f"range column {colname!r} not in schema")
         if not (fld["id"] in key_ids or not has_delta):
             continue
-        enc = [
-            (stat_encode(fld["type"], lo), stat_encode(fld["type"], hi))
-            for lo, hi in ivals
-        ]
+        enc = []
+        for lo, hi in ivals:
+            probe = None
+            if lo is not None and hi is not None and lo == hi:
+                probe = sketch_hash(fld["type"], lo)
+            enc.append(
+                (stat_encode(fld["type"], lo), stat_encode(fld["type"], hi), probe)
+            )
         fid = str(fld["id"])
+
+        def _excludes(f, lo_e, hi_e, probe):
+            if stats_exclude(f.get("stats", {}).get(fid), lo_e, hi_e):
+                return True
+            if probe is not None:
+                sk = f.get("sketch", {}).get(fid)
+                if sk is not None and not sketch_contains(sk, *probe):
+                    return True
+            return False
+
         files = [
             f
             for f in files
-            if not all(
-                stats_exclude(f.get("stats", {}).get(fid), lo_e, hi_e)
-                for lo_e, hi_e in enc
-            )
+            if not all(_excludes(f, lo_e, hi_e, pr) for lo_e, hi_e, pr in enc)
         ]
     return files

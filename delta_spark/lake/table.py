@@ -42,6 +42,7 @@ Scale design (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import base64
 import glob
 import json
 import os
@@ -79,6 +80,7 @@ def _type_of(name: str) -> T.DataType:
 
 # manifest column-bounds stats: shared Spark-free helpers (the DuckDB
 # interop reader plans file skips from the same functions)
+from .stats import SKETCH_TYPES  # noqa: E402
 from .stats import normalize_ranges as _normalize_ranges  # noqa: E402
 from .stats import prune_files as _prune_files  # noqa: E402
 from .stats import stat_encode as _stat_encode  # noqa: E402
@@ -2310,3 +2312,150 @@ class LakeTable:
                 self.metadata = original  # commit never landed
             raise
         return len(files_new)
+
+    def compute_sketches(
+        self,
+        cols: list[str],
+        bits: int = 4096,
+        num_hashes: int = 5,
+        recompute: bool = False,
+    ) -> int:
+        """Per-file membership sketches (Iceberg ``compute_table_stats``
+        puffin blob / parquet bloom filter analog): ONE distributed
+        Spark job hashes every value of ``cols`` in every current data
+        file (``xxhash64``, Kirsch–Mitzenmacher double hashing — the
+        exact arithmetic lake/stats.py ``sketch_hash`` reproduces
+        driver-side through the pinned pure-Python XXH64), folds the
+        bit positions per file with a bounded ``collect_set``
+        (≤ ``bits`` entries), and stores a ``bits``-wide bloom bitmap
+        per (file, column) in the manifest entries — a metadata-only
+        commit; no data file is rewritten or moved.
+
+        From then on point intervals — ``read(ranges={col: [(v, v),
+        ...]})``, ``lookup()`` — skip in-bounds but sketch-negative
+        files driver-side, which is the payoff min/max bounds can't
+        give on columns whose per-file value range spans the probe
+        (hash-bucketed keys, high-churn attributes). False positives
+        only cost a read; false negatives are impossible for the
+        sketched files, and files written AFTER this call simply carry
+        no sketch (never skipped on membership) until the next
+        maintenance run — ``recompute=False`` makes that incremental:
+        only files missing a sketch for some requested column (or
+        sketched under different parameters) are scanned.
+
+        Values are hashed after a cast to the column's CURRENT type,
+        so files written before a widen (int → bigint) still match
+        probes hashed under the current type. Columns must be of a
+        SKETCH_TYPES type (string/int/bigint families, timestamp,
+        date) — the ones a Spark-free probe can hash identically.
+
+        Scale shape: the scan is executor-side and embarrassingly
+        parallel; the driver holds O(files × bits/8) bytes — the same
+        order as the manifest entries it already plans from. Reference
+        analog: target-side readers must answer point membership
+        without opening every file (EventConsumer.java:39-76 consumers
+        query applied state selectively)."""
+        from urllib.parse import unquote, urlparse
+
+        if not cols:
+            raise ValueError("compute_sketches needs at least one column")
+        if bits < 64 or bits % 8 or num_hashes < 1:
+            raise ValueError("bits must be a multiple of 8 (≥ 64), num_hashes ≥ 1")
+        by_name = {f["name"]: f for f in self.fields}
+        missing = [c for c in cols if c not in by_name]
+        if missing:
+            raise ValueError(f"unknown sketch column(s) {missing}")
+        bad = [c for c in cols if by_name[c]["type"].lower() not in SKETCH_TYPES]
+        if bad:
+            raise ValueError(
+                f"column(s) {bad} have types a Spark-free probe cannot "
+                f"hash exactly (supported: {sorted(SKETCH_TYPES)})"
+            )
+        cur = self.current_snapshot
+        if cur is None or not cur["files"]:
+            return 0
+        entries = [dict(f) for f in cur["files"]]
+        fids = [(j, str(by_name[c]["id"]), by_name[c]) for j, c in enumerate(cols)]
+
+        def _needs(f: dict) -> bool:
+            sk = f.get("sketch", {})
+            return recompute or any(
+                fid not in sk
+                or sk[fid].get("m") != bits
+                or sk[fid].get("k") != num_hashes
+                for _, fid, _ in fids
+            )
+
+        targets = [f for f in entries if _needs(f)]
+        if not targets:
+            return 0
+        abspath_of = {
+            os.path.abspath(os.path.join(self.path, f["path"])): f for f in targets
+        }
+        by_sv: dict[int, list[str]] = {}
+        for f in targets:
+            by_sv.setdefault(f["schema_version"], []).append(
+                os.path.abspath(os.path.join(self.path, f["path"]))
+            )
+        empty_arr = F.expr("CAST(array() AS array<bigint>)")
+        tag_sets: dict[str, set] = {}
+        for sv, paths in by_sv.items():
+            old_fields = {f["id"]: f for f in self.metadata["schemas"][str(sv)]}
+            arrs = []
+            for j, _fid, fld in fids:
+                phys = old_fields.get(fld["id"], {}).get("name")
+                if phys is None:
+                    continue  # column absent in this layout: no values
+                expr = F.col(phys).cast(_type_of(fld["type"]))
+                h = F.xxhash64(expr)
+                lo = h.bitwiseAND(F.lit(4294967295))
+                step = F.shiftrightunsigned(h, 32).bitwiseOR(F.lit(1))
+                poss = [
+                    F.pmod(lo + F.lit(int(i)) * step, F.lit(int(bits)))
+                    + F.lit(int(j * bits))
+                    for i in range(num_hashes)
+                ]
+                arrs.append(
+                    F.when(expr.isNotNull(), F.array(*poss)).otherwise(empty_arr)
+                )
+            if not arrs:
+                continue  # whole layout predates every sketch column
+            tags = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+            got = (
+                self.spark.read.parquet(*paths)
+                .select(
+                    F.input_file_name().alias("_f"),
+                    F.explode(tags).alias("_tag"),
+                )
+                .groupBy("_f")
+                .agg(F.collect_set("_tag").alias("_tags"))
+                .collect()
+            )
+            for row in got:
+                p = os.path.abspath(unquote(urlparse(row["_f"]).path))
+                if p in abspath_of:
+                    tag_sets[p] = set(row["_tags"])
+        for p, f in abspath_of.items():
+            seen = tag_sets.get(p, set())  # zero non-null rows → all-zero
+            sk = dict(f.get("sketch", {}))
+            for j, fid, _fld in fids:
+                bm = bytearray(bits // 8)
+                for tag in seen:
+                    if j * bits <= tag < (j + 1) * bits:
+                        pos = int(tag - j * bits)
+                        bm[pos >> 3] |= 1 << (pos & 7)
+                sk[fid] = {
+                    "m": bits,
+                    "k": num_hashes,
+                    "b": base64.b64encode(bytes(bm)).decode("ascii"),
+                }
+            f["sketch"] = sk
+        self._commit_snapshot(
+            entries,
+            {
+                "operation": "compute-sketches",
+                "columns": ",".join(cols),
+                "sketched-files": str(len(targets)),
+            },
+        )
+        return len(targets)

@@ -299,6 +299,25 @@ ALL_ORACLES: dict[str, str] = {
         WHERE conv_id >= 'c2' AND conv_id <= 'c5'
           AND ts >= TIMESTAMP '2024-01-10 00:00:00'
     """,
+    # membership-sketch pruning must be invisible to the rows: same
+    # LWW window, point predicates instead of ranges
+    "sketch_pruned_scan": """
+        WITH log AS (
+            SELECT 'c' || user_id AS conv_id,
+                   CAST(event_id % 20 AS INT) AS turn_idx,
+                   event_type AS role, props AS text,
+                   CAST(NULL AS VARCHAR) AS tool, ts,
+                   event_id AS seq,
+                   (event_type = 'error') AS del
+            FROM events)
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM (
+            SELECT * FROM log
+            QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
+                AND NOT del
+        )
+        WHERE conv_id IN ('c3', 'c7') AND turn_idx = 5
+    """,
     # the sort-order rewrite (cluster_by) must be invisible to the
     # data: same LWW window + ts range, whatever the file layout
     "clustered_scan": """

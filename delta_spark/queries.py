@@ -992,6 +992,53 @@ def clustered_scan(spark, sf_dir):
     ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def sketch_pruned_scan(spark, sf_dir):
+    """Membership-sketch scan planning E2E WITH a SQL oracle (Iceberg
+    compute_table_stats puffin blob / parquet bloom filter analog,
+    lake/table.py compute_sketches): the mapped transcript changelog
+    is LWW-merged into a lake table, ONE distributed job sketches
+    conv_id (string hash path) and turn_idx (int32 hashInt path) into
+    per-file bloom bitmaps in the manifest, and a multi-point probe —
+    conv_id IN (c3, c7), turn_idx = 5 — reads back through driver-side
+    membership skipping (in-bounds but sketch-negative files are
+    never opened). DuckDB runs the same points over a plain LWW
+    window: pruning must be invisible to the rows. At 100 TB this is
+    the point-lookup class min/max bounds can't serve — per-file key
+    ranges straddle any probe once keys are hash-bucketed."""
+    import tempfile
+
+    from .lake import LakeTable
+    from .schema import TRANSCRIPT_SCHEMA
+
+    d = tempfile.mkdtemp(prefix="sketch_scan_")
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.select(
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.col("event_id").cast("long").alias("seq"),
+    )
+    t = LakeTable.create(
+        spark, f"{d}/tbl", TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+        "conv_id", 8,
+    )
+    t.merge(batch, "w", "b0")
+    t.compute_sketches(["conv_id", "turn_idx"])
+    t = t.refresh()
+    return t.read(
+        ranges={
+            "conv_id": [("c3", "c3"), ("c7", "c7")],
+            "turn_idx": [(5, 5)],
+        }
+    ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def stateful_sessions_stream(spark, sf_dir):
     """Custom stateful streaming operator E2E WITH a SQL oracle:
     the events table, mapped to (conv_id, ts, text), streams through
@@ -1651,6 +1698,7 @@ ALL_QUERIES = {
     "conversation_corpus": conversation_corpus,
     "stats_pruned_scan": stats_pruned_scan,
     "clustered_scan": clustered_scan,
+    "sketch_pruned_scan": sketch_pruned_scan,
     "stateful_sessions_stream": stateful_sessions_stream,
     "stale_audit_stream": stale_audit_stream,
     "rebucket_replay_lww": rebucket_replay_lww,
