@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "matview_rollup",
     "stats_pruned_scan",
     "clustered_scan",
+    "sketch_pruned_scan",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash16",

@@ -45,6 +45,7 @@ def maintain(
     dry_run: bool = False,
     publish_iceberg_dest: str | None = None,
     branch_age_s: float | None = None,
+    sketch_cols: list[str] | None = None,
 ) -> dict:
     from delta_spark.lake import LakeTable
 
@@ -90,6 +91,12 @@ def maintain(
     if expire_keep_last > 0:
         out["expired_snapshots"] = t.expire_snapshots(keep_last=expire_keep_last)
     out["orphans_removed"] = len(t.remove_orphans(orphan_age_s))
+    # sketch refresh LAST: compaction above rewrote files (which drop
+    # their membership sketches), so the incremental recompute here
+    # re-covers exactly the rewritten/new files — the Iceberg
+    # compute_table_stats procedure slot in the maintenance bundle
+    if sketch_cols:
+        out["sketched_files"] = t.refresh().compute_sketches(list(sketch_cols))
     return out
 
 
@@ -111,6 +118,11 @@ def main() -> None:
                     help="drop branch refs whose head is older than this "
                     "(Iceberg max-ref-age): abandoned staging rounds stop "
                     "pinning snapshots; off unless set")
+    ap.add_argument("--sketch-cols", default=None, metavar="COL[,COL...]",
+                    help="incrementally refresh per-file membership "
+                    "sketches on these columns after compaction (Iceberg "
+                    "compute_table_stats analog); only files missing a "
+                    "current sketch are scanned")
     args = ap.parse_args()
 
     from delta_spark.lake.commit import ObjectStoreCommit, protocol_for
@@ -148,6 +160,11 @@ def main() -> None:
                 dry_run=args.dry_run,
                 publish_iceberg_dest=args.publish_iceberg,
                 branch_age_s=args.branch_age_s,
+                sketch_cols=(
+                    [c.strip() for c in args.sketch_cols.split(",") if c.strip()]
+                    if args.sketch_cols
+                    else None
+                ),
             )
         )
     )

@@ -71,6 +71,37 @@ def test_maintain_compacts_expires_and_reports(spark, tmp_path):
     assert out2["compacted_buckets"] == 0 and out2["orphans_removed"] == 0
 
 
+def test_maintain_refreshes_sketches_after_compaction(spark, tmp_path):
+    """Compaction rewrites files (which drop their membership
+    sketches); `maintain(sketch_cols=...)` re-sketches exactly the
+    uncovered files last, so point probes keep pruning across
+    maintenance cycles."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.compute_sketches(["text"])
+    t = t.refresh()
+    out = mt.maintain(
+        spark, t.path, compact_pressure=1, expire_keep_last=2,
+        sketch_cols=["text"],
+    )
+    assert out["compacted_buckets"] > 0
+    # compaction rewrote every bucket → every surviving file needed one
+    assert out["sketched_files"] > 0
+    t = t.refresh()
+    id_text = str(next(f["id"] for f in t.fields if f["name"] == "text"))
+    assert all(
+        id_text in f.get("sketch", {}) for f in t.current_snapshot["files"]
+    )
+    got = t.read(ranges={"text": [("b3 r7", "b3 r7")]})
+    assert got.count() == 1
+    assert 0 < len(got.inputFiles()) < len(t.read().inputFiles())
+    # steady state: nothing to compact, nothing to re-sketch
+    out2 = mt.maintain(
+        spark, t.path, compact_pressure=1, expire_keep_last=2,
+        sketch_cols=["text"],
+    )
+    assert out2["compacted_buckets"] == 0 and out2["sketched_files"] == 0
+
+
 def test_run_pipeline_wap_gate(spark, tmp_path):
     """The deployment entrypoint's write-audit-publish gate: with
     --branch --publish-on-clean-audit a clean run stages, audits, and
