@@ -702,9 +702,12 @@ class LakeTable:
         checkpoint horizon — a replay can never reach further back)."""
         if str(batch_id) in self.metadata.get("applied_markers", {}).get(writer_id, []):
             return True
+        # rolled-back snapshots are NOT applied: their batches must be
+        # re-appliable after rollback_to, or replay loses them forever
         return any(
             s["summary"].get("writer-id") == writer_id
             and s["summary"].get("batch-id") == str(batch_id)
+            and not s.get("rolled_back")
             for s in self.metadata["snapshots"]
         )
 
@@ -713,6 +716,7 @@ class LakeTable:
             int(s["summary"]["max-seq"])
             for s in self.metadata["snapshots"]
             if "max-seq" in s["summary"]
+            and not s.get("rolled_back")
             and (writer_id is None or s["summary"].get("writer-id") == writer_id)
         ]
         return max(seqs, default=-1)
@@ -1960,6 +1964,95 @@ class LakeTable:
 
     # ------------------------------------------------ maintenance
 
+    def rollback_to(self, snapshot_id: int | None = None, *, tag: str | None = None) -> int:
+        """Roll main back to an ancestor snapshot (Iceberg
+        ``rollback_to_snapshot`` procedure analog) with CDC-correct
+        exactly-once semantics: a metadata-only commit whose manifests
+        are the target's (no data file moves), while every snapshot on
+        the abandoned lineage is flagged ``rolled_back`` so
+
+        * ``is_applied`` forgets its (writer-id, batch-id) markers —
+          re-running the pipeline RE-APPLIES the rolled-back batches
+          instead of exactly-once-skipping them into data loss,
+        * ``last_committed_seq`` drops back to the target lineage —
+          the seq-dedup guard re-admits the rolled-back events, and
+        * ``expire_snapshots`` never folds their markers into
+          ``applied_markers``.
+
+        Data only: the table keeps its CURRENT schema (reads map old
+        layouts by field id), matching Iceberg where rollback moves
+        the snapshot pointer but not table metadata. The abandoned
+        snapshots stay time-travelable by id until expiry retires
+        them (their files are reclaimed then). The rollback commit
+        parents on the abandoned head, so ``read_changes`` across it
+        emits the retractions a change-feed consumer needs to undo
+        the bad batches downstream. Returns the number of snapshots
+        rolled back; 0 when already at the target. Reference analog:
+        replication targets must be rewindable to a consistent
+        offset for replay (CDCOffsetStore contract — resume is
+        always from the last COMMITTED offset, never a poisoned
+        one)."""
+        if self._branch is not None:
+            raise ValueError(
+                "rollback_to operates on main; rewind a branch by "
+                "drop_branch/create_branch at the desired snapshot"
+            )
+        if (snapshot_id is None) == (tag is None):
+            raise ValueError("pass exactly one of snapshot_id or tag")
+        if tag is not None:
+            if tag not in self.tags:
+                raise ValueError(f"unknown tag {tag!r}")
+            snapshot_id = self.tags[tag]
+        sid = int(snapshot_id)
+        head = self.metadata["current_snapshot_id"]
+        if head is None:
+            raise ValueError("cannot roll back an empty table")
+        if sid == head:
+            return 0
+        if not self._is_ancestor(sid, head):
+            raise ValueError(
+                f"snapshot {sid} is not an ancestor of the current head "
+                f"{head} (expired, on a branch, or never existed)"
+            )
+        target = self._raw_snapshot(sid)
+        by_id = {s["id"]: s for s in self.metadata["snapshots"]}
+        revoked: set[int] = set()
+        cur: int | None = head
+        while cur is not None and cur != sid:
+            revoked.add(cur)
+            cur = by_id[cur].get("parent")
+        if "files" in target:  # legacy inline manifest → split once
+            refs = [self._write_manifest(target["files"])]
+        else:
+            refs = list(target.get("manifests", ()))
+        meta = dict(self.metadata)
+        new_sid = 1 + max(
+            [
+                meta["current_snapshot_id"] or 0,
+                *(self._ref(v)[0] for v in meta.get("branches", {}).values()),
+                *(s["id"] for s in meta["snapshots"]),
+            ]
+        )
+        snap = {
+            "id": new_sid,
+            "parent": head,
+            "timestamp_ms": int(time.time() * 1000),
+            "schema_version": meta["schema_version"],
+            "summary": {
+                "operation": "rollback",
+                "rolled-back-to": str(sid),
+                "revoked-snapshots": str(len(revoked)),
+            },
+            "manifests": refs,
+        }
+        meta["snapshots"] = [
+            {**s, "rolled_back": True} if s["id"] in revoked else s
+            for s in meta["snapshots"]
+        ] + [snap]
+        meta["current_snapshot_id"] = new_sid
+        self._write_metadata(meta, expected_version=self.metadata["version"])
+        return len(revoked)
+
     def expire_snapshots(
         self,
         keep_last: int = 5,
@@ -2007,6 +2100,8 @@ class LakeTable:
             return 0
         markers = {k: list(v) for k, v in self.metadata.get("applied_markers", {}).items()}
         for s in expired:
+            if s.get("rolled_back"):
+                continue  # revoked markers must not survive expiry
             w, b = s["summary"].get("writer-id"), s["summary"].get("batch-id")
             if w and b:
                 markers.setdefault(w, [])

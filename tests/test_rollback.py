@@ -1,0 +1,180 @@
+"""Snapshot rollback (Iceberg rollback_to_snapshot procedure analog)
+with CDC-correct exactly-once semantics: rolling main back to an
+ancestor is a metadata-only commit, and the abandoned snapshots'
+(writer-id, batch-id) markers are REVOKED so a pipeline re-run
+re-applies the rolled-back batches instead of skipping them into
+permanent data loss. Reference analog: resume is always from the last
+COMMITTED offset, never a poisoned one (DBReplicationOffsetStore
+contract)."""
+
+import datetime
+import glob
+import os
+
+import pytest
+
+from delta_spark.lake import LakeTable
+from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+TS = datetime.datetime(2026, 1, 1)
+DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, op string, seq long"
+)
+
+
+def _batch(spark, b, n=12, text=None):
+    rows = [
+        (f"c{i}", 0, "user", text or f"b{b} r{i}", "", TS, "UPDATE",
+         b * 100 + i + 1)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, DDL)
+
+
+def _mk(spark, path, n_batches=3):
+    t = LakeTable.create(
+        spark, path, TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], "conv_id", 4
+    )
+    for b in range(n_batches):
+        t.merge(_batch(spark, b), "w", f"b{b}", mode="auto")
+    return t.refresh()
+
+
+def test_rollback_restores_state_metadata_only(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    good = t.metadata["snapshots"][-2]["id"]  # head after b1
+    want = sorted(map(tuple, t.read(snapshot_id=good).collect()))
+    data_before = set(glob.glob(os.path.join(t.path, "data", "**", "*"),
+                                recursive=True))
+    n = t.rollback_to(good)
+    assert n == 1
+    t = t.refresh()
+    assert sorted(map(tuple, t.read().collect())) == want
+    # metadata-only: no data file was written, moved, or deleted
+    data_after = set(glob.glob(os.path.join(t.path, "data", "**", "*"),
+                               recursive=True))
+    assert data_after == data_before
+    # the abandoned snapshot stays time-travelable for audit
+    assert t.read(snapshot_id=good + 1).count() > 0
+    # idempotent at the target
+    assert t.rollback_to(t.metadata["current_snapshot_id"]) == 0
+
+
+def test_rollback_revokes_markers_and_seq_hwm(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    good = t.metadata["snapshots"][-2]["id"]
+    hwm_good = 1 * 100 + 12  # b1's max-seq
+    assert t.is_applied("w", "b2") and t.last_committed_seq("w") > hwm_good
+    t.rollback_to(good)
+    t = t.refresh()
+    assert not t.is_applied("w", "b2"), "rolled-back batch must re-apply"
+    assert t.is_applied("w", "b1")  # surviving lineage unaffected
+    assert t.last_committed_seq("w") == hwm_good
+    # re-applying the revoked batch (the fixed upstream re-send) lands
+    t.merge(_batch(spark, 2, text="fixed"), "w", "b2", mode="auto")
+    t = t.refresh()
+    assert t.is_applied("w", "b2")
+    texts = {r["text"] for r in t.read().collect()}
+    assert "fixed" in texts and "b2 r3" not in texts
+
+
+def test_rollback_errors(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.rollback_to(10_000)
+    with pytest.raises(ValueError, match="exactly one"):
+        t.rollback_to()
+    b = t.ensure_branch("stage")
+    with pytest.raises(ValueError, match="main"):
+        b.rollback_to(1)
+    # a snapshot on the branch (not main ancestry) is rejected
+    b.merge(_batch(spark, 9), "w2", "x0", mode="auto")
+    b = b.refresh()
+    branch_head = b.branches["stage"]
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.refresh().rollback_to(branch_head)
+
+
+def test_rollback_by_tag(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t = t.refresh()
+    good = t.metadata["snapshots"][-2]["id"]
+    t.tag("pre-bad", good)
+    t = t.refresh()
+    want = sorted(map(tuple, t.read(snapshot_id=good).collect()))
+    assert t.rollback_to(tag="pre-bad") == 1
+    t = t.refresh()
+    assert sorted(map(tuple, t.read().collect())) == want
+    with pytest.raises(ValueError, match="unknown tag"):
+        t.rollback_to(tag="nope")
+
+
+def test_change_feed_emits_retractions_across_rollback(spark, tmp_path):
+    """A change-feed consumer that followed the bad batch sees the
+    rollback as ordinary deltas (updates back to the good payloads /
+    deletes of bad inserts) — downstream undo needs no special case."""
+    t = _mk(spark, str(tmp_path / "t"), n_batches=2)
+    pre_bad = t.metadata["current_snapshot_id"]
+    bad = _batch(spark, 7, n=14)  # overwrites c0..c11, inserts c12, c13
+    t.merge(bad, "w", "b7", mode="auto")
+    t = t.refresh()
+    bad_head = t.metadata["current_snapshot_id"]
+    t.rollback_to(pre_bad)
+    t = t.refresh()
+    feed = t.read_changes(bad_head, t.metadata["current_snapshot_id"])
+    rows = {(r["conv_id"], r["_change_type"]) for r in feed.collect()}
+    assert ("c12", "delete") in rows and ("c13", "delete") in rows
+    assert ("c0", "update") in rows
+    upd = {r["conv_id"]: r["text"] for r in feed.collect()
+           if r["_change_type"] == "update"}
+    assert upd["c0"] == "b1 r0"  # restored payload, not the bad one
+
+
+def test_expiry_after_rollback_drops_revoked_markers_and_files(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    good = t.metadata["snapshots"][-2]["id"]
+    t.rollback_to(good)
+    t = t.refresh()
+    # churn enough commits that the revoked snapshot leaves keep_last
+    for b in range(3, 8):
+        t.merge(_batch(spark, b), "w", f"b{b}", mode="auto")
+    t = t.refresh()
+    assert t.expire_snapshots(keep_last=2) > 0
+    t = t.refresh()
+    assert not t.is_applied("w", "b2"), "revoked marker survived expiry"
+    assert t.is_applied("w", "b1"), "good marker lost in expiry"
+    # the bad batch can still land after expiry
+    t.merge(_batch(spark, 2, text="late fix"), "w", "b2", mode="auto")
+    assert t.refresh().is_applied("w", "b2")
+
+
+def test_pipeline_reapplies_after_rollback(spark, tmp_path):
+    """Engine-level: replay a changelog, roll the table back to the
+    first epoch's head, re-run the SAME pipeline — the final state
+    must equal the oracle (exactly-once skipping would lose the
+    rolled-back events)."""
+    from conftest import assert_pdf_equal
+    from delta_spark.changelog import ChangelogSpec, generate_and_write, oracle_apply
+    from delta_spark.pipeline import Pipeline, PipelineConfig
+
+    log = str(tmp_path / "log")
+    raw = generate_and_write(log, ChangelogSpec(n_events=600, n_convs=12, seed=7))
+    cfg = PipelineConfig(
+        changelog_path=log, table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"), generation=1, num_buckets=4,
+    )
+    Pipeline(spark, cfg).run_batch()
+    t = LakeTable.load(spark, cfg.table_path)
+    apply_sids = [s["id"] for s in t.metadata["snapshots"]
+                  if (s["summary"] or {}).get("writer-id")]
+    assert len(apply_sids) >= 1
+    t.rollback_to(apply_sids[0])
+    # a re-run resumes from the rolled-back seq hwm and re-applies
+    cfg2 = PipelineConfig(
+        changelog_path=log, table_path=cfg.table_path,
+        checkpoint_dir=str(tmp_path / "ck2"), generation=1, num_buckets=4,
+    )
+    Pipeline(spark, cfg2).run_batch()
+    got = LakeTable.load(spark, cfg.table_path).read().toPandas()
+    assert_pdf_equal(got, oracle_apply(raw), ["conv_id", "turn_idx"])
