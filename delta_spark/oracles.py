@@ -378,6 +378,24 @@ ALL_ORACLES: dict[str, str] = {
         SELECT c1.conv_id, c1.seq, 'late' AS kind, m.mx AS max_seq_seen
         FROM c1 JOIN m USING (conv_id)
     """,
+    # rollback + exactly-once re-apply must be invisible to the final
+    # state: poison half 2, rewind to the tag, re-run the corrected
+    # half under the SAME (writer, batch) — answers to the single-shot
+    # LWW oracle
+    "rollback_replay_lww": """
+        WITH log AS (
+            SELECT 'c' || user_id AS conv_id,
+                   CAST(event_id % 20 AS INT) AS turn_idx,
+                   event_type AS role, props AS text,
+                   CAST(NULL AS VARCHAR) AS tool, ts,
+                   event_id AS seq,
+                   (event_type = 'error') AS del
+            FROM events)
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM log
+        QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
+            AND NOT del
+    """,
     # rebucket must be invisible to readers: the two-phase replay with
     # a mid-run bucket-spec change answers to the SAME LWW oracle as
     # the single-shot replay

@@ -1213,6 +1213,83 @@ def rebucket_replay_lww(spark, sf_dir):
     return t.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def rollback_replay_lww(spark, sf_dir):
+    """Snapshot rollback + exactly-once re-apply E2E WITH a SQL
+    oracle (Iceberg ``rollback_to_snapshot`` analog — the bad-deploy
+    drill every 100 TB deployment eventually runs): the SAME mapped
+    changelog as ``transcript_replay_lww``, first half replayed to
+    main and TAGGED, then the second half applied through a POISONED
+    transform (every text corrupted — a bad code push). The operator
+    rolls main back to the tag (metadata-only, no data movement) and
+    re-runs the correct second half under the SAME (writer-id,
+    batch-id). That re-run MUST apply: rollback revokes the abandoned
+    lineage's exactly-once markers and seq high-water marks, so the
+    guard re-admits the rolled-back events instead of silently
+    skipping the repair into permanent data loss. The final state
+    answers to the single-replay LWW oracle — the whole detour is
+    invisible. Reference analog: resume is always from the last
+    COMMITTED offset, never a poisoned one (the DBReplicationOffsetStore
+    contract)."""
+    import tempfile
+
+    from .lake import LakeTable
+    from .pipeline import Pipeline, PipelineConfig
+
+    d = tempfile.mkdtemp(prefix="rollback_replay_")
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit(None).cast("string").alias("prev_text"),
+        F.lit(False).alias("is_snapshot"),
+        F.col("ts").cast("timestamp").alias("ingest_ts"),
+        F.lit(None).cast("string").alias("ddl"),
+    )
+    mid = log.agg(F.expr("percentile_approx(seq, 0.5)")).collect()[0][0]
+    log.filter(F.col("seq") <= mid).write.parquet(f"{d}/log1")
+    log.filter(F.col("seq") > mid).write.parquet(f"{d}/log2")
+    Pipeline(spark, PipelineConfig(
+        changelog_path=f"{d}/log1", table_path=f"{d}/tbl",
+        checkpoint_dir=f"{d}/ck1", generation=1, num_buckets=8,
+    )).run_batch()
+    t = LakeTable.load(spark, f"{d}/tbl")
+    t.tag("pre-deploy")
+    # the bad push: half 2 lands with every text corrupted
+    poisoned = PipelineConfig(
+        changelog_path=f"{d}/log2", table_path=f"{d}/tbl",
+        checkpoint_dir=f"{d}/ck2p", generation=1, instance_id=1,
+        num_buckets=8, merge_mode="mor",
+        transforms=lambda df: df.withColumn("text", F.lit("POISONED")),
+    )
+    Pipeline(spark, poisoned).run_batch(batch_id="batch-1")
+    t = t.refresh()
+    n_bad = t.read().filter(F.col("text") == "POISONED").count()
+    assert n_bad > 0, "poison batch did not land — fixture broken"
+    # the drill: rewind main to the audited tag (metadata-only)...
+    assert t.rollback_to(tag="pre-deploy") >= 1
+    t = t.refresh()
+    assert t.read().filter(F.col("text") == "POISONED").count() == 0
+    # ...and re-run the CORRECTED job under the SAME writer identity
+    # and batch-id — marker revocation must let it apply
+    repaired = PipelineConfig(
+        changelog_path=f"{d}/log2", table_path=f"{d}/tbl",
+        checkpoint_dir=f"{d}/ck2", generation=1, instance_id=1,
+        num_buckets=8, merge_mode="mor",
+    )
+    st = Pipeline(spark, repaired).run_batch(batch_id="batch-1")
+    assert st.applied, "re-apply after rollback was exactly-once-skipped"
+    t = t.refresh()
+    return t.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def wap_publish(spark, sf_dir):
     """Write-audit-publish E2E WITH a SQL oracle (Iceberg branch refs /
     WAP, the staging pattern a 100 TB deployment gates risky loads
@@ -1702,6 +1779,7 @@ ALL_QUERIES = {
     "stateful_sessions_stream": stateful_sessions_stream,
     "stale_audit_stream": stale_audit_stream,
     "rebucket_replay_lww": rebucket_replay_lww,
+    "rollback_replay_lww": rollback_replay_lww,
     "wap_publish": wap_publish,
     "cdc_replay_stream_lww": cdc_replay_stream_lww,
     "table_changes_feed": table_changes_feed,
