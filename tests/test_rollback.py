@@ -149,6 +149,91 @@ def test_expiry_after_rollback_drops_revoked_markers_and_files(spark, tmp_path):
     assert t.refresh().is_applied("w", "b2")
 
 
+def test_matview_follows_rollback(spark, tmp_path):
+    """A materialized view that already folded the bad batch converges
+    back through ordinary advance() calls: the pre-image feed across
+    the rollback commit retracts the bad contributions (the view's
+    cursor sits on a rolled-back snapshot — still resolvable until
+    expiry — so no rebootstrap is needed)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from delta_spark.lake import MaterializedAggregate
+
+    def check(mv, t):
+        got = mv.read().toPandas().sort_values("role").reset_index(drop=True)
+        want = (
+            t.read().groupBy("role")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("sum_chars"))
+            .toPandas().sort_values("role").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["role", "n_rows", "sum_chars"]].astype("object"),
+            want[["role", "n_rows", "sum_chars"]].astype("object"),
+            check_dtype=False,
+        )
+
+    t = _mk(spark, str(tmp_path / "t"), n_batches=2)
+    mv = MaterializedAggregate(
+        spark, t, str(tmp_path / "mv"), ["role"],
+        {"sum_chars": "length(text)"},
+    )
+    mv.advance()
+    check(mv, t)
+    good = t.metadata["current_snapshot_id"]
+    # bad batch lands AND is folded into the view before anyone notices
+    t.merge(_batch(spark, 7, n=14, text="POISON"), "w", "b7", mode="auto")
+    t = t.refresh()
+    mv.advance()
+    check(mv, t)
+    assert "POISON" in set(
+        r["text"] for r in t.read().select("text").collect()
+    )
+    # the drill: rollback, then an ordinary advance folds the retractions
+    t.rollback_to(good)
+    t = t.refresh()
+    mv.advance()
+    check(mv, t)
+    # the corrected re-send under the same (writer, batch) also flows through
+    t.merge(_batch(spark, 7, n=14, text="fixed"), "w", "b7", mode="auto")
+    t = t.refresh()
+    mv.advance()
+    check(mv, t)
+
+
+def test_iceberg_publish_follows_rollback(spark, tmp_path):
+    """A continuously-published Iceberg destination converges across a
+    rollback through ordinary publish_iceberg calls — the downstream
+    ecosystem copy needs no special rewind procedure."""
+    from delta_spark.lake.iceberg import publish_iceberg, read_iceberg_duckdb
+
+    def rows_equal(df, rel):
+        a = sorted(map(tuple, df.collect()))
+        b = sorted(map(tuple, rel.fetchall()))
+        assert a == b
+
+    t = _mk(spark, str(tmp_path / "t"), n_batches=2)
+    ice = str(tmp_path / "ice")
+    mp = publish_iceberg(t.refresh(), ice)
+    rows_equal(t.read(), read_iceberg_duckdb(mp))
+    good = t.metadata["current_snapshot_id"]
+    t.merge(_batch(spark, 7, n=14, text="POISON"), "w", "b7", mode="auto")
+    t = t.refresh()
+    mp = publish_iceberg(t, ice)
+    rows_equal(t.read(), read_iceberg_duckdb(mp))
+    t.rollback_to(good)
+    t = t.refresh()
+    mp = publish_iceberg(t, ice)
+    rows_equal(t.read(), read_iceberg_duckdb(mp))
+    t.merge(_batch(spark, 7, n=14, text="fixed"), "w", "b7", mode="auto")
+    t = t.refresh()
+    mp = publish_iceberg(t, ice)
+    rows_equal(t.read(), read_iceberg_duckdb(mp))
+    texts = set(read_iceberg_duckdb(mp).df()["text"])
+    assert "fixed" in texts and "POISON" not in texts
+
+
 def test_pipeline_reapplies_after_rollback(spark, tmp_path):
     """Engine-level: replay a changelog, roll the table back to the
     first epoch's head, re-run the SAME pipeline — the final state
