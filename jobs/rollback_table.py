@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the bad-deploy drill — snapshot
+rollback (Iceberg ``rollback_to_snapshot`` procedure) with the
+exactly-once bookkeeping a CDC sink needs:
+
+    spark-submit --py-files delta_spark.zip jobs/rollback_table.py \
+        --table /mnt/shared/transcripts --to-tag pre-deploy
+
+Rolls main back to an ancestor snapshot (by id or by tag) as a
+METADATA-ONLY commit — no data file is moved — and revokes the
+abandoned lineage's (writer-id, batch-id) markers and seq high-water
+marks, so re-running the (fixed) pipeline re-applies the rolled-back
+batches instead of exactly-once-skipping the repair. Downstream
+copies converge through their ordinary cadence (the change feed
+across the rollback commit is a state diff that emits retractions);
+pass ``--publish-iceberg DEST`` to converge a continuously-published
+Iceberg destination in the same run instead of waiting for the next
+maintenance tick.
+
+``--dry-run`` previews the blast radius without committing: which
+snapshots would be revoked, which (writer, batch) markers re-open,
+and where each writer's seq high-water mark would fall back to.
+Prints one JSON line either way. Reference analog: resume is always
+from the last COMMITTED offset, never a poisoned one
+(DBReplicationOffsetStore.java:92-99).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def rollback(
+    spark,
+    table_path: str,
+    to_snapshot: int | None = None,
+    to_tag: str | None = None,
+    dry_run: bool = False,
+    publish_iceberg_dest: str | None = None,
+) -> dict:
+    from delta_spark.lake import LakeTable
+
+    t = LakeTable.load(spark, table_path)
+    out: dict = {"table": table_path, "dry_run": dry_run}
+    if (to_snapshot is None) == (to_tag is None):
+        raise ValueError("pass exactly one of to_snapshot / to_tag")
+    sid = t.tags.get(to_tag) if to_tag is not None else int(to_snapshot)
+    if sid is None:
+        raise ValueError(f"unknown tag {to_tag!r} (have {sorted(t.tags)})")
+    out["target_snapshot_id"] = sid
+
+    # blast-radius preview, shared by dry-run and the real report:
+    # walk head -> target and collect what rollback would revoke
+    by_id = {s["id"]: s for s in t.metadata["snapshots"]}
+    head = t.metadata["current_snapshot_id"]
+    revoked, markers, cur = [], [], head
+    while cur is not None and cur != sid:
+        s = by_id.get(cur)
+        if s is None:
+            break
+        revoked.append(cur)
+        w, b = s["summary"].get("writer-id"), s["summary"].get("batch-id")
+        if w and b:
+            markers.append([w, b])
+        cur = s.get("parent")
+    if cur != sid:
+        raise ValueError(
+            f"snapshot {sid} is not an ancestor of head {head} "
+            "(expired, on a branch, or never existed)"
+        )
+    out["revoked_snapshots"] = revoked
+    out["reopened_batches"] = markers
+    writers = {w for w, _ in markers}
+    out["seq_hwm_after"] = {
+        w: max(
+            (
+                int(s["summary"]["max-seq"])
+                for s in t.metadata["snapshots"]
+                if s["id"] not in set(revoked)
+                and not s.get("rolled_back")
+                and "max-seq" in s["summary"]
+                and s["summary"].get("writer-id") == w
+            ),
+            default=-1,
+        )
+        for w in sorted(writers)
+    }
+    if dry_run:
+        return out
+
+    out["rolled_back"] = t.rollback_to(sid)
+    if publish_iceberg_dest:
+        from delta_spark.lake.iceberg import publish_iceberg
+
+        out["published_iceberg_metadata"] = publish_iceberg(
+            t.refresh(), publish_iceberg_dest
+        )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--to-snapshot", type=int, default=None,
+                   help="ancestor snapshot id to roll main back to")
+    g.add_argument("--to-tag", default=None,
+                   help="tag naming the rollback target (e.g. the "
+                   "pre-deploy tag the release process stamped)")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="preview revoked snapshots / reopened batches "
+                    "without committing")
+    ap.add_argument("--publish-iceberg", default=None, metavar="DEST",
+                    help="after rolling back, immediately converge the "
+                    "continuously-published Iceberg copy at DEST (the "
+                    "publish is an ordinary incremental snapshot carrying "
+                    "the retractions)")
+    args = ap.parse_args()
+
+    from delta_spark.lake.commit import ObjectStoreCommit, protocol_for
+
+    try:
+        proto = protocol_for(args.table)
+    except ValueError as e:
+        sys.exit(f"error: --table {args.table}: {e}")
+    if isinstance(proto, ObjectStoreCommit) and proto.store is None:
+        sys.exit(
+            f"error: --table {args.table}: metadata commits on {proto.scheme} "
+            "need a conditional-put endpoint — set "
+            "DELTA_SPARK_OBJECT_STORE_ENDPOINT (contract in "
+            "delta_spark/lake/commit.py)"
+        )
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("delta_spark-rollback")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    print(
+        json.dumps(
+            rollback(
+                spark,
+                args.table,
+                to_snapshot=args.to_snapshot,
+                to_tag=args.to_tag,
+                dry_run=args.dry_run,
+                publish_iceberg_dest=args.publish_iceberg,
+            )
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -263,3 +263,50 @@ def test_pipeline_reapplies_after_rollback(spark, tmp_path):
     Pipeline(spark, cfg2).run_batch()
     got = LakeTable.load(spark, cfg.table_path).read().toPandas()
     assert_pdf_equal(got, oracle_apply(raw), ["conv_id", "turn_idx"])
+
+
+def test_rollback_job_dry_run_and_commit(spark, tmp_path):
+    """jobs/rollback_table.py: dry-run previews the blast radius
+    (revoked snapshots, reopened batches, post-rollback seq HWM)
+    without committing; the real run rolls back and converges a
+    continuously-published Iceberg copy in the same invocation."""
+    import importlib.util
+
+    from delta_spark.lake.iceberg import publish_iceberg, read_iceberg_duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "rollback_table",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "jobs", "rollback_table.py"),
+    )
+    rt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rt)
+
+    t = _mk(spark, str(tmp_path / "t"), n_batches=2)
+    ice = str(tmp_path / "ice")
+    publish_iceberg(t.refresh(), ice)
+    t.tag("pre-deploy")
+    t.merge(_batch(spark, 7, n=14, text="POISON"), "w", "b7", mode="auto")
+    t = t.refresh()
+    head = t.metadata["current_snapshot_id"]
+
+    dry = rt.rollback(spark, t.path, to_tag="pre-deploy", dry_run=True)
+    assert dry["revoked_snapshots"] == [head]
+    assert dry["reopened_batches"] == [["w", "b7"]]
+    assert dry["seq_hwm_after"]["w"] == 112  # b1's max-seq
+    assert t.refresh().metadata["current_snapshot_id"] == head  # no commit
+
+    out = rt.rollback(spark, t.path, to_tag="pre-deploy",
+                      publish_iceberg_dest=ice)
+    assert out["rolled_back"] == 1
+    t = t.refresh()
+    assert "POISON" not in set(
+        r["text"] for r in t.read().select("text").collect()
+    )
+    texts = set(read_iceberg_duckdb(out["published_iceberg_metadata"]).df()["text"])
+    assert "POISON" not in texts
+
+    with pytest.raises(ValueError, match="unknown tag"):
+        rt.rollback(spark, t.path, to_tag="nope")
+    with pytest.raises(ValueError, match="not an ancestor"):
+        rt.rollback(spark, t.path, to_snapshot=99_999, dry_run=True)
