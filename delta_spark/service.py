@@ -150,6 +150,12 @@ class DiagnosticsService:
                 for k, v in m.get("branches", {}).items()
             },
             "last_commit": snaps[-1]["summary"] if snaps else None,
+            # bad-deploy drill state (jobs/rollback_table.py): snapshots
+            # whose exactly-once markers were revoked by a rollback —
+            # still time-travelable until expiry, never replay-skipped
+            "rolled_back_snapshots": [
+                int(s["id"]) for s in snaps if s.get("rolled_back")
+            ],
         }
 
     @staticmethod
@@ -168,6 +174,11 @@ class DiagnosticsService:
         analog: the snapshot summaries ARE the offset store)."""
         seqs: dict[str, int] = {}
         for s in meta["snapshots"]:
+            if s.get("rolled_back"):
+                # revoked by a rollback drill: the engine's
+                # last_committed_seq ignores these, so the offset the
+                # service reports must fall back the same way
+                continue
             w, mx = s["summary"].get("writer-id"), s["summary"].get("max-seq")
             if w is None or mx is None:
                 continue

@@ -72,6 +72,7 @@ def test_service_end_to_end_over_http(spark, tmp_path):
         desc2 = _get(port, "/v1/tables/transcripts")[1]
         assert desc2["tags"] == {"v1": t.tags["v1"]}
         assert desc2["branches"] == {"staged": t.branches["staged"]}
+        assert desc2["rolled_back_snapshots"] == []
 
         # offsets: the snapshot summaries ARE the offset store
         code, offs = _get(port, f"/v1/tables/transcripts/offsets?writer={cfg.writer_id}")
@@ -130,6 +131,32 @@ def test_service_end_to_end_over_http(spark, tmp_path):
         )
         code, body = _get(port, "/v1/tables/transcripts/changes?branch=staged")
         assert code == 400 and "diverged" in body["error"]
+
+        # bad-deploy drill state: a rollback's revoked snapshots are
+        # visible Spark-free, and the reported offsets fall back with
+        # the engine's last_committed_seq (what an operator checks
+        # mid-drill before re-running the fixed pipeline)
+        t = t.refresh()
+        good_sid = t.metadata["current_snapshot_id"]
+        t.merge(
+            spark.createDataFrame(
+                [("cZ", 0, "user", "POISON", "", _dt.datetime(2026, 1, 1),
+                  "UPDATE", 20_000_000)],
+                "conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp, op string, seq long",
+            ),
+            "w-drill", "bad-1", mode="auto",
+        )
+        t = t.refresh()
+        bad_sid = t.metadata["current_snapshot_id"]
+        offs = _get(port, "/v1/tables/transcripts/offsets?writer=w-drill")[1]
+        assert offs["max_seq"] == 20_000_000
+        t.rollback_to(good_sid)
+        desc3 = _get(port, "/v1/tables/transcripts")[1]
+        assert desc3["rolled_back_snapshots"] == [bad_sid]
+        assert desc3["last_commit"]["operation"] == "rollback"
+        offs = _get(port, "/v1/tables/transcripts/offsets?writer=w-drill")[1]
+        assert offs["max_seq"] == -1  # revoked with the rollback
 
         # scan planning from manifest stats: a narrow key range plans
         # fewer files than the full table, a no-op range plans all
