@@ -663,9 +663,13 @@ def read_duckdb(
 def _is_applied(meta: dict, writer_id: str, batch_id: str) -> bool:
     if str(batch_id) in meta.get("applied_markers", {}).get(writer_id, []):
         return True
+    # snapshots revoked by a rollback drill (LakeTable.rollback_to)
+    # don't count: the Spark-free writer must re-admit the repair
+    # batch exactly like the engine's is_applied does
     return any(
         s["summary"].get("writer-id") == writer_id
         and s["summary"].get("batch-id") == str(batch_id)
+        and not s.get("rolled_back")
         for s in meta["snapshots"]
     )
 

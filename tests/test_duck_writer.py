@@ -197,3 +197,27 @@ def test_duck_writer_stages_on_branch(spark, tmp_path):
     with _pt.raises(ValueError, match="not an ancestor"):
         t.fast_forward("staged")
     assert "duck-main" in {r["text"] for r in t.read().collect()}
+
+
+def test_duck_writer_readmits_after_rollback(spark, tmp_path):
+    """The Spark-free writer's idempotency check must forget revoked
+    (writer, batch) markers exactly like the engine's is_applied: after
+    a rollback drill, re-sending the repaired batch through DuckDB
+    lands instead of silently no-op'ing the repair away."""
+    t = _mk(spark, str(tmp_path / "t"))
+    con = duckdb.connect()
+    good = t.refresh().metadata["current_snapshot_id"]
+    bad = DUCK_BATCH.replace("'v2 duck'", "'POISON'")
+    st = write_delta_duckdb(t.path, con, bad, "duck-w", "d0")
+    assert st is not None
+    t = t.refresh()
+    assert t.rollback_to(good) == 1
+    t = t.refresh()
+    # revoked: the duck writer re-admits the same (writer, batch)
+    st2 = write_delta_duckdb(t.path, con, DUCK_BATCH, "duck-w", "d0")
+    assert st2 is not None and st2["snapshot_id"] != st["snapshot_id"]
+    t = t.refresh()
+    sp = t.read().toPandas().set_index(["conv_id", "turn_idx"])
+    assert sp.loc[("c1", 0), "text"] == "v2 duck"
+    # ...and a second replay is back to exactly-once
+    assert write_delta_duckdb(t.path, con, DUCK_BATCH, "duck-w", "d0") is None
