@@ -255,6 +255,50 @@ class Catalog:
             )
         return out
 
+    def tag_all(self, tag: str, replace: bool = False) -> dict[str, int | None]:
+        """Stamp ``tag`` at every table's current head — the fleet-wide
+        pre-deploy checkpoint a rollback drill rewinds to. Empty tables
+        are skipped with None (nothing to pin). Per-table tagging is
+        atomic and idempotent like the rest of the fleet surface."""
+        out: dict[str, int | None] = {}
+        for name in self.list_tables():
+            t = self.table(name)
+            if t.metadata["current_snapshot_id"] is None:
+                out[name] = None
+                continue
+            out[name] = t.tag(tag, replace=replace)
+        return out
+
+    def rollback_all(self, tag: str) -> dict[str, int | None]:
+        """Fleet-wide bad-deploy drill: roll every table carrying
+        ``tag`` back to it (LakeTable.rollback_to — metadata-only,
+        exactly-once markers revoked so the fixed pipeline re-applies).
+        Tables without the tag are skipped with None. Mirrors
+        ``fast_forward_all``'s failure shape: per-table rollbacks are
+        individually atomic, a refused table (e.g. tag expired off
+        main's lineage) does not abort the fleet, and one ValueError
+        naming every refused table is raised at the end with the
+        report in its message. Returns table → snapshots revoked
+        (0 = already at the tag)."""
+        out: dict[str, int | None] = {}
+        refused: dict[str, str] = {}
+        for name in self.list_tables():
+            t = self.table(name)
+            if tag not in t.tags:
+                out[name] = None
+                continue
+            try:
+                out[name] = t.rollback_to(tag=tag)
+            except ValueError as e:
+                refused[name] = str(e)
+        if refused:
+            raise ValueError(
+                f"rollback_all({tag!r}): {len(refused)} table(s) refused: "
+                f"{refused}; rolled back: "
+                f"{ {k: v for k, v in out.items() if v is not None} }"
+            )
+        return out
+
     def truncate_table(self, name: str) -> bool:
         """TRUNCATE: commit an empty snapshot. Exactly-once markers of
         earlier batches live on in the retained snapshot history, so a

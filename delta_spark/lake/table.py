@@ -2009,6 +2009,12 @@ class LakeTable:
             raise ValueError("cannot roll back an empty table")
         if sid == head:
             return 0
+        head_snap = self._raw_snapshot(head)
+        if (
+            head_snap["summary"].get("operation") == "rollback"
+            and head_snap["summary"].get("rolled-back-to") == str(sid)
+        ):
+            return 0  # idempotent: head already IS this rollback
         if not self._is_ancestor(sid, head):
             raise ValueError(
                 f"snapshot {sid} is not an ancestor of the current head "

@@ -20,6 +20,18 @@ maintenance tick.
 ``--dry-run`` previews the blast radius without committing: which
 snapshots would be revoked, which (writer, batch) markers re-open,
 and where each writer's seq high-water mark would fall back to.
+``--catalog ROOT --to-tag T`` runs the FLEET drill instead: every
+table in the catalog carrying tag T rolls back to it
+(``Catalog.rollback_all``; stamp the checkpoint beforehand with
+``Catalog.tag_all`` in the release process).
+
+Checkpoint caveat: the table-side markers are revoked, but a
+Structured-Streaming re-run must use a FRESH ``--checkpoint-dir`` (or
+batch mode) so the SOURCE re-delivers the rolled-back files — Spark's
+own checkpoint remembers which source files each micro-batch already
+read, and that ledger is not this table's to rewind. The table-side
+exactly-once guard makes the overlap safe either way.
+
 Prints one JSON line either way. Reference analog: resume is always
 from the last COMMITTED offset, never a poisoned one
 (DBReplicationOffsetStore.java:92-99).
@@ -103,9 +115,24 @@ def rollback(
     return out
 
 
+def rollback_fleet(spark, catalog_root: str, to_tag: str) -> dict:
+    from delta_spark.catalog import Catalog
+
+    cat = Catalog.load_or_create(spark, catalog_root)
+    return {
+        "catalog": catalog_root,
+        "tag": to_tag,
+        "rolled_back": cat.rollback_all(to_tag),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--table", required=True)
+    tgt = ap.add_mutually_exclusive_group(required=True)
+    tgt.add_argument("--table", default=None)
+    tgt.add_argument("--catalog", default=None, metavar="ROOT",
+                     help="fleet drill: roll back EVERY catalog table "
+                     "carrying --to-tag (Catalog.rollback_all)")
     g = ap.add_mutually_exclusive_group(required=True)
     g.add_argument("--to-snapshot", type=int, default=None,
                    help="ancestor snapshot id to roll main back to")
@@ -121,16 +148,23 @@ def main() -> None:
                     "publish is an ordinary incremental snapshot carrying "
                     "the retractions)")
     args = ap.parse_args()
+    if args.catalog is not None and args.to_tag is None:
+        ap.error("--catalog requires --to-tag (a fleet drill rewinds "
+                 "to the tag_all checkpoint, never to one snapshot id)")
+    if args.catalog is not None and (args.dry_run or args.publish_iceberg):
+        ap.error("--dry-run / --publish-iceberg apply to --table mode; "
+                 "preview fleet tables one at a time")
 
     from delta_spark.lake.commit import ObjectStoreCommit, protocol_for
 
+    root = args.table if args.table is not None else args.catalog
     try:
-        proto = protocol_for(args.table)
+        proto = protocol_for(root)
     except ValueError as e:
-        sys.exit(f"error: --table {args.table}: {e}")
+        sys.exit(f"error: {root}: {e}")
     if isinstance(proto, ObjectStoreCommit) and proto.store is None:
         sys.exit(
-            f"error: --table {args.table}: metadata commits on {proto.scheme} "
+            f"error: {root}: metadata commits on {proto.scheme} "
             "need a conditional-put endpoint — set "
             "DELTA_SPARK_OBJECT_STORE_ENDPOINT (contract in "
             "delta_spark/lake/commit.py)"
@@ -145,18 +179,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    print(
-        json.dumps(
-            rollback(
-                spark,
-                args.table,
-                to_snapshot=args.to_snapshot,
-                to_tag=args.to_tag,
-                dry_run=args.dry_run,
-                publish_iceberg_dest=args.publish_iceberg,
-            )
+    if args.catalog is not None:
+        out = rollback_fleet(spark, args.catalog, args.to_tag)
+    else:
+        out = rollback(
+            spark,
+            args.table,
+            to_snapshot=args.to_snapshot,
+            to_tag=args.to_tag,
+            dry_run=args.dry_run,
+            publish_iceberg_dest=args.publish_iceberg,
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

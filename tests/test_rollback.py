@@ -310,3 +310,53 @@ def test_rollback_job_dry_run_and_commit(spark, tmp_path):
         rt.rollback(spark, t.path, to_tag="nope")
     with pytest.raises(ValueError, match="not an ancestor"):
         rt.rollback(spark, t.path, to_snapshot=99_999, dry_run=True)
+
+
+def test_fleet_tag_and_rollback_all(spark, tmp_path):
+    """Catalog.tag_all stamps the fleet-wide pre-deploy checkpoint;
+    Catalog.rollback_all rewinds every tagged table, skips untagged
+    ones with None, and a refused table (tag expired off main's
+    lineage) reports without aborting the fleet — the
+    fast_forward_all failure shape, mirrored for the drill."""
+    from delta_spark.catalog import Catalog
+
+    cat = Catalog.load_or_create(spark, str(tmp_path / "cat"))
+    for n in ("t_a", "t_b"):
+        cat.create_table(n, TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+                         "conv_id", 4)
+        cat.table(n).merge(_batch(spark, 0), "w", "b0", mode="auto")
+    tagged = cat.tag_all("pre-deploy")
+    assert set(tagged) == {"t_a", "t_b"} and all(tagged.values())
+    # a table created AFTER the checkpoint has no tag → skipped
+    cat = cat.refresh()
+    cat.create_table("t_new", TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+                     "conv_id", 4)
+    cat.table("t_new").merge(_batch(spark, 5), "w", "n0", mode="auto")
+    # the bad deploy poisons both tagged tables
+    for n in ("t_a", "t_b"):
+        cat.table(n).merge(_batch(spark, 7, text="POISON"), "w", "b7",
+                           mode="auto")
+    out = cat.rollback_all("pre-deploy")
+    assert out == {"t_a": 1, "t_b": 1, "t_new": None}
+    for n in ("t_a", "t_b"):
+        texts = {r["text"] for r in cat.table(n).read().collect()}
+        assert "POISON" not in texts
+    # idempotent: already at the tag
+    assert cat.rollback_all("pre-deploy") == {
+        "t_a": 0, "t_b": 0, "t_new": None
+    }
+    # refusal shape: expire t_b's tag target off main's lineage is
+    # hard (tags pin); instead simulate by moving the tag to a branch
+    # snapshot — rollback_to refuses non-ancestors per table
+    tb = cat.table("t_b")
+    bb = tb.ensure_branch("side")
+    bb.merge(_batch(spark, 9, text="side"), "w2", "s0", mode="auto")
+    side_head = bb.refresh().branches["side"]
+    tb.refresh().tag("pre-deploy", side_head, replace=True)
+    cat.table("t_a").merge(_batch(spark, 8, text="POISON2"), "w", "b8",
+                           mode="auto")
+    with pytest.raises(ValueError, match="t_b"):
+        cat.rollback_all("pre-deploy")
+    # t_a still rolled back despite t_b's refusal
+    texts = {r["text"] for r in cat.table("t_a").read().collect()}
+    assert "POISON2" not in texts
