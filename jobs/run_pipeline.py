@@ -80,6 +80,12 @@ def main() -> None:
                     help="with --branch: fast-forward main when the "
                     "audit passes (a failed audit leaves main untouched, "
                     "marks the pipeline FAILING, and exits 3)")
+    ap.add_argument("--tag-before-run", default=None, metavar="TAG",
+                    help="stamp TAG at the table's current head before "
+                    "applying anything — the pre-deploy checkpoint "
+                    "jobs/rollback_table.py rewinds to if this run turns "
+                    "out to be the bad deploy (re-running the same "
+                    "generation moves the tag forward)")
     args = ap.parse_args()
 
     # fail FAST on storage schemes the commit protocol can't make
@@ -205,6 +211,17 @@ def main() -> None:
             dict(cfg.matview_sums or {}),
         ).advance()
         print(json.dumps({"matview": args.matview, "matview_epoch": epoch}))
+
+    if args.tag_before_run:
+        from delta_spark.lake import LakeTable
+
+        # first run bootstraps the table — nothing to pin yet
+        if LakeTable.exists(args.table):
+            t0 = LakeTable.load(spark, args.table)
+            if t0.metadata["current_snapshot_id"] is not None:
+                sid = t0.tag(args.tag_before_run, replace=True)
+                print(json.dumps({"tagged": args.tag_before_run,
+                                  "snapshot_id": sid}))
 
     p = Pipeline(spark, cfg)
     if args.mode == "batch":

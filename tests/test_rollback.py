@@ -360,3 +360,63 @@ def test_fleet_tag_and_rollback_all(spark, tmp_path):
     # t_a still rolled back despite t_b's refusal
     texts = {r["text"] for r in cat.table("t_a").read().collect()}
     assert "POISON2" not in texts
+
+
+def test_drill_end_to_end_in_deployment_shape(spark, tmp_path):
+    """The full bad-deploy drill through the shipped entrypoints:
+    run_pipeline --tag-before-run stamps the checkpoint, a second run
+    lands the 'bad' epoch, jobs/rollback_table.py rewinds to the tag,
+    and a re-run with a FRESH checkpoint dir (the documented caveat —
+    Spark's source ledger is not the table's to rewind) re-applies.
+    Final state equals the single-shot pandas replay oracle."""
+    import json
+    import subprocess
+    import sys
+
+    from conftest import assert_pdf_equal
+    from delta_spark.changelog import ChangelogSpec, generate_and_write, oracle_apply
+
+    full = str(tmp_path / "full")
+    raw = generate_and_write(full, ChangelogSpec(n_events=800, n_convs=16, seed=5))
+    df = spark.read.parquet(full)
+    mid = sorted(r["seq"] for r in df.select("seq").collect())[len(raw) // 2]
+    df.filter(f"seq <= {mid}").write.parquet(str(tmp_path / "log1"))
+    df.filter(f"seq > {mid}").write.parquet(str(tmp_path / "log2"))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo}
+
+    def run(job, *args):
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", job), *args],
+            capture_output=True, text=True, env=env, timeout=420,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return [json.loads(x) for x in out.stdout.splitlines()
+                if x.startswith("{")]
+
+    tbl = str(tmp_path / "tbl")
+    common = ["--table", tbl, "--mode", "batch", "--buckets", "4",
+              "--generation", "1", "--tag-before-run", "pre-deploy"]
+    j1 = run("run_pipeline.py", "--changelog", str(tmp_path / "log1"),
+             "--checkpoint", str(tmp_path / "ck1"), *common)
+    assert not any("tagged" in d for d in j1)  # first run: nothing to pin
+    j2 = run("run_pipeline.py", "--changelog", str(tmp_path / "log2"),
+             "--checkpoint", str(tmp_path / "ck2"), "--instance-id", "1",
+             *common)
+    assert any(d.get("tagged") == "pre-deploy" for d in j2)
+
+    # epoch 2 is declared bad: rewind to the stamped tag
+    j3 = run("rollback_table.py", "--table", tbl, "--to-tag", "pre-deploy")
+    assert j3[-1]["rolled_back"] >= 1
+    assert j3[-1]["reopened_batches"]
+
+    # fixed re-run, FRESH checkpoint so the source re-delivers
+    run("run_pipeline.py", "--changelog", str(tmp_path / "log2"),
+        "--checkpoint", str(tmp_path / "ck3"), "--instance-id", "1",
+        "--table", tbl, "--mode", "batch", "--buckets", "4",
+        "--generation", "1")
+    got = LakeTable.load(spark, tbl).read().toPandas()
+    expected = oracle_apply(raw)
+    assert_pdf_equal(got[list(expected.columns)], expected,
+                     ["conv_id", "turn_idx"])
