@@ -10,7 +10,8 @@ timestamps as epoch micros); both the Spark reader
 
 Per-file membership sketches (Iceberg puffin blob / parquet bloom
 filter analog) may additionally live in entries as
-``{"sketch": {"<field_id>": {"m": bits, "k": hashes, "b": base64}}}``
+``{"sketch": {"<field_id>": {"m": bits, "k": hashes, "t": hashed-type,
+"b": base64}}}``
 — built by a DISTRIBUTED Spark job (``LakeTable.compute_sketches``),
 consulted here for point intervals only. Bit positions derive from
 ONE Spark ``xxhash64`` per value (Kirsch–Mitzenmacher double hashing
@@ -222,12 +223,22 @@ def prune_files(files: list[dict], cur_fields: list[dict], key_ids, ranges: dict
             )
         fid = str(fld["id"])
 
+        ftype = (fld["type"] or "").lower()
+
         def _excludes(f, lo_e, hi_e, probe):
             if stats_exclude(f.get("stats", {}).get(fid), lo_e, hi_e):
                 return True
             if probe is not None:
                 sk = f.get("sketch", {}).get(fid)
-                if sk is not None and not sketch_contains(sk, *probe):
+                # a sketch hashed under a DIFFERENT column type (built
+                # before a widen) tests against the wrong bit positions
+                # — consulting it would produce false "definitely
+                # absent" verdicts; treat as unsketched instead
+                if (
+                    sk is not None
+                    and sk.get("t") == ftype
+                    and not sketch_contains(sk, *probe)
+                ):
                     return True
             return False
 

@@ -2484,7 +2484,11 @@ class LakeTable:
                 fid not in sk
                 or sk[fid].get("m") != bits
                 or sk[fid].get("k") != num_hashes
-                for _, fid, _ in fids
+                # hashed under a pre-widen type: the probe side refuses
+                # such sketches (stats.py), so rebuild under the current
+                # type to restore pruning
+                or sk[fid].get("t") != fld["type"].lower()
+                for _, fid, fld in fids
             )
 
         targets = [f for f in entries if _needs(f)]
@@ -2548,6 +2552,10 @@ class LakeTable:
                 sk[fid] = {
                     "m": bits,
                     "k": num_hashes,
+                    # the type the values were hashed under: a later
+                    # widen changes the hash encoding, and a probe must
+                    # never consult a sketch built under another type
+                    "t": _fld["type"].lower(),
                     "b": base64.b64encode(bytes(bm)).decode("ascii"),
                 }
             f["sketch"] = sk

@@ -221,3 +221,37 @@ def test_lookup_composes_with_key_sketch(spark, tmp_path):
     got = t.lookup(["c7"])
     assert got.count() == 5
     assert 0 < len(got.inputFiles()) <= base_planned
+
+
+def test_sketch_before_widen_refused_then_rebuilt(spark, tmp_path):
+    """The reverse order — sketch FIRST, widen AFTER — must never lose
+    rows: the stored sketch was hashed under int32, the post-widen
+    probe hashes under bigint (different bit positions entirely), so
+    the planner refuses the stale sketch (type recorded in the entry)
+    rather than trusting a false 'definitely absent'. An incremental
+    compute_sketches afterwards rebuilds under the current type and
+    restores pruning."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.compute_sketches(["turn_idx"])
+    t = t.refresh()
+    t.apply_ddl({"op": "WIDEN_COLUMN", "column": "turn_idx", "new_type": "bigint"})
+    t = t.refresh()
+    # stale sketches present, but every matching row still comes back
+    got = t.read(ranges={"conv_id": [("c4", "c4")], "turn_idx": [(3, 3)]})
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["turn_idx"] == 3
+    # incremental refresh sees the type mismatch and re-sketches
+    n = t.compute_sketches(["turn_idx"])
+    assert n > 0, "type-stale sketches must be rebuilt, not skipped"
+    t = t.refresh()
+    fid = str(next(f["id"] for f in t.fields if f["name"] == "turn_idx"))
+    assert all(
+        f["sketch"][fid]["t"] == "bigint"
+        for f in t.current_snapshot["files"]
+    )
+    rows = t.read(
+        ranges={"conv_id": [("c4", "c4")], "turn_idx": [(3, 3)]}
+    ).collect()
+    assert len(rows) == 1 and rows[0]["turn_idx"] == 3
+    # and a second refresh is a no-op (parameters + type now current)
+    assert t.compute_sketches(["turn_idx"]) == 0
