@@ -258,15 +258,33 @@ class Catalog:
     def tag_all(self, tag: str, replace: bool = False) -> dict[str, int | None]:
         """Stamp ``tag`` at every table's current head — the fleet-wide
         pre-deploy checkpoint a rollback drill rewinds to. Empty tables
-        are skipped with None (nothing to pin). Per-table tagging is
-        atomic and idempotent like the rest of the fleet surface."""
+        are skipped with None (nothing to pin). Mirrors the
+        fast_forward_all / rollback_all failure shape: a table that
+        refuses (tag already pins an OLDER snapshot and ``replace`` is
+        False) does not abort the fleet mid-loop — the rest still tag,
+        and one ValueError naming every refused table is raised at the
+        end with the full report in its message, so a mixed-release
+        checkpoint is visible instead of silent. Release processes
+        should pass ``replace=True`` (each deploy moves the checkpoint
+        forward); ``replace=False`` is the audit mode that proves no
+        tag moved."""
         out: dict[str, int | None] = {}
+        refused: dict[str, str] = {}
         for name in self.list_tables():
             t = self.table(name)
             if t.metadata["current_snapshot_id"] is None:
                 out[name] = None
                 continue
-            out[name] = t.tag(tag, replace=replace)
+            try:
+                out[name] = t.tag(tag, replace=replace)
+            except ValueError as e:
+                refused[name] = str(e)
+        if refused:
+            raise ValueError(
+                f"tag_all({tag!r}): {len(refused)} table(s) refused: "
+                f"{refused}; tagged: "
+                f"{ {k: v for k, v in out.items() if v is not None} }"
+            )
         return out
 
     def rollback_all(self, tag: str) -> dict[str, int | None]:

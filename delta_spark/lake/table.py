@@ -1964,6 +1964,92 @@ class LakeTable:
 
     # ------------------------------------------------ maintenance
 
+    def _rollback_plan(
+        self, snapshot_id: int | None, tag: str | None
+    ) -> tuple[int, list[int]]:
+        """Shared validation + abandoned-chain walk for rollback_to and
+        rollback_preview (one implementation, so the preview can never
+        drift from what the commit actually does). Returns (target sid,
+        chain of snapshot ids head→target exclusive, head first);
+        an empty chain means already at the target — including when
+        the head IS the idempotent rollback commit to that target."""
+        if self._branch is not None:
+            raise ValueError(
+                "rollback_to operates on main; rewind a branch by "
+                "drop_branch/create_branch at the desired snapshot"
+            )
+        if (snapshot_id is None) == (tag is None):
+            raise ValueError("pass exactly one of snapshot_id or tag")
+        if tag is not None:
+            if tag not in self.tags:
+                raise ValueError(f"unknown tag {tag!r}")
+            snapshot_id = self.tags[tag]
+        sid = int(snapshot_id)
+        head = self.metadata["current_snapshot_id"]
+        if head is None:
+            raise ValueError("cannot roll back an empty table")
+        if sid == head:
+            return sid, []
+        head_snap = self._raw_snapshot(head)
+        if (
+            head_snap["summary"].get("operation") == "rollback"
+            and head_snap["summary"].get("rolled-back-to") == str(sid)
+        ):
+            return sid, []  # idempotent: head already IS this rollback
+        if not self._is_ancestor(sid, head):
+            raise ValueError(
+                f"snapshot {sid} is not an ancestor of the current head "
+                f"{head} (expired, on a branch, or never existed)"
+            )
+        by_id = {s["id"]: s for s in self.metadata["snapshots"]}
+        chain: list[int] = []
+        cur: int | None = head
+        while cur is not None and cur != sid:
+            chain.append(cur)
+            cur = by_id[cur].get("parent")
+        return sid, chain
+
+    def rollback_preview(
+        self, snapshot_id: int | None = None, *, tag: str | None = None
+    ) -> dict:
+        """Blast-radius preview of ``rollback_to`` without committing:
+        what the drill would revoke and where each affected writer's
+        seq high-water mark would fall back to. Snapshots a PREVIOUS
+        rollback already revoked are not re-reported (their markers
+        are already open), so re-previewing an applied drill returns
+        an empty plan — exactly matching rollback_to returning 0."""
+        sid, chain = self._rollback_plan(snapshot_id, tag)
+        by_id = {s["id"]: s for s in self.metadata["snapshots"]}
+        fresh = [c for c in chain if not by_id[c].get("rolled_back")]
+        markers = [
+            [by_id[c]["summary"]["writer-id"], by_id[c]["summary"]["batch-id"]]
+            for c in fresh
+            if by_id[c]["summary"].get("writer-id")
+            and by_id[c]["summary"].get("batch-id")
+        ]
+        cut = set(chain)
+        writers = {w for w, _ in markers}
+        return {
+            "target_snapshot_id": sid,
+            "already_at_target": not chain,
+            "revoked_snapshots": fresh,
+            "reopened_batches": markers,
+            "seq_hwm_after": {
+                w: max(
+                    (
+                        int(s["summary"]["max-seq"])
+                        for s in self.metadata["snapshots"]
+                        if s["id"] not in cut
+                        and not s.get("rolled_back")
+                        and "max-seq" in s["summary"]
+                        and s["summary"].get("writer-id") == w
+                    ),
+                    default=-1,
+                )
+                for w in sorted(writers)
+            },
+        }
+
     def rollback_to(self, snapshot_id: int | None = None, *, tag: str | None = None) -> int:
         """Roll main back to an ancestor snapshot (Iceberg
         ``rollback_to_snapshot`` procedure analog) with CDC-correct
@@ -1992,41 +2078,12 @@ class LakeTable:
         offset for replay (CDCOffsetStore contract — resume is
         always from the last COMMITTED offset, never a poisoned
         one)."""
-        if self._branch is not None:
-            raise ValueError(
-                "rollback_to operates on main; rewind a branch by "
-                "drop_branch/create_branch at the desired snapshot"
-            )
-        if (snapshot_id is None) == (tag is None):
-            raise ValueError("pass exactly one of snapshot_id or tag")
-        if tag is not None:
-            if tag not in self.tags:
-                raise ValueError(f"unknown tag {tag!r}")
-            snapshot_id = self.tags[tag]
-        sid = int(snapshot_id)
-        head = self.metadata["current_snapshot_id"]
-        if head is None:
-            raise ValueError("cannot roll back an empty table")
-        if sid == head:
-            return 0
-        head_snap = self._raw_snapshot(head)
-        if (
-            head_snap["summary"].get("operation") == "rollback"
-            and head_snap["summary"].get("rolled-back-to") == str(sid)
-        ):
-            return 0  # idempotent: head already IS this rollback
-        if not self._is_ancestor(sid, head):
-            raise ValueError(
-                f"snapshot {sid} is not an ancestor of the current head "
-                f"{head} (expired, on a branch, or never existed)"
-            )
+        sid, chain = self._rollback_plan(snapshot_id, tag)
+        if not chain:
+            return 0  # already at the target (or its rollback commit)
         target = self._raw_snapshot(sid)
-        by_id = {s["id"]: s for s in self.metadata["snapshots"]}
-        revoked: set[int] = set()
-        cur: int | None = head
-        while cur is not None and cur != sid:
-            revoked.add(cur)
-            cur = by_id[cur].get("parent")
+        head = self.metadata["current_snapshot_id"]
+        revoked: set[int] = set(chain)
         if "files" in target:  # legacy inline manifest → split once
             refs = [self._write_manifest(target["files"])]
         else:

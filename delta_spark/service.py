@@ -365,6 +365,17 @@ class DiagnosticsService:
         bmeta = _load_table_meta(defn["base_path"])
         head = bmeta["current_snapshot_id"]
         base_ids = {s["id"] for s in bmeta["snapshots"]}
+        # lag counts MAIN-lineage commits only: the view folds main
+        # (never WAP-staged branch commits), so staged snapshots in
+        # the shared list must not report a perpetually-lagging view
+        # that is actually in sync
+        by_id = {s["id"]: s for s in bmeta["snapshots"]}
+        lag, cur = 0, head
+        while cur is not None and cur != cursor and cur in by_id:
+            lag += 1
+            cur = by_id[cur].get("parent")
+        if cursor is not None and cur != cursor:
+            lag = len(base_ids)  # cursor off-lineage/expired: bound it
         return {
             "base_path": defn["base_path"],
             "view_path": defn["view_path"],
@@ -373,9 +384,7 @@ class DiagnosticsService:
             "cursor": cursor,
             "base_head": head,
             "in_sync": cursor == head,
-            "lag_commits": sum(
-                1 for i in base_ids if cursor is None or i > cursor
-            ),
+            "lag_commits": lag,
             "cursor_expired": (
                 cursor is not None and cursor != head and cursor not in base_ids
             ),

@@ -59,53 +59,15 @@ def rollback(
 
     t = LakeTable.load(spark, table_path)
     out: dict = {"table": table_path, "dry_run": dry_run}
-    if (to_snapshot is None) == (to_tag is None):
-        raise ValueError("pass exactly one of to_snapshot / to_tag")
-    sid = t.tags.get(to_tag) if to_tag is not None else int(to_snapshot)
-    if sid is None:
-        raise ValueError(f"unknown tag {to_tag!r} (have {sorted(t.tags)})")
-    out["target_snapshot_id"] = sid
-
-    # blast-radius preview, shared by dry-run and the real report:
-    # walk head -> target and collect what rollback would revoke
-    by_id = {s["id"]: s for s in t.metadata["snapshots"]}
-    head = t.metadata["current_snapshot_id"]
-    revoked, markers, cur = [], [], head
-    while cur is not None and cur != sid:
-        s = by_id.get(cur)
-        if s is None:
-            break
-        revoked.append(cur)
-        w, b = s["summary"].get("writer-id"), s["summary"].get("batch-id")
-        if w and b:
-            markers.append([w, b])
-        cur = s.get("parent")
-    if cur != sid:
-        raise ValueError(
-            f"snapshot {sid} is not an ancestor of head {head} "
-            "(expired, on a branch, or never existed)"
-        )
-    out["revoked_snapshots"] = revoked
-    out["reopened_batches"] = markers
-    writers = {w for w, _ in markers}
-    out["seq_hwm_after"] = {
-        w: max(
-            (
-                int(s["summary"]["max-seq"])
-                for s in t.metadata["snapshots"]
-                if s["id"] not in set(revoked)
-                and not s.get("rolled_back")
-                and "max-seq" in s["summary"]
-                and s["summary"].get("writer-id") == w
-            ),
-            default=-1,
-        )
-        for w in sorted(writers)
-    }
+    # blast-radius preview shared by dry-run and the real report —
+    # the ENGINE's preview (LakeTable.rollback_preview), so the report
+    # can never drift from what rollback_to actually revokes (a
+    # re-run of an applied drill previews empty and commits nothing)
+    out.update(t.rollback_preview(to_snapshot, tag=to_tag))
     if dry_run:
         return out
 
-    out["rolled_back"] = t.rollback_to(sid)
+    out["rolled_back"] = t.rollback_to(to_snapshot, tag=to_tag)
     if publish_iceberg_dest:
         from delta_spark.lake.iceberg import publish_iceberg
 

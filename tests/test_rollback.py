@@ -306,6 +306,13 @@ def test_rollback_job_dry_run_and_commit(spark, tmp_path):
     texts = set(read_iceberg_duckdb(out["published_iceberg_metadata"]).df()["text"])
     assert "POISON" not in texts
 
+    # re-running the applied drill: preview is EMPTY (nothing left to
+    # revoke — the engine's preview, so it cannot drift from
+    # rollback_to committing nothing) and the run reports 0
+    again = rt.rollback(spark, t.path, to_tag="pre-deploy")
+    assert again["rolled_back"] == 0 and again["already_at_target"]
+    assert again["revoked_snapshots"] == [] and again["reopened_batches"] == []
+
     with pytest.raises(ValueError, match="unknown tag"):
         rt.rollback(spark, t.path, to_tag="nope")
     with pytest.raises(ValueError, match="not an ancestor"):

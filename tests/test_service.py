@@ -289,6 +289,25 @@ def test_matview_status_endpoint(spark, tmp_path):
         code, body = _get(port, "/v1/matview?root=" + urllib.parse.quote(root))
         assert body["in_sync"] and body["lag_commits"] == 0
 
+        # WAP staging must not inflate lag: branch commits share the
+        # snapshot list but are off main's lineage — the view (which
+        # folds main only) is still in sync and still lag 0
+        t = t.refresh()
+        bt = t.ensure_branch("wip")
+        bt.merge(
+            spark.createDataFrame(
+                [("c0", 0, "user", "staged", "",
+                  datetime.datetime(2026, 1, 1), "UPDATE", 15_000_000)],
+                ddl,
+            ),
+            "w-stage", "sb1",
+        )
+        code, body = _get(port, "/v1/matview?root=" + urllib.parse.quote(root))
+        assert code == 200
+        assert body["in_sync"] and body["lag_commits"] == 0
+        t = t.refresh()
+        t.drop_branch("wip")
+
         # base retention running ahead of the cursor is flagged
         for i in range(3):
             t.merge(
