@@ -94,19 +94,30 @@ class MaterializedAggregate:
         ``/v1/matview`` lag endpoint, a human at a shell — can discover
         what the view computes and which base its cursor tracks.
         Deterministic content; the tmp+rename makes concurrent
-        bootstraps benign (same spec → same bytes)."""
+        bootstraps benign (same spec → same bytes). The sidecar is
+        OBSERVABILITY metadata, not authority: when the live handle's
+        definition differs (view re-created against a new base, or the
+        whole directory copied elsewhere — the recorded absolute paths
+        then point at the source), it is rewritten to match the handle
+        doing the advancing, so ``/v1/matview`` never inspects the
+        wrong base."""
         import json
         import uuid as _uuid
 
         p = os.path.join(self.root, "matview.json")
-        if os.path.exists(p):
-            return
         body = {
             "base_path": os.path.abspath(self.base.path),
             "view_path": os.path.abspath(self.view_path),
             "group_cols": self.group_cols,
             "sums": self.sums,
         }
+        if os.path.exists(p):
+            try:
+                with open(p) as f:
+                    if json.load(f) == body:
+                        return
+            except (OSError, ValueError):
+                pass  # unreadable sidecar: rewrite it
         tmp = f"{p}.tmp-{_uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(body, f, indent=2, sort_keys=True)

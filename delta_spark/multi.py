@@ -498,6 +498,11 @@ class MultiPipelineConfig:
         )
 
 
+# "downstream hook has never run for this table" — distinct from a
+# table whose main head is legitimately None (never committed)
+_NEVER = object()
+
+
 class MultiTablePipeline:
     """One worker instance of a multi-table pipeline: applies only the
     tables routed to it; other instances run independently with their
@@ -509,6 +514,14 @@ class MultiTablePipeline:
         self.cfg = cfg
         self.catalog = Catalog.load_or_create(spark, cfg.catalog_root)
         self.stats: list[dict[str, list[ApplyStats]]] = []
+        # per-table main head as of the last downstream hook that ran
+        # against it: epochs that leave main untouched (WAP staging,
+        # a table with no routed events) skip the per-table
+        # publish/matview no-op machinery entirely. A never-committed
+        # table's head is None, which dict.get would also return for
+        # "never ran" — the sentinel keeps the FIRST publish/advance
+        # (of an empty table) from being mistaken for a no-op.
+        self._downstream_head: dict[tuple[str, str], int | None] = {}
 
     @property
     def my_tables(self) -> list[str]:
@@ -576,8 +589,14 @@ class MultiTablePipeline:
             from .lake.iceberg import publish_iceberg
 
             for t, dest in sorted(pubs.items()):
-                if cat.has_table(t):
-                    publish_iceberg(cat.table(t), dest)
+                if not cat.has_table(t):
+                    continue
+                tbl = cat.table(t)
+                head = tbl.metadata["current_snapshot_id"]
+                if self._downstream_head.get(("pub", t), _NEVER) == head:
+                    continue  # main unmoved since the last publish
+                publish_iceberg(tbl, dest)
+                self._downstream_head[("pub", t)] = head
         if mvs and epoch_id % max(1, self.cfg.matview_every) == 0:
             from .lake.materialized import MaterializedAggregate, advance_all
 
@@ -586,6 +605,9 @@ class MultiTablePipeline:
                     continue
                 specs = spec if isinstance(spec, (list, tuple)) else [spec]
                 base = cat.table(t)
+                head = base.metadata["current_snapshot_id"]
+                if self._downstream_head.get(("mv", t), _NEVER) == head:
+                    continue  # nothing new on main for any of t's views
                 advance_all([
                     MaterializedAggregate(
                         self.spark,
@@ -596,6 +618,7 @@ class MultiTablePipeline:
                     )
                     for s in specs
                 ])
+                self._downstream_head[("mv", t)] = head
 
     def run_batch(self, batch_id: str = "batch-0") -> dict:
         df = self.spark.read.schema(self._read_schema()).parquet(

@@ -289,3 +289,41 @@ def test_matview_count_only_no_sums(spark, tmp_path):
         for r in t.read().groupBy("role").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_matview_sidecar_tracks_live_definition(spark, tmp_path):
+    """matview.json is observability metadata, not authority: when the
+    handle's definition differs from the sidecar (view re-created
+    against a new base, directory copied elsewhere), instantiating the
+    handle rewrites it — /v1/matview must never inspect the wrong
+    base. An up-to-date sidecar is left untouched (no churn)."""
+    import json
+    import os
+
+    t = _mk(spark, str(tmp_path / "t"), n=6)
+    root = str(tmp_path / "mv")
+    _mv(spark, t, root)
+    p = os.path.join(root, "matview.json")
+    with open(p) as f:
+        body = json.load(f)
+    assert body["base_path"] == os.path.abspath(t.path)
+
+    # same spec → early return, file untouched (pin via mtime)
+    os.utime(p, ns=(1, 1))
+    _mv(spark, t, root)
+    assert os.stat(p).st_mtime_ns == 1
+
+    # stale sidecar (points at a foreign base) → rewritten to match
+    # the handle doing the advancing
+    with open(p, "w") as f:
+        json.dump({**body, "base_path": "/nowhere/else"}, f)
+    _mv(spark, t, root)
+    with open(p) as f:
+        assert json.load(f) == body
+
+    # unreadable sidecar → rewritten, not crashed on
+    with open(p, "w") as f:
+        f.write("{not json")
+    _mv(spark, t, root)
+    with open(p) as f:
+        assert json.load(f) == body

@@ -346,3 +346,69 @@ def test_multi_wap_downstream_reads_main_only(spark, tmp_path):
         ),
         alpha,
     )
+
+
+def test_downstream_skips_unmoved_tables(spark, tmp_path, monkeypatch):
+    """Epochs that leave a table's MAIN untouched (no routed events,
+    WAP staging) must not re-run its publish/matview machinery: the
+    per-table head cache makes the downstream hook O(moved tables),
+    not O(configured tables) — at fleet scale an idle table costs
+    nothing. First publish of a never-committed table still happens
+    (an empty head is not "already published")."""
+    import delta_spark.lake.iceberg as ice_mod
+    from delta_spark.lake import materialized as mat_mod
+
+    log, cat = _mk_fleet(spark, tmp_path, n=200, n_files=1)
+    pub_calls, adv_calls = [], []
+    orig_pub = ice_mod.publish_iceberg
+    orig_adv = mat_mod.advance_all
+    monkeypatch.setattr(
+        "delta_spark.lake.iceberg.publish_iceberg",
+        lambda tbl, dest, **k: (pub_calls.append(tbl.path),
+                                orig_pub(tbl, dest, **k))[1],
+    )
+    monkeypatch.setattr(
+        "delta_spark.lake.materialized.advance_all",
+        lambda views, **k: (adv_calls.append(len(views)),
+                            orig_adv(views, **k))[1],
+    )
+
+    ice = {t: str(tmp_path / f"ice-{t}") for t in TABLES}
+    cfg = _fleet_cfg(
+        tmp_path,
+        log,
+        publish_iceberg_dests=ice,
+        matview_specs={
+            "alpha": {"dest": str(tmp_path / "mv-alpha"),
+                      "group_cols": ("role",),
+                      "sums": {"sum_chars": "length(text)"}},
+        },
+    )
+    p = MultiTablePipeline(spark, cfg)
+
+    # never-committed tables (head None): the FIRST downstream round
+    # must still publish their (empty) Iceberg copies
+    p._downstream(0)
+    assert sorted(pub_calls) == sorted(
+        p.catalog.refresh().table(t).path for t in TABLES
+    )
+    assert adv_calls == [1]
+    for t in TABLES:
+        assert os.path.exists(
+            os.path.join(ice[t], "metadata", "version-hint.text")
+        ), "empty table still published"
+
+    # heads unmoved since → the next round is a pure cache hit
+    pub_calls.clear(); adv_calls.clear()
+    p._downstream(1)
+    assert pub_calls == [] and adv_calls == []
+
+    # events land on main → both hooks re-run, then go quiet again
+    p.run_batch()
+    assert sorted(set(pub_calls)) == sorted(
+        p.catalog.refresh().table(t).path for t in TABLES
+    )
+    assert adv_calls and all(n == 1 for n in adv_calls)
+    pub_calls.clear(); adv_calls.clear()
+    p._downstream(2)
+    assert pub_calls == [] and adv_calls == []
