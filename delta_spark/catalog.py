@@ -277,7 +277,10 @@ class Catalog:
                 continue
             try:
                 out[name] = t.tag(tag, replace=replace)
-            except ValueError as e:
+            except (ValueError, CommitConflict) as e:
+                # CommitConflict: a live writer claimed the next
+                # metadata version mid-drill — report it like any
+                # other refusal instead of aborting the fleet loop
                 refused[name] = str(e)
         if refused:
             raise ValueError(
@@ -287,27 +290,37 @@ class Catalog:
             )
         return out
 
-    def rollback_all(self, tag: str) -> dict[str, int | None]:
+    def rollback_all(self, tag: str) -> dict[str, int | str | None]:
         """Fleet-wide bad-deploy drill: roll every table carrying
         ``tag`` back to it (LakeTable.rollback_to — metadata-only,
         exactly-once markers revoked so the fixed pipeline re-applies).
-        Tables without the tag are skipped with None. Mirrors
-        ``fast_forward_all``'s failure shape: per-table rollbacks are
-        individually atomic, a refused table (e.g. tag expired off
-        main's lineage) does not abort the fleet, and one ValueError
-        naming every refused table is raised at the end with the
-        report in its message. Returns table → snapshots revoked
-        (0 = already at the tag)."""
-        out: dict[str, int | None] = {}
+        Mirrors ``fast_forward_all``'s failure shape: per-table
+        rollbacks are individually atomic, a refused table (e.g. tag
+        expired off main's lineage) does not abort the fleet, and one
+        ValueError naming every refused table is raised at the end
+        with the report in its message. Returns table → snapshots
+        revoked (0 = already at the tag), with two distinguishable
+        skip markers: None for a table with no commits (nothing to
+        roll back), and the string ``"untagged"`` for a table that
+        HAS commits but no checkpoint tag — e.g. created after
+        ``tag_all`` ran, so every row in it post-dates the checkpoint
+        and the drill cannot vouch for it; the operator must inspect
+        (and possibly truncate) it by hand rather than read the
+        report as all-clear."""
+        out: dict[str, int | str | None] = {}
         refused: dict[str, str] = {}
         for name in self.list_tables():
             t = self.table(name)
             if tag not in t.tags:
-                out[name] = None
+                out[name] = (
+                    None
+                    if t.metadata["current_snapshot_id"] is None
+                    else "untagged"
+                )
                 continue
             try:
                 out[name] = t.rollback_to(tag=tag)
-            except ValueError as e:
+            except (ValueError, CommitConflict) as e:
                 refused[name] = str(e)
         if refused:
             raise ValueError(

@@ -45,6 +45,28 @@ from .table import LakeTable
 log = logging.getLogger("delta_spark.materialized")
 
 
+def cursor_from_metadata(view_meta: dict) -> int | None:
+    """Last base-snapshot id folded into a view, derived from the view
+    table's raw metadata document (its own exactly-once markers — every
+    advance's batch-id ends ``->{to}``, and ``expire_snapshots`` folds
+    markers into ``applied_markers``). Shared single source of truth:
+    ``MaterializedAggregate._cursor`` (advancing) and the diagnostics
+    service's ``/v1/matview`` (Spark-free lag reporting) both call
+    this, so the marker format can never drift between them."""
+    ids = [
+        int(s["summary"]["batch-id"].rsplit("->", 1)[1])
+        for s in view_meta["snapshots"]
+        if s["summary"].get("writer-id") == "matview"
+        and "->" in s["summary"].get("batch-id", "")
+    ]
+    ids += [
+        int(b.rsplit("->", 1)[1])
+        for b in view_meta.get("applied_markers", {}).get("matview", [])
+        if "->" in b
+    ]
+    return max(ids) if ids else None
+
+
 class MaterializedAggregate:
     """Maintains ``base GROUP BY group_cols → count + sums`` as a lake
     table under ``root``, advanced over ``base.read_changes``.
@@ -148,18 +170,7 @@ class MaterializedAggregate:
         ``->{to}``, the marker commits atomically WITH the view data,
         and expire_snapshots folds markers forward — so the cursor
         survives crash, restart, and view retention by construction."""
-        ids = [
-            int(s["summary"]["batch-id"].rsplit("->", 1)[1])
-            for s in self.view.metadata["snapshots"]
-            if s["summary"].get("writer-id") == "matview"
-            and "->" in s["summary"].get("batch-id", "")
-        ]
-        ids += [
-            int(b.rsplit("->", 1)[1])
-            for b in self.view.metadata.get("applied_markers", {}).get("matview", [])
-            if "->" in b
-        ]
-        return max(ids) if ids else None
+        return cursor_from_metadata(self.view.metadata)
 
     def read(self) -> DataFrame:
         return self.view.read()

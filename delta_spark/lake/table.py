@@ -2073,7 +2073,10 @@ class LakeTable:
         parents on the abandoned head, so ``read_changes`` across it
         emits the retractions a change-feed consumer needs to undo
         the bad batches downstream. Returns the number of snapshots
-        rolled back; 0 when already at the target. Reference analog:
+        FRESHLY revoked (matching ``rollback_preview``'s plan — a
+        chain crossing an earlier drill's already-revoked snapshots
+        does not recount them); 0 when already at the target.
+        Reference analog:
         replication targets must be rewindable to a consistent
         offset for replay (CDCOffsetStore contract — resume is
         always from the last COMMITTED offset, never a poisoned
@@ -2084,6 +2087,13 @@ class LakeTable:
         target = self._raw_snapshot(sid)
         head = self.metadata["current_snapshot_id"]
         revoked: set[int] = set(chain)
+        # count (and summarize) only FRESHLY revoked snapshots: a
+        # second rollback whose abandoned lineage crosses an earlier
+        # drill must report the same blast radius rollback_preview
+        # showed (those markers are already open — re-flagging them
+        # below is idempotent, re-counting them would overstate)
+        by_id = {s["id"]: s for s in self.metadata["snapshots"]}
+        fresh = [c for c in chain if not by_id[c].get("rolled_back")]
         if "files" in target:  # legacy inline manifest → split once
             refs = [self._write_manifest(target["files"])]
         else:
@@ -2104,7 +2114,7 @@ class LakeTable:
             "summary": {
                 "operation": "rollback",
                 "rolled-back-to": str(sid),
-                "revoked-snapshots": str(len(revoked)),
+                "revoked-snapshots": str(len(fresh)),
             },
             "manifests": refs,
         }
@@ -2114,7 +2124,7 @@ class LakeTable:
         ] + [snap]
         meta["current_snapshot_id"] = new_sid
         self._write_metadata(meta, expected_version=self.metadata["version"])
-        return len(revoked)
+        return len(fresh)
 
     def expire_snapshots(
         self,
@@ -2583,11 +2593,21 @@ class LakeTable:
             if not arrs:
                 continue  # whole layout predates every sketch column
             tags = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+            # explode_outer (not explode): a file whose every row has
+            # zero non-null sketch values still surfaces in the result
+            # (null tag, which collect_set drops → empty set), so every
+            # scanned file is attributable below. An all-zero sketch
+            # means "definitely absent for every probe" — committing
+            # one for a file we merely failed to match (e.g. an object
+            # -store URI whose path does not round-trip through
+            # urlparse) would silently prune live rows from every
+            # point read, so an unattributable file is a hard error,
+            # never a default.
             got = (
                 self.spark.read.parquet(*paths)
                 .select(
                     F.input_file_name().alias("_f"),
-                    F.explode(tags).alias("_tag"),
+                    F.explode_outer(tags).alias("_tag"),
                 )
                 .groupBy("_f")
                 .agg(F.collect_set("_tag").alias("_tags"))
@@ -2595,10 +2615,18 @@ class LakeTable:
             )
             for row in got:
                 p = os.path.abspath(unquote(urlparse(row["_f"]).path))
-                if p in abspath_of:
-                    tag_sets[p] = set(row["_tags"])
+                if p not in abspath_of:
+                    raise ValueError(
+                        f"compute_sketches cannot attribute scanned file "
+                        f"{row['_f']!r} to a manifest entry; refusing to "
+                        f"commit sketches that could zero-fill a live file"
+                    )
+                tag_sets[p] = set(row["_tags"])
         for p, f in abspath_of.items():
-            seen = tag_sets.get(p, set())  # zero non-null rows → all-zero
+            # absent from tag_sets = the file was never scanned: a
+            # zero-ROW file, or a layout predating every sketch column
+            # — both genuinely hold no values, so all-zero is exact
+            seen = tag_sets.get(p, set())
             sk = dict(f.get("sketch", {}))
             for j, fid, _fld in fids:
                 bm = bytearray(bits // 8)

@@ -347,21 +347,12 @@ class DiagnosticsService:
         answer an operator actually asks — how many base commits is
         this view behind, and has base retention already expired the
         cursor (next advance = O(base) rebootstrap, not O(delta))."""
+        from .lake.materialized import cursor_from_metadata
+
         with open(os.path.join(root, "matview.json")) as f:
             defn = json.load(f)
         vmeta = _load_table_meta(defn["view_path"])
-        ids = [
-            int(s["summary"]["batch-id"].rsplit("->", 1)[1])
-            for s in vmeta["snapshots"]
-            if s["summary"].get("writer-id") == "matview"
-            and "->" in s["summary"].get("batch-id", "")
-        ]
-        ids += [
-            int(b.rsplit("->", 1)[1])
-            for b in vmeta.get("applied_markers", {}).get("matview", [])
-            if "->" in b
-        ]
-        cursor = max(ids) if ids else None
+        cursor = cursor_from_metadata(vmeta)
         bmeta = _load_table_meta(defn["base_path"])
         head = bmeta["current_snapshot_id"]
         base_ids = {s["id"] for s in bmeta["snapshots"]}

@@ -24,7 +24,9 @@ per-table audit fast-forwards every table atomically-per-table
 (Catalog.fast_forward_all); any dirty table leaves ALL mains
 untouched, marks the pipeline FAILING, and exits 3. Run the audit
 step from ONE instance (e.g. instance 0) after the fleet's epochs
-have landed.
+have landed: the publishing instance audits EVERY branch-carrying
+table in the catalog (not just its routed subset), since
+fast_forward_all publishes fleet-wide.
 
 Storage contract: like run_pipeline.py, the catalog/checkpoint roots
 must live on a POSIX filesystem until the object-store conditional-put
@@ -200,7 +202,17 @@ def main() -> None:
     if args.branch:
         cat = p.catalog.refresh()
         audits = {}
-        for t in p.my_tables:
+        # the publish gate must cover everything fast_forward_all will
+        # publish: with --publish-on-clean-audit, audit EVERY catalog
+        # table carrying the branch (another instance's dirty staging
+        # must hold the whole fleet back — the all-mains-untouched
+        # contract); a non-publishing instance only inspects its own
+        audit_tables = (
+            sorted(cat.list_tables())
+            if args.publish_on_clean_audit
+            else list(p.my_tables)
+        )
+        for t in audit_tables:
             h = cat.table(t)
             if args.branch not in h.branches:
                 continue

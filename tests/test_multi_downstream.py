@@ -412,3 +412,60 @@ def test_downstream_skips_unmoved_tables(spark, tmp_path, monkeypatch):
     pub_calls.clear(); adv_calls.clear()
     p._downstream(2)
     assert pub_calls == [] and adv_calls == []
+
+
+def test_fleet_publish_audit_covers_all_instances(spark, tmp_path,
+                                                  monkeypatch, capsys):
+    """--publish-on-clean-audit's gate must cover EVERYTHING
+    fast_forward_all will publish — all branch-carrying catalog
+    tables, not just the auditing instance's routed subset. A dirty
+    table staged by ANOTHER instance (here: a null-keyed row on beta,
+    routed to instance 1) holds the whole fleet back: exit 3, no
+    publish, all mains untouched."""
+    import json
+    import sys as _sys
+
+    import jobs.run_fleet as rf
+
+    log, cat = _mk_fleet(spark, tmp_path, n=150, n_files=1)
+    # instance 1's table gets a dirty staged row the auditor
+    # (instance 0, which routes only alpha) did not stage itself
+    beta = cat.table("beta").ensure_branch("stage")
+    beta.merge(
+        spark.createDataFrame(
+            [(None, 0, "user", "poison", "", TS, "INSERT", 900_000)], DDL
+        ),
+        "w-dirty",
+        "d0",
+    )
+    monkeypatch.setattr(_sys, "argv", [
+        "run_fleet.py",
+        "--changelog", log,
+        "--catalog", str(tmp_path / "cat"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--tables", "alpha,beta",
+        "--instance-id", "0", "--num-instances", "2",
+        "--mode", "batch", "--generation", "1",
+        "--branch", "stage",
+        "--publish-on-clean-audit",
+    ])
+    with pytest.raises(SystemExit) as e:
+        rf.main()
+    assert e.value.code == 3
+    out = [json.loads(line) for line in capsys.readouterr().out.splitlines()
+           if line.startswith("{")]
+    run = next(d for d in out if "my_tables" in d)
+    assert run["my_tables"] == ["alpha"], "instance 0 routes alpha only"
+    audit = next(d for d in out if "audit" in d)
+    assert audit["published"] is False
+    assert audit["audit"]["beta"]["null_keys"] >= 1, (
+        "the publish gate must have audited the OTHER instance's table"
+    )
+    cat = cat.refresh()
+    for t in TABLES:
+        # staging epochs commit METADATA on main (seq markers), but a
+        # dirty audit must leave every main free of staged DATA
+        assert cat.table(t).read().count() == 0, (
+            f"{t}: staged rows published despite a dirty fleet audit"
+        )
+        assert cat.table(t).read(branch="stage").count() > 0, "staged"

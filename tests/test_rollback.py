@@ -321,9 +321,11 @@ def test_rollback_job_dry_run_and_commit(spark, tmp_path):
 
 def test_fleet_tag_and_rollback_all(spark, tmp_path):
     """Catalog.tag_all stamps the fleet-wide pre-deploy checkpoint;
-    Catalog.rollback_all rewinds every tagged table, skips untagged
-    ones with None, and a refused table (tag expired off main's
-    lineage) reports without aborting the fleet — the
+    Catalog.rollback_all rewinds every tagged table, flags nonempty
+    untagged ones as "untagged" (all their data post-dates the
+    checkpoint — the drill cannot vouch for them, so the report must
+    not read as all-clear), and a refused table (tag expired off
+    main's lineage) reports without aborting the fleet — the
     fast_forward_all failure shape, mirrored for the drill."""
     from delta_spark.catalog import Catalog
 
@@ -334,23 +336,27 @@ def test_fleet_tag_and_rollback_all(spark, tmp_path):
         cat.table(n).merge(_batch(spark, 0), "w", "b0", mode="auto")
     tagged = cat.tag_all("pre-deploy")
     assert set(tagged) == {"t_a", "t_b"} and all(tagged.values())
-    # a table created AFTER the checkpoint has no tag → skipped
+    # a table created AFTER the checkpoint has no tag: its data is
+    # entirely post-checkpoint, so the drill flags it rather than
+    # silently skipping it; an EMPTY untagged table is a true no-op
     cat = cat.refresh()
     cat.create_table("t_new", TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
                      "conv_id", 4)
     cat.table("t_new").merge(_batch(spark, 5), "w", "n0", mode="auto")
+    cat.create_table("t_empty", TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+                     "conv_id", 4)
     # the bad deploy poisons both tagged tables
     for n in ("t_a", "t_b"):
         cat.table(n).merge(_batch(spark, 7, text="POISON"), "w", "b7",
                            mode="auto")
     out = cat.rollback_all("pre-deploy")
-    assert out == {"t_a": 1, "t_b": 1, "t_new": None}
+    assert out == {"t_a": 1, "t_b": 1, "t_new": "untagged", "t_empty": None}
     for n in ("t_a", "t_b"):
         texts = {r["text"] for r in cat.table(n).read().collect()}
         assert "POISON" not in texts
     # idempotent: already at the tag
     assert cat.rollback_all("pre-deploy") == {
-        "t_a": 0, "t_b": 0, "t_new": None
+        "t_a": 0, "t_b": 0, "t_new": "untagged", "t_empty": None
     }
     # refusal shape: expire t_b's tag target off main's lineage is
     # hard (tags pin); instead simulate by moving the tag to a branch
@@ -427,3 +433,28 @@ def test_drill_end_to_end_in_deployment_shape(spark, tmp_path):
     expected = oracle_apply(raw)
     assert_pdf_equal(got[list(expected.columns)], expected,
                      ["conv_id", "turn_idx"])
+
+
+def test_second_rollback_counts_only_fresh_revocations(spark, tmp_path):
+    """A second drill whose abandoned lineage crosses an earlier one
+    must report the SAME blast radius rollback_preview showed: only
+    freshly-revoked snapshots count (the first drill's are already
+    open), so the dry-run and the real run of one action can never
+    disagree in the operator's report."""
+    t = _mk(spark, str(tmp_path / "t"))
+    good = t.metadata["snapshots"][-2]["id"]  # head after b1
+    assert t.rollback_to(good) == 1  # revokes b2's snapshot
+    t = t.refresh()
+    # one repair batch, then a second drill back to the same target:
+    # the chain is [repair, rollback-commit, b2] but only the first
+    # two are fresh — b2's markers were already reopened
+    t.merge(_batch(spark, 3), "w", "repair-0", mode="auto")
+    t = t.refresh()
+    preview = t.rollback_preview(good)
+    assert len(preview["revoked_snapshots"]) == 2
+    n = t.rollback_to(good)
+    assert n == len(preview["revoked_snapshots"]) == 2
+    t = t.refresh()
+    assert t.current_snapshot["summary"]["revoked-snapshots"] == "2"
+    want = sorted(map(tuple, t.read(snapshot_id=good).collect()))
+    assert sorted(map(tuple, t.read().collect())) == want

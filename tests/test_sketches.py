@@ -255,3 +255,24 @@ def test_sketch_before_widen_refused_then_rebuilt(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["turn_idx"] == 3
     # and a second refresh is a no-op (parameters + type now current)
     assert t.compute_sketches(["turn_idx"]) == 0
+
+
+def test_sketch_refuses_unattributable_scan_paths(spark, tmp_path, monkeypatch):
+    """An all-zero sketch means "definitely absent for every probe" —
+    committing one for a file the scan merely failed to attribute
+    (URI→path round-trip broken, e.g. an object-store scheme) would
+    silently prune live rows from every point read. compute_sketches
+    must refuse loudly and commit nothing instead."""
+    import urllib.parse as up
+
+    import pytest
+
+    t = _mk(spark, str(tmp_path / "t"), convs=4, turns=2)
+    orig = up.unquote
+    monkeypatch.setattr(up, "unquote", lambda s, *a, **k: orig(s, *a, **k) + ".nope")
+    before = t.metadata["version"]
+    with pytest.raises(ValueError, match="cannot attribute"):
+        t.compute_sketches(["conv_id"])
+    t = t.refresh()
+    assert t.metadata["version"] == before, "no partial sketch commit"
+    assert all("sketch" not in f for f in t.current_snapshot["files"])
