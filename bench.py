@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "packed_corpus",
     "temperature_sample",
+    "oov_rate",
+    "tfidf_keywords",
     "conversation_corpus",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -166,6 +166,105 @@ def domain_mix_weights(
     )
 
 
+def oov_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_k: int = 100,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_k`` token vocabulary — the standard gibberish /
+    wrong-language / boilerplate screen a tokenizer-bound corpus runs
+    before training (a document whose tokens are mostly outside the
+    corpus head vocabulary is noise, markup, or the wrong language).
+
+    Returns one row per document: token count, OOV token count, and
+    ``oov_frac`` = n_oov / n_tokens — a single exactly-rounded IEEE
+    divide over two bigints, so any engine reproduces the double
+    bit-for-bit (no transcendental ops anywhere).
+
+    Scale (100 TB): the vocabulary is ONE map-side-combined token
+    aggregation followed by a distributed top-K (TakeOrdered — no
+    global sort materializes); the per-document pass is one explode +
+    one (doc, token) aggregation with the O(vocab_k) head vocabulary
+    BROADCAST into a map-side join. Nothing shuffles document text;
+    the tie-break (count desc, token asc) is total, so the vocabulary
+    — and every verdict downstream of it — is identical on any
+    cluster size. Reference analog: none — corpus-curation layer over
+    the CDC targets.
+    """
+    ex = df.select(id_col, F.explode(tokens(text_col)).alias("_tok"))
+    vocab = (
+        ex.groupBy("_tok")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_tok").asc())
+        .limit(vocab_k)
+        .select("_tok", F.lit(True).alias("_in_vocab"))
+    )
+    per = ex.groupBy(id_col, "_tok").agg(F.count("*").alias("_c"))
+    flagged = per.join(F.broadcast(vocab), "_tok", "left")
+    oov = F.when(F.col("_in_vocab").isNull(), F.col("_c")).otherwise(F.lit(0))
+    st = flagged.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.sum(oov).cast("long").alias("n_oov"),
+    )
+    return st.select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov") / F.col("n_tokens")).alias("oov_frac"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Deterministic per-document keyword extraction: the top-``k``
+    tokens by a TF-IDF-shaped score, ``score = tf * N / df`` (term
+    count in the document, times total documents over documents
+    containing the term). The raw-ratio IDF deliberately avoids the
+    logarithm: ``tf * N`` is exact bigint arithmetic and the single
+    divide is exactly rounded under IEEE 754, so the score — and the
+    (score desc, token asc) ranking built on it — is bit-identical in
+    any engine, making the op oracle-checkable where ln-based IDF
+    would drift in the last ulp.
+
+    Scale (100 TB): one explode + one (doc, token) aggregation; the
+    document-frequency side aggregates to O(vocabulary) rows and joins
+    back keyed on token (broadcastable while the vocabulary fits,
+    shuffle-join otherwise — either way no document text moves); the
+    top-k is a row_number window partitioned by document id, state
+    bounded by each document's distinct-token count. N is an
+    O(1)-row aggregate broadcast, never a driver-side collect.
+    """
+    ex = df.select(id_col, F.explode(tokens(text_col)).alias("token"))
+    per = ex.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = per.groupBy("token").agg(F.count("*").alias("df_docs"))
+    ndocs = df.agg(F.count("*").alias("_n"))
+    scored = (
+        per.join(dfreq, "token")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            id_col,
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df_docs").cast("long").alias("df_docs"),
+            ((F.col("tf") * F.col("_n")) / F.col("df_docs")).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "tf", "df_docs", "score")
+    )
+
+
 def pack_bins(
     df: DataFrame,
     id_col: str,

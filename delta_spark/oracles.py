@@ -840,6 +840,45 @@ ALL_ORACLES: dict[str, str] = {
                    / 1152921504606846976.0) < r.keep_rate AS keep
         FROM d JOIN r USING (domain)
     """,
+    # top-100 vocabulary by (count desc, token asc) — a total order, so
+    # the LIMIT is deterministic; oov_frac is one bigint/bigint divide
+    # (exactly rounded → bit-identical to Spark's long/long)
+    "oov_rate": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok ASC LIMIT 100),
+        per AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
+        SELECT per.doc_id,
+               CAST(sum(per.c) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN per.c ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN per.c ELSE 0 END)
+                    AS BIGINT)
+                 / CAST(sum(per.c) AS BIGINT) AS oov_frac
+        FROM per LEFT JOIN vocab v USING (tok)
+        GROUP BY per.doc_id
+    """,
+    # raw-ratio IDF: tf * N exact in bigint, ONE exactly-rounded divide
+    # by df — no logarithm, so score and ranking match Spark bit-for-bit
+    "tfidf_keywords": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+        per AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY doc_id, token),
+        dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+                FROM per GROUP BY token),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        scored AS (
+          SELECT per.doc_id, per.token, per.tf, dfq.df_docs,
+                 (per.tf * n.nd) / dfq.df_docs AS score
+          FROM per JOIN dfq USING (token) CROSS JOIN n),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, token ASC)
+                 AS INTEGER) AS rank
+          FROM scored)
+        SELECT doc_id, rank, token, tf, df_docs, score
+        FROM ranked WHERE rank <= 3
+    """,
     # ------------------------------------------------- embeddings
     "ann_cosine_topk": f"""
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

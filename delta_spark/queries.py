@@ -568,6 +568,29 @@ def temperature_sample(spark, sf_dir):
     )
 
 
+def oov_rate(spark, sf_dir):
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-100 token vocabulary — the gibberish/wrong-language screen.
+    The vocabulary is a distributed top-K over one map-side-combined
+    token aggregation (total tie-break, so identical on any cluster
+    size) and is BROADCAST into the per-document pass; ``oov_frac``
+    is one exactly-rounded bigint divide, bit-identical in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    return cur.oov_stats(d, "doc_id", "text", vocab_k=100)
+
+
+def tfidf_keywords(spark, sf_dir):
+    """Deterministic top-3 keyword extraction per document: TF-IDF
+    with a raw-ratio IDF (tf * N / df — bigint arithmetic plus ONE
+    exactly-rounded divide, no logarithm) so the score and the
+    (score desc, token asc) ranking are bit-identical in any engine.
+    Document-frequency aggregates to O(vocabulary) rows before the
+    join back; the top-k window is keyed by doc id — no document
+    text shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    return cur.tfidf_topk(d, "doc_id", "text", k=3)
+
+
 # ===================================================== embeddings
 
 
@@ -1765,6 +1788,8 @@ ALL_QUERIES = {
     "pack_sequences": pack_sequences,
     "packed_corpus": packed_corpus,
     "temperature_sample": temperature_sample,
+    "oov_rate": oov_rate,
+    "tfidf_keywords": tfidf_keywords,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,

@@ -165,3 +165,67 @@ def test_pack_concat_materializes_in_layout_order(spark):
         _docs(spark, rows), "doc_id", "text", 100, 1
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # window + agg, no join-back
+
+
+def test_oov_stats_hand_checked_and_broadcast_plan(spark):
+    """OOV rate against the corpus's own top-K vocabulary: hand-checked
+    counts, the exactly-one-divide oov_frac, and the broadcast of the
+    O(vocab_k) head vocabulary into the per-document pass."""
+    d = _docs(
+        spark,
+        [
+            (1, "the the the cat"),       # 'the' x3 dominates the vocab
+            (2, "the cat sat"),
+            (3, "zzz qqq"),               # entirely OOV under k=2
+        ],
+    )
+    out = cur.oov_stats(d, "doc_id", "text", vocab_k=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # corpus counts: the=4, cat=2, sat=1, zzz=1, qqq=1 → vocab {the, cat}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_oov"] == 0
+    assert rows[2]["n_tokens"] == 3 and rows[2]["n_oov"] == 1
+    assert rows[2]["oov_frac"] == 1 / 3  # one IEEE divide, exact
+    assert rows[3]["n_oov"] == 2 and rows[3]["oov_frac"] == 1.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # vocab side must broadcast
+
+
+def test_oov_vocab_tiebreak_total(spark):
+    """Equal-count tokens rank by token asc — the vocabulary cut is a
+    total order, so the same corpus yields the same vocab on any
+    partitioning."""
+    d = _docs(spark, [(1, "bb aa"), (2, "aa bb"), (3, "cc aa bb")])
+    # counts: aa=3, bb=3, cc=1; k=1 must pick 'aa' (count tie → token asc)
+    out = {r["doc_id"]: r["n_oov"] for r in
+           cur.oov_stats(d, "doc_id", "text", vocab_k=1).collect()}
+    assert out == {1: 1, 2: 1, 3: 2}  # only 'aa' in-vocab everywhere
+    repart = {r["doc_id"]: r["n_oov"] for r in
+              cur.oov_stats(d.repartition(7), "doc_id", "text",
+                            vocab_k=1).collect()}
+    assert repart == out
+
+
+def test_tfidf_topk_hand_checked(spark):
+    """tf * N / df with deterministic (score desc, token asc) ties:
+    hand-checked scores on a 3-doc corpus."""
+    d = _docs(
+        spark,
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+    )
+    out = cur.tfidf_topk(d, "doc_id", "text", k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["token"], r["score"]) for r in out}
+    # doc 1: apple tf=2 df=1 → 2*3/1=6; banana tf=1 df=2 → 1.5
+    assert got[(1, 1)] == ("apple", 6.0)
+    assert got[(1, 2)] == ("banana", 1.5)
+    # doc 2: banana 1*3/2=1.5, cherry 1*3/2=1.5 → tie broken token asc
+    assert got[(2, 1)] == ("banana", 1.5)
+    assert got[(2, 2)] == ("cherry", 1.5)
+    # doc 3: cherry 3*3/2=4.5 beats durian 1*3/1=3
+    assert got[(3, 1)] == ("cherry", 4.5)
+    assert got[(3, 2)] == ("durian", 3.0)
+    # k bounds output per doc
+    assert max(r["rank"] for r in out) <= 2
