@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "temperature_sample",
     "oov_rate",
     "tfidf_keywords",
+    "corpus_curation_e2e",
     "conversation_corpus",
     "ann_lsh_topk",
     "ann_ivf_topk",

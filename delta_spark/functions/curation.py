@@ -166,6 +166,50 @@ def domain_mix_weights(
     )
 
 
+def curate_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """The full curation pipeline as ONE composed plan: PII scrub →
+    Gopher-style quality gate → exact near-identical dedup (min-id
+    winner per normalized-text fingerprint) → deterministic train
+    split → sequence packing. Returns the packed training layout
+    (id, token count, shard, bin offset, bin) of the documents that
+    survive every stage — what actually ships to the tokenizer.
+
+    Each stage is the already-tested operator; composing them in one
+    DataFrame lets Catalyst plan the whole thing (one scan feeds the
+    scrub; the split filter is stateless and costs nothing). Scale
+    (100 TB): the quality gate is two map-side-combined aggregations
+    plus one join back keyed by doc id; dedup is a single window over
+    the fingerprint (text rides through — no second join); the split
+    is a stateless hash filter; packing is the one bounded-state
+    window from :func:`pack_bins`. No stage collects, no stage
+    all-pairs, and every verdict is engine- and cluster-size-exact,
+    so the same corpus curates identically anywhere.
+    """
+    from .text import fingerprint, pii_scrub
+
+    clean = df.select(F.col(id_col), pii_scrub(text_col).alias(text_col))
+    keep_ids = (
+        repetition_stats(clean, id_col, text_col)
+        .filter(F.col("keep"))
+        .select(id_col)
+    )
+    kept = clean.join(keep_ids, id_col)
+    wf = Window.partitionBy(fingerprint(text_col))
+    uniq = (
+        kept.withColumn("_keep_id", F.min(id_col).over(wf))
+        .filter(F.col(id_col) == F.col("_keep_id"))
+        .drop("_keep_id")
+    )
+    train = uniq.filter(split_assign(id_col) == "train")
+    return pack_bins(train, id_col, text_col, budget=budget, n_shards=n_shards)
+
+
 def oov_stats(
     df: DataFrame,
     id_col: str,

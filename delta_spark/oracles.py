@@ -86,9 +86,17 @@ _PII_SALT = (
     " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
     " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
 )
-_scrub_expr = "t"
-for _n, _p, _r in PII_PATTERNS:
-    _scrub_expr = f"regexp_replace({_scrub_expr}, '{_p}', '{_r}', 'g')"
+def _scrub_of(col: str) -> str:
+    """The PII-scrub regexp_replace chain over an arbitrary column —
+    generated from the SAME pattern list the Spark side applies, in
+    the same order (each later pattern sees earlier replacements)."""
+    expr = col
+    for _n2, _p2, _r2 in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{_p2}', '{_r2}', 'g')"
+    return expr
+
+
+_scrub_expr = _scrub_of("t")
 _PII_HITS = ",\n               ".join(
     f"CAST(len(regexp_extract_all(t, '{_p}')) AS INT) AS n_{_n}"
     for _n, _p, _r in PII_PATTERNS
@@ -839,6 +847,48 @@ ALL_ORACLES: dict[str, str] = {
                ({_md5long("CAST(d.doc_id AS VARCHAR)")}
                    / 1152921504606846976.0) < r.keep_rate AS keep
         FROM d JOIN r USING (domain)
+    """,
+    # the composed pipeline: scrub → quality gate (same rounded-value
+    # thresholds as repetition_stats) → min-id dedup per normalized
+    # fingerprint → md5-nibble train split → shard-window packing
+    "corpus_curation_e2e": f"""
+        WITH clean AS (
+          SELECT doc_id, {_scrub_of("text")} AS text FROM documents),
+        tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM clean),
+        per AS (SELECT doc_id, tok, count(*) AS c
+                FROM tok GROUP BY doc_id, tok),
+        st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                      max(c) AS topc, count(*) AS n_distinct,
+                      sum(c * length(tok)) AS chars
+               FROM per GROUP BY doc_id),
+        keepd AS (SELECT doc_id FROM st
+                  WHERE n_tokens >= 10 AND n_tokens <= 100000
+                    AND round(chars / n_tokens, 4) >= 2.0
+                    AND round(chars / n_tokens, 4) <= 10.0
+                    AND round(1.0 - n_distinct / n_tokens, 4) < 0.93
+                    AND round(topc / n_tokens, 4) < 0.25),
+        kept AS (SELECT clean.doc_id, clean.text
+                 FROM clean JOIN keepd USING (doc_id)),
+        uniq AS (SELECT doc_id, text FROM (
+                   SELECT doc_id, text,
+                          min(doc_id) OVER (PARTITION BY
+                            md5(trim(regexp_replace(lower(text), '\\s+',
+                                                    ' ', 'g')))) AS kid
+                   FROM kept) WHERE doc_id = kid),
+        train AS (SELECT doc_id, text FROM uniq
+                  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        NOT IN ('c', 'd', 'e', 'f')),
+        d AS (SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                          AS BIGINT) AS n_tokens,
+                     {_md5long("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+              FROM train)
+        SELECT doc_id, n_tokens, shard,
+               CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS bin_start,
+               CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512.0)
+                    AS BIGINT) AS bin
+        FROM d
+        WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
     """,
     # top-100 vocabulary by (count desc, token asc) — a total order, so
     # the LIMIT is deterministic; oov_frac is one bigint/bigint divide

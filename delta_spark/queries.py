@@ -568,6 +568,19 @@ def temperature_sample(spark, sf_dir):
     )
 
 
+def corpus_curation_e2e(spark, sf_dir):
+    """The END-TO-END curation pipeline as one composed Catalyst plan:
+    PII scrub → Gopher quality gate → exact dedup (min-id winner per
+    normalized fingerprint) → deterministic train split → sequence
+    packing. One scan feeds everything; the quality gate joins back by
+    doc id, dedup is a single fingerprint window with the text riding
+    through, the split is a stateless hash filter, and packing is the
+    one bounded-state shard window — no collects, no all-pairs, the
+    same verdicts on any cluster size."""
+    d = _t(spark, sf_dir, "documents")
+    return cur.curate_corpus(d, "doc_id", "text", budget=512, n_shards=8)
+
+
 def oov_rate(spark, sf_dir):
     """Per-document out-of-vocabulary rate against the corpus's own
     top-100 token vocabulary — the gibberish/wrong-language screen.
@@ -1790,6 +1803,7 @@ ALL_QUERIES = {
     "temperature_sample": temperature_sample,
     "oov_rate": oov_rate,
     "tfidf_keywords": tfidf_keywords,
+    "corpus_curation_e2e": corpus_curation_e2e,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
