@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "tfidf_keywords",
     "corpus_curation_e2e",
     "conversation_corpus",
+    "conversation_curated",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "media_features",

@@ -47,10 +47,16 @@ def split_assign(id_col: str | Column) -> Column:
     )
 
 
-def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, top_cap: float = 0.25
+) -> DataFrame:
     """Gopher-style per-document repetition/quality statistics over
     whitespace tokens: token count, duplicate-token fraction,
     top-token fraction, mean token length, and a keep/drop verdict.
+
+    ``top_cap`` bounds the top-token fraction in the verdict (0.25,
+    the prose default); dialogue-shaped text whose role markers repeat
+    by construction legitimately needs a looser cap.
 
     Two hash aggregations (doc×token, then doc), both map-side
     combined — the 100 TB plan is two exchanges keyed by doc id with
@@ -84,7 +90,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             & (mwl >= 2.0)
             & (mwl <= 10.0)
             & (dup < 0.93)
-            & (top < 0.25)
+            & (top < top_cap)
         ).alias("keep"),
     )
 
@@ -172,6 +178,7 @@ def curate_corpus(
     text_col: str,
     budget: int = 512,
     n_shards: int = 8,
+    top_cap: float = 0.25,
 ) -> DataFrame:
     """The full curation pipeline as ONE composed plan: PII scrub →
     Gopher-style quality gate → exact near-identical dedup (min-id
@@ -195,7 +202,7 @@ def curate_corpus(
 
     clean = df.select(F.col(id_col), pii_scrub(text_col).alias(text_col))
     keep_ids = (
-        repetition_stats(clean, id_col, text_col)
+        repetition_stats(clean, id_col, text_col, top_cap=top_cap)
         .filter(F.col("keep"))
         .select(id_col)
     )

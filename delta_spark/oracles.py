@@ -97,6 +97,58 @@ def _scrub_of(col: str) -> str:
 
 
 _scrub_expr = _scrub_of("t")
+
+
+def _curation_chain(
+    id_name: str, n_shards: int = 8, top_cap: float = 0.25
+) -> str:
+    """The curate_corpus CTE chain over a preceding ``src(id, text)``
+    CTE: PII scrub → Gopher quality gate (rounded-value thresholds,
+    matching repetition_stats) → min-id dedup per normalized
+    fingerprint → md5-nibble train split → shard-window packing.
+    ``id_name`` aliases the id in the final projection to match the
+    Spark side's id column."""
+    return f"""
+        clean AS (SELECT id, {_scrub_of("text")} AS text FROM src),
+        ctok AS (SELECT id, unnest({_TOKS}) AS tok FROM clean),
+        cper AS (SELECT id, tok, count(*) AS c
+                 FROM ctok GROUP BY id, tok),
+        cst AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       max(c) AS topc, count(*) AS n_distinct,
+                       sum(c * length(tok)) AS chars
+                FROM cper GROUP BY id),
+        keepd AS (SELECT id FROM cst
+                  WHERE n_tokens >= 10 AND n_tokens <= 100000
+                    AND round(chars / n_tokens, 4) >= 2.0
+                    AND round(chars / n_tokens, 4) <= 10.0
+                    AND round(1.0 - n_distinct / n_tokens, 4) < 0.93
+                    AND round(topc / n_tokens, 4) < {top_cap}),
+        kept AS (SELECT clean.id, clean.text
+                 FROM clean JOIN keepd USING (id)),
+        uniq AS (SELECT id, text FROM (
+                   SELECT id, text,
+                          min(id) OVER (PARTITION BY
+                            md5(trim(regexp_replace(lower(text), '\\s+',
+                                                    ' ', 'g')))) AS kid
+                   FROM kept) WHERE id = kid),
+        train AS (SELECT id, text FROM uniq
+                  WHERE substr(md5(CAST(id AS VARCHAR)), 1, 1)
+                        NOT IN ('c', 'd', 'e', 'f')),
+        laid AS (SELECT id,
+                     CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                          AS BIGINT) AS n_tokens,
+                     {_md5long("CAST(id AS VARCHAR)")} % {n_shards} AS shard
+                 FROM train)
+        SELECT id AS {id_name}, n_tokens, shard,
+               CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS bin_start,
+               CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512.0)
+                    AS BIGINT) AS bin
+        FROM laid
+        WINDOW w AS (PARTITION BY shard ORDER BY id)
+    """
+
+
+_CURATION_CHAIN = _curation_chain("doc_id")
 _PII_HITS = ",\n               ".join(
     f"CAST(len(regexp_extract_all(t, '{_p}')) AS INT) AS n_{_n}"
     for _n, _p, _r in PII_PATTERNS
@@ -443,6 +495,30 @@ ALL_ORACLES: dict[str, str] = {
                string_agg(role || ': ' || coalesce(text, ''), chr(10)
                    ORDER BY turn_idx) AS dialogue
         FROM lww GROUP BY conv_id
+    """,
+    # CDC replay → dialogue assembly → the full curation chain, all
+    # under one hash: the LWW/tombstone replay and every curation
+    # verdict must agree with the engine simultaneously
+    "conversation_curated": f"""
+        WITH log AS (
+            SELECT 'c' || user_id AS conv_id,
+                   CAST(event_id % 20 AS INT) AS turn_idx,
+                   event_type AS role, props AS text,
+                   event_id AS seq,
+                   (event_type = 'error') AS del
+            FROM events),
+        lww AS (
+            SELECT conv_id, turn_idx, role, text
+            FROM log
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
+                AND NOT del),
+        src AS (
+            SELECT conv_id AS id,
+                   string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                       ORDER BY turn_idx) AS text
+            FROM lww GROUP BY conv_id),
+        {_curation_chain("conv_id", top_cap=0.5)}
     """,
     # write-audit-publish: staging half the log on a branch and
     # fast-forwarding main must be invisible — same LWW oracle
@@ -852,43 +928,8 @@ ALL_ORACLES: dict[str, str] = {
     # thresholds as repetition_stats) → min-id dedup per normalized
     # fingerprint → md5-nibble train split → shard-window packing
     "corpus_curation_e2e": f"""
-        WITH clean AS (
-          SELECT doc_id, {_scrub_of("text")} AS text FROM documents),
-        tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM clean),
-        per AS (SELECT doc_id, tok, count(*) AS c
-                FROM tok GROUP BY doc_id, tok),
-        st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-                      max(c) AS topc, count(*) AS n_distinct,
-                      sum(c * length(tok)) AS chars
-               FROM per GROUP BY doc_id),
-        keepd AS (SELECT doc_id FROM st
-                  WHERE n_tokens >= 10 AND n_tokens <= 100000
-                    AND round(chars / n_tokens, 4) >= 2.0
-                    AND round(chars / n_tokens, 4) <= 10.0
-                    AND round(1.0 - n_distinct / n_tokens, 4) < 0.93
-                    AND round(topc / n_tokens, 4) < 0.25),
-        kept AS (SELECT clean.doc_id, clean.text
-                 FROM clean JOIN keepd USING (doc_id)),
-        uniq AS (SELECT doc_id, text FROM (
-                   SELECT doc_id, text,
-                          min(doc_id) OVER (PARTITION BY
-                            md5(trim(regexp_replace(lower(text), '\\s+',
-                                                    ' ', 'g')))) AS kid
-                   FROM kept) WHERE doc_id = kid),
-        train AS (SELECT doc_id, text FROM uniq
-                  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                        NOT IN ('c', 'd', 'e', 'f')),
-        d AS (SELECT doc_id,
-                     CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
-                          AS BIGINT) AS n_tokens,
-                     {_md5long("CAST(doc_id AS VARCHAR)")} % 8 AS shard
-              FROM train)
-        SELECT doc_id, n_tokens, shard,
-               CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS bin_start,
-               CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512.0)
-                    AS BIGINT) AS bin
-        FROM d
-        WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
+        WITH src AS (SELECT doc_id AS id, text FROM documents),
+        {_CURATION_CHAIN}
     """,
     # top-100 vocabulary by (count desc, token asc) — a total order, so
     # the LIMIT is deterministic; oov_frac is one bigint/bigint divide

@@ -886,6 +886,29 @@ def conversation_corpus(spark, sf_dir):
     )
 
 
+def conversation_curated(spark, sf_dir):
+    """The engine and the training-data library in ONE plan: CDC-replay
+    the transcript changelog through the REAL pipeline, assemble the
+    applied state into per-conversation dialogues, then run the full
+    curation pipeline over them (PII scrub → Gopher quality gate →
+    min-id dedup per normalized fingerprint → deterministic train
+    split → sequence packing). What a 100 TB transcript lake actually
+    does: tail the binlog, keep the latest turn state, and ship packed
+    training bins. Replay, assembly, and every curation verdict are
+    hash-checked together under one DuckDB CTE chain."""
+    corpus = conversation_corpus(spark, sf_dir)
+    return cur.curate_corpus(
+        corpus.select(F.col("conv_id"), F.col("dialogue").alias("text")),
+        "conv_id",
+        "text",
+        budget=512,
+        n_shards=8,
+        # dialogue role markers repeat by construction — the prose
+        # top-token cap (0.25) would reject every conversation
+        top_cap=0.5,
+    )
+
+
 def transcript_replay_lww(spark, sf_dir):
     """Flagship E2E WITH a SQL oracle: the events view mapped
     deterministically onto the input_hint transcript changelog shape
@@ -1812,6 +1835,7 @@ ALL_QUERIES = {
     "table_ddl_replay": table_ddl_replay,
     "transcript_replay_lww": transcript_replay_lww,
     "conversation_corpus": conversation_corpus,
+    "conversation_curated": conversation_curated,
     "stats_pruned_scan": stats_pruned_scan,
     "clustered_scan": clustered_scan,
     "sketch_pruned_scan": sketch_pruned_scan,
