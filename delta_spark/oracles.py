@@ -260,6 +260,28 @@ ALL_ORACLES: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
             AND NOT del
     """,
+    # scrub-at-ingest: the same LWW replay with the PII regexp chain
+    # applied to the salted text — transform placement (per micro-batch,
+    # before the merge) must commute with replay
+    "scrubbed_replay_lww": f"""
+        WITH log AS (
+            SELECT 'c' || user_id AS conv_id,
+                   CAST(event_id % 20 AS INT) AS turn_idx,
+                   event_type AS role,
+                   props || ' reach me at u' || CAST(user_id AS VARCHAR)
+                     || '@mail.example or 10.0.'
+                     || CAST(event_id % 256 AS VARCHAR) || '.9' AS text,
+                   CAST(NULL AS VARCHAR) AS tool, ts,
+                   event_id AS seq,
+                   (event_type = 'error') AS del
+            FROM events)
+        SELECT conv_id, turn_idx, role, {_scrub_of("text")} AS text,
+               tool, ts
+        FROM log
+        QUALIFY row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
+            AND NOT del
+    """,
     # the Iceberg export round-trip lands on the same LWW final state —
     # the split into CoW + MoR batches is seq-guarded, so the exported
     # winners + equality deletes must reproduce exactly this

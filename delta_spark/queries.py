@@ -959,6 +959,63 @@ def transcript_replay_lww(spark, sf_dir):
     )
 
 
+def scrubbed_replay_lww(spark, sf_dir):
+    """Scrub-at-ingest through the REAL pipeline: the transcript
+    changelog (text salted with synthetic PII so the redaction provably
+    bites) replayed with ``transforms=chain([ScrubPII('text')])`` — the
+    curation library running INSIDE the CDC transform stage, so
+    sensitive spans never land in the lake at all. The oracle is the
+    same windowed LWW with the scrub chain applied, so transform
+    placement (per micro-batch, before the merge) is hash-checked to
+    commute with replay. Pure JVM regexp chain — the transform adds no
+    shuffle and stays inside whole-stage codegen at any scale."""
+    import tempfile
+
+    from .lake import LakeTable
+    from .pipeline import Pipeline, PipelineConfig
+    from .transform import ScrubPII, chain
+
+    d = tempfile.mkdtemp(prefix="scrubbed_replay_")
+    ev = _t(spark, sf_dir, "events")
+    salted = F.concat(
+        F.col("props"),
+        F.lit(" reach me at u"),
+        F.col("user_id").cast("string"),
+        F.lit("@mail.example or 10.0."),
+        F.pmod(F.col("event_id"), F.lit(256)).cast("string"),
+        F.lit(".9"),
+    )
+    (
+        ev.select(
+            F.col("event_id").cast("long").alias("seq"),
+            F.when(F.col("event_type") == "error", F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("op"),
+            F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+            F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+            F.col("event_type").alias("role"),
+            salted.alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.lit(None).cast("string").alias("prev_text"),
+            F.lit(False).alias("is_snapshot"),
+            F.col("ts").cast("timestamp").alias("ingest_ts"),
+            F.lit(None).cast("string").alias("ddl"),
+        ).write.parquet(f"{d}/log")
+    )
+    cfg = PipelineConfig(
+        changelog_path=f"{d}/log",
+        table_path=f"{d}/tbl",
+        checkpoint_dir=f"{d}/ck",
+        generation=1,
+        num_buckets=8,
+    )
+    Pipeline(spark, cfg, transforms=chain([ScrubPII("text")])).run_batch()
+    return LakeTable.load(spark, cfg.table_path).read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 def stats_pruned_scan(spark, sf_dir):
     """Manifest column-bounds scan planning E2E WITH a SQL oracle
     (Iceberg column-stats pruning analog, lake/table.py read(ranges=)):
@@ -1834,6 +1891,7 @@ ALL_QUERIES = {
     "multi_table_replay": multi_table_replay,
     "table_ddl_replay": table_ddl_replay,
     "transcript_replay_lww": transcript_replay_lww,
+    "scrubbed_replay_lww": scrubbed_replay_lww,
     "conversation_corpus": conversation_corpus,
     "conversation_curated": conversation_curated,
     "stats_pruned_scan": stats_pruned_scan,

@@ -84,6 +84,22 @@ class CastColumn(Directive):
         return df.withColumn(self.col, F.col(self.col).cast(self.to))
 
 
+class ScrubPII(Directive):
+    """Redact emails/phones/IPs/SSNs at ingest — the curation library's
+    scrub (functions/text.py PII_PATTERNS) as a CDC transform directive,
+    so sensitive spans never land in the lake table at all. Pure JVM
+    regexp_replace chain inside whole-stage codegen; NULLs (tombstones)
+    pass through untouched."""
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from .functions.text import pii_scrub
+
+        return df.withColumn(self.col, pii_scrub(self.col))
+
+
 class SetValue(Directive):
     def __init__(self, col: str, value):
         self.col, self.value = col, value

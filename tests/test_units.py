@@ -77,6 +77,18 @@ def test_transform_chain(spark):
     assert fn(df).schema["version"].dataType.simpleString() == "bigint"
 
 
+def test_scrub_pii_directive(spark):
+    from delta_spark.transform import ScrubPII
+
+    df = spark.createDataFrame(
+        [("mail bob@x.io from 10.0.0.7", 1), (None, 2)],
+        "text string, v int",
+    )
+    rows = {r["v"]: r["text"] for r in chain([ScrubPII("text")])(df).collect()}
+    assert rows[1] == "mail <EMAIL> from <IP>"
+    assert rows[2] is None  # tombstones pass through
+
+
 def test_nfc_normalize(spark):
     fn = chain([NormalizeText("text", nfc=True)])
     # e + combining acute (NFD) -> é (NFC)
