@@ -14,9 +14,14 @@ Iceberg publish/consume chain (export, continuous publish, artifact
 ``wap_publish`` replays through a staged branch and fast-forwards),
 and the training-data-pipeline library (dedup — batch AND
 incrementally maintained over the CDC feed, similarity search, text
-analysis, PII scrub, chunking, sequence packing + packed-corpus
-materialization, temperature resampling, real media codecs, and the
-CDC-to-training-corpus assembly ``conversation_corpus``).
+analysis, PII scrub — standalone, composed, and at-ingest via the
+pipeline transform stage (``scrubbed_replay_lww``), chunking,
+sequence packing + packed-corpus materialization, temperature
+resampling, OOV-rate vocabulary screening, deterministic TF-IDF
+keywords, real media codecs, the CDC-to-training-corpus assembly
+``conversation_corpus``, the one-plan curation chain
+``corpus_curation_e2e``, and the full loop ``conversation_curated`` —
+CDC replay feeding curation under a single hash oracle).
 """
 
 from __future__ import annotations

@@ -258,3 +258,15 @@ def test_curate_corpus_every_stage_bites(spark):
     # the scrub ran BEFORE fingerprinting: docs 1 and 2 dedup'd even
     # though the redaction rewrote their shared PII span
     assert 2 not in got
+
+
+def test_curation_edge_empty_and_small(spark):
+    """Empty corpus curates to an empty packed layout (no crash at any
+    stage); vocab_k larger than the whole vocabulary means nothing is
+    OOV."""
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert cur.curate_corpus(empty, "doc_id", "text").count() == 0
+    assert cur.tfidf_topk(empty, "doc_id", "text").count() == 0
+    d = _docs(spark, [(1, "only two tokens appear here")])
+    out = cur.oov_stats(d, "doc_id", "text", vocab_k=10_000).collect()
+    assert out[0]["n_oov"] == 0 and out[0]["oov_frac"] == 0.0
