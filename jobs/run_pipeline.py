@@ -80,6 +80,12 @@ def main() -> None:
                     help="with --branch: fast-forward main when the "
                     "audit passes (a failed audit leaves main untouched, "
                     "marks the pipeline FAILING, and exits 3)")
+    ap.add_argument("--scrub-cols", default="", metavar="COLS",
+                    help="comma-separated text columns to PII-scrub at "
+                    "ingest (emails/phones/IPs/SSNs redacted by the "
+                    "curation library's regexp chain INSIDE the "
+                    "transform stage — whole-stage codegen, no UDF — "
+                    "so sensitive spans never land in the lake)")
     ap.add_argument("--tag-before-run", default=None, metavar="TAG",
                     help="stamp TAG at the table's current head before "
                     "applying anything — the pre-deploy checkpoint "
@@ -223,7 +229,14 @@ def main() -> None:
                 print(json.dumps({"tagged": args.tag_before_run,
                                   "snapshot_id": sid}))
 
-    p = Pipeline(spark, cfg)
+    transforms = None
+    if args.scrub_cols:
+        from delta_spark.transform import ScrubPII, chain
+
+        transforms = chain(
+            [ScrubPII(c) for c in args.scrub_cols.split(",") if c]
+        )
+    p = Pipeline(spark, cfg, transforms=transforms)
     if args.mode == "batch":
         st = p.run_batch()
         print(json.dumps({"rows_in": st.rows_in, "upserts": st.upserts,

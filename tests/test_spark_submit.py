@@ -67,6 +67,11 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
             "--publish-iceberg", str(tmp_path / "ice"),
             "--matview", str(tmp_path / "mv"),
             "--matview-sums", '{"sum_chars": "length(text)"}',
+            # scrub-at-ingest wiring: the generator text is PII-free so
+            # the oracle comparison below still holds exactly; the
+            # redaction itself (that the chain bites) is hash-checked by
+            # the scrubbed_replay_lww driver key and the ScrubPII unit
+            "--scrub-cols", "text",
         ],
         capture_output=True,
         text=True,
