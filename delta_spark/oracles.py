@@ -1073,6 +1073,18 @@ ALL_ORACLES: dict[str, str] = {
 # insert, %7 ' revision two' suffixes, %13 deletions disjoint from the
 # revisions). Built from the ngram_jaccard_dups SQL by swapping its
 # corpus source — no duplicated hash arithmetic to drift.
+# Incremental curation must fold to the batch curation chain on the
+# same closed-form final corpus — the identical packed layout.
+ALL_ORACLES["incremental_curation"] = f"""
+    WITH src AS (
+      SELECT doc_id AS id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' revision two'
+                  ELSE text END AS text
+      FROM documents
+      WHERE NOT (doc_id % 13 = 0 AND doc_id % 7 <> 0)),
+    {_curation_chain("doc_id")}
+"""
+
 ALL_ORACLES["neardup_incremental"] = (
     "WITH corpus AS (\n"
     "  SELECT doc_id,\n"

@@ -396,6 +396,59 @@ def neardup_incremental(spark, sf_dir):
     return ix.live_pairs().orderBy("id_a", "id_b")
 
 
+def incremental_curation(spark, sf_dir):
+    """Corpus curation MAINTAINED over the CDC feed, not recomputed:
+    the documents corpus is replayed through the lake engine in three
+    commits (full insert, %7 revisions, %13 deletions), a
+    ``CurationIndexer`` advances after each one — re-scrubbing/gating
+    ONLY the changed docs into its exactly-once status table — and the
+    layout derived from those slim status rows is returned. The oracle
+    runs the batch curation chain directly on the closed-form final
+    corpus: incremental maintenance must land on the identical packed
+    layout (functions/curation_incremental.py documents why)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .functions.curation_incremental import CurationIndexer
+    from .lake import LakeTable
+
+    d = tempfile.mkdtemp(prefix="curation_inc_")
+    src = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    tbl = LakeTable.create(spark, f"{d}/docs", schema, key_cols=["doc_id"])
+    ix = CurationIndexer(spark, tbl, f"{d}/cur")
+
+    def commit(df, op, seq, bid):
+        tbl.merge(
+            df.withColumn("op", F.lit(op)).withColumn(
+                "seq", F.lit(seq).cast("long")
+            ),
+            writer_id="w",
+            batch_id=bid,
+        )
+        ix.advance()
+
+    commit(src, "INSERT", 1, "b1")
+    commit(
+        src.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id", F.concat("text", F.lit(" revision two")).alias("text")
+        ),
+        "UPDATE", 2, "b2",
+    )
+    commit(
+        src.filter((F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 7 != 0))
+        .select("doc_id", F.lit(None).cast("string").alias("text")),
+        "DELETE", 3, "b3",
+    )
+    return ix.curated_layout()
+
+
 def simhash16(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return neardup.simhash(d, "doc_id", "text", bits=16)
@@ -1867,6 +1920,7 @@ ALL_QUERIES = {
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "neardup_clusters": neardup_clusters,
     "neardup_incremental": neardup_incremental,
+    "incremental_curation": incremental_curation,
     "simhash16": simhash16,
     "lang_id": lang_id,
     "text_quality": text_quality,
