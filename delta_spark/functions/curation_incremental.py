@@ -68,6 +68,30 @@ _STATUS_SCHEMA = T.StructType(
 )
 
 
+def cursor_from_status_metadata(status_meta: dict) -> int | None:
+    """Last docs-snapshot id folded into a status table, derived from
+    its own exactly-once markers (every advance's batch-id ends
+    ``->{to}``; ``expire_snapshots`` folds markers into
+    ``applied_markers``). The diagnostics service's ``/v1/curation``
+    uses this Spark-free — the markers, not the side cursor file, are
+    the crash-consistent truth (the file moves last and only drives
+    the next advance's starting point)."""
+    ids = [
+        int(s["summary"]["batch-id"].rsplit("->", 1)[1])
+        for s in status_meta["snapshots"]
+        if s["summary"].get("writer-id") == "curation-index"
+        and "->" in s["summary"].get("batch-id", "")
+    ]
+    ids += [
+        int(b.rsplit("->", 1)[1])
+        for b in status_meta.get("applied_markers", {}).get(
+            "curation-index", []
+        )
+        if "->" in b
+    ]
+    return max(ids) if ids else None
+
+
 class CurationIndexer:
     """Maintains per-document curation verdicts beside a documents lake
     table; the curated packed layout is derived from them without ever
@@ -102,6 +126,39 @@ class CurationIndexer:
                 key_cols=["doc_id"],
                 num_buckets=num_buckets,
             )
+        self._write_definition()
+
+    def _write_definition(self) -> None:
+        """Self-describing index: a ``curation.json`` sidecar records
+        which docs table the status tracks and the layout parameters,
+        so Spark-free consumers (the diagnostics service's
+        ``/v1/curation`` endpoint, a human at a shell) can discover it.
+        Observability metadata, not authority — rewritten when the
+        live handle's definition differs (index re-pointed, or the
+        directory copied elsewhere)."""
+        import uuid as _uuid
+
+        p = os.path.join(self.root, "curation.json")
+        body = {
+            "docs_path": os.path.abspath(self.docs.path),
+            "status_path": os.path.abspath(self.status_path),
+            "id_col": self.id_col,
+            "text_col": self.text_col,
+            "top_cap": self.top_cap,
+            "budget": self.budget,
+            "n_shards": self.n_shards,
+        }
+        try:
+            with open(p) as f:
+                if json.load(f) == body:
+                    return
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        os.makedirs(self.root, exist_ok=True)
+        tmp = f"{p}.{_uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(body, f, sort_keys=True)
+        os.replace(tmp, p)
 
     # ------------------------------------------------------- cursor
 

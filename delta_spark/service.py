@@ -382,6 +382,62 @@ class DiagnosticsService:
             "view_snapshots": len(vmeta["snapshots"]),
         }
 
+    @staticmethod
+    def _curation_status(root: str) -> dict:
+        """Inspect an incremental curation index
+        (functions/curation_incremental.py) from on-disk metadata only:
+        the ``curation.json`` sidecar names the docs table, the cursor
+        is derived from the status table's own exactly-once markers
+        (crash-consistent — the side cursor file only drives the next
+        advance), and comparing it to the docs head answers the
+        operator's questions: how many docs commits behind, has docs
+        retention expired the cursor (next advance = O(corpus)
+        rebootstrap), and how big is the verdict state."""
+        from .functions.curation_incremental import (
+            cursor_from_status_metadata,
+        )
+        from .lake.interop import resolve_snapshot
+
+        with open(os.path.join(root, "curation.json")) as f:
+            defn = json.load(f)
+        smeta = _load_table_meta(defn["status_path"])
+        cursor = cursor_from_status_metadata(smeta)
+        dmeta = _load_table_meta(defn["docs_path"])
+        head = dmeta["current_snapshot_id"]
+        docs_ids = {s["id"] for s in dmeta["snapshots"]}
+        by_id = {s["id"]: s for s in dmeta["snapshots"]}
+        lag, cur = 0, head
+        while cur is not None and cur != cursor and cur in by_id:
+            lag += 1
+            cur = by_id[cur].get("parent")
+        if cursor is not None and cur != cursor:
+            lag = len(docs_ids)  # cursor off-lineage/expired: bound it
+        snap = resolve_snapshot(smeta, defn["status_path"])
+        files = snap["files"] if snap else []
+        return {
+            "docs_path": defn["docs_path"],
+            "status_path": defn["status_path"],
+            "params": {
+                k: defn[k] for k in ("top_cap", "budget", "n_shards")
+            },
+            "cursor": cursor,
+            "docs_head": head,
+            "in_sync": cursor == head,
+            "lag_commits": lag,
+            "cursor_expired": (
+                cursor is not None
+                and cursor != head
+                and cursor not in docs_ids
+            ),
+            "status_snapshots": len(smeta["snapshots"]),
+            "status_base_rows": sum(
+                f["rows"] or 0 for f in files if f.get("kind") != "delta"
+            ),
+            "status_delta_rows": sum(
+                f["rows"] or 0 for f in files if f.get("kind") == "delta"
+            ),
+        }
+
     def _assess_one(self, body: dict) -> dict:
         schema = _schema_from_fields(body["fields"])
         target = None
@@ -429,6 +485,8 @@ class DiagnosticsService:
                     return 200, self._iceberg_status(q["dest"])
                 if parts == ["v1", "matview"]:
                     return 200, self._matview_status(q["root"])
+                if parts == ["v1", "curation"]:
+                    return 200, self._curation_status(q["root"])
                 if parts == ["v1", "tables"]:
                     return 200, {"tables": sorted(self._table_paths())}
                 if len(parts) >= 3 and parts[:2] == ["v1", "tables"]:

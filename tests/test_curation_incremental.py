@@ -173,3 +173,41 @@ def test_maintain_curation_job(spark, world, tmp_path):
     assert _key(got) == _key(batch)
     out2 = maintain_curation(spark, tbl.path, ix.root, layout_dest=dest)
     assert out2["status_upserts"] == 0
+
+
+def test_curation_status_endpoint(spark, world):
+    """GET /v1/curation?root=… answers the operator questions about an
+    incremental curation index from on-disk metadata alone: which docs
+    table it tracks (curation.json sidecar), where its marker-derived
+    cursor sits, how many docs commits it lags, the expired-cursor
+    rebootstrap signal, and the verdict-state size."""
+    import urllib.parse
+    import urllib.request
+
+    from delta_spark.service import DiagnosticsService
+
+    tbl, ix = world
+    svc = DiagnosticsService(tables={"docs": tbl.path})
+    _, port = svc.start()
+    try:
+        url = (f"http://127.0.0.1:{port}/v1/curation?root="
+               + urllib.parse.quote(ix.root))
+        with urllib.request.urlopen(url) as r:
+            body = json.loads(r.read())
+        assert body["in_sync"] and body["lag_commits"] == 0
+        assert body["cursor"] == tbl.current_snapshot["id"]
+        assert body["params"]["budget"] == 512
+        assert not body["cursor_expired"]
+        assert body["status_base_rows"] + body["status_delta_rows"] > 0
+
+        # one more docs commit: the index lags by exactly one
+        _commit(
+            tbl,
+            spark.createDataFrame([(30_001, "late doc")], DOCS_SCHEMA),
+            "INSERT", 5, "b5",
+        )
+        with urllib.request.urlopen(url) as r:
+            body = json.loads(r.read())
+        assert not body["in_sync"] and body["lag_commits"] == 1
+    finally:
+        svc.stop()
