@@ -133,9 +133,17 @@ class CurationIndexer:
         which docs table the status tracks and the layout parameters,
         so Spark-free consumers (the diagnostics service's
         ``/v1/curation`` endpoint, a human at a shell) can discover it.
-        Observability metadata, not authority — rewritten when the
-        live handle's definition differs (index re-pointed, or the
-        directory copied elsewhere)."""
+
+        The sidecar is also the guard against SILENT verdict mixing:
+        ``top_cap`` / ``id_col`` / ``text_col`` / the docs identity
+        shape the STORED keep verdicts, so reopening an existing index
+        with different values would gate only future changed docs under
+        the new rule while every unchanged row keeps the old one — a
+        state that equals batch ``curate_corpus`` under NO parameter
+        set. Refused loudly (delete the root to rebootstrap under the
+        new params). ``budget`` / ``n_shards`` are layout-time only —
+        ``curated_layout`` derives them fresh from slim rows each call
+        — so changing them is legal and just rewrites the sidecar."""
         import uuid as _uuid
 
         p = os.path.join(self.root, "curation.json")
@@ -150,10 +158,36 @@ class CurationIndexer:
         }
         try:
             with open(p) as f:
-                if json.load(f) == body:
-                    return
+                prev = json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
-            pass
+            prev = None
+        if prev == body:
+            return
+        if prev is not None:
+            frozen = ("id_col", "text_col", "top_cap")
+            diffs = {
+                k: (prev.get(k), body[k])
+                for k in frozen
+                if prev.get(k) != body[k]
+            }
+            if diffs:
+                raise ValueError(
+                    f"curation index at {self.root} was built with "
+                    f"different verdict-shaping parameters {diffs} — "
+                    "stored keep verdicts would silently mix rules. "
+                    "Delete the index root to rebootstrap under the "
+                    "new parameters, or reopen with the recorded ones."
+                )
+            if prev.get("docs_path") != body["docs_path"]:
+                # a faithful copy keeps snapshot ids, so verdicts stay
+                # valid; a genuinely different table makes the recorded
+                # cursor unknown and the next advance() rebootstraps
+                import logging
+
+                logging.getLogger("delta_spark.curation").warning(
+                    "curation index %s re-pointed %s -> %s",
+                    self.root, prev.get("docs_path"), body["docs_path"],
+                )
         os.makedirs(self.root, exist_ok=True)
         tmp = f"{p}.{_uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:

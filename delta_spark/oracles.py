@@ -99,6 +99,30 @@ def _scrub_of(col: str) -> str:
 _scrub_expr = _scrub_of("t")
 
 
+def _tlog(text_expr: str = "props") -> str:
+    """The transcript changelog mapping as a ``log`` CTE — the ONE
+    definition of conv_id/turn_idx/role/seq/tombstone derivation shared
+    by the replay-family oracles below, parameterized only by the text
+    expression (the scrub-at-ingest oracle salts it). Extra columns are
+    harmless to consumers that project a subset."""
+    return f"""log AS (
+            SELECT 'c' || user_id AS conv_id,
+                   CAST(event_id % 20 AS INT) AS turn_idx,
+                   event_type AS role, {text_expr} AS text,
+                   CAST(NULL AS VARCHAR) AS tool, ts,
+                   event_id AS seq,
+                   (event_type = 'error') AS del
+            FROM events)"""
+
+
+_CONV_LWW = """lww AS (
+            SELECT conv_id, turn_idx, role, text
+            FROM log
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
+                AND NOT del)"""
+
+
 def _curation_chain(
     id_name: str, n_shards: int = 8, top_cap: float = 0.25
 ) -> str:
@@ -246,15 +270,8 @@ ALL_ORACLES: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
             AND event_type <> 'error'
     """,
-    "transcript_replay_lww": """
-        WITH log AS (
-            SELECT 'c' || user_id AS conv_id,
-                   CAST(event_id % 20 AS INT) AS turn_idx,
-                   event_type AS role, props AS text,
-                   CAST(NULL AS VARCHAR) AS tool, ts,
-                   event_id AS seq,
-                   (event_type = 'error') AS del
-            FROM events)
+    "transcript_replay_lww": f"""
+        WITH {_tlog()}
         SELECT conv_id, turn_idx, role, text, tool, ts
         FROM log
         QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
@@ -264,17 +281,10 @@ ALL_ORACLES: dict[str, str] = {
     # applied to the salted text — transform placement (per micro-batch,
     # before the merge) must commute with replay
     "scrubbed_replay_lww": f"""
-        WITH log AS (
-            SELECT 'c' || user_id AS conv_id,
-                   CAST(event_id % 20 AS INT) AS turn_idx,
-                   event_type AS role,
-                   props || ' reach me at u' || CAST(user_id AS VARCHAR)
-                     || '@mail.example or 10.0.'
-                     || CAST(event_id % 256 AS VARCHAR) || '.9' AS text,
-                   CAST(NULL AS VARCHAR) AS tool, ts,
-                   event_id AS seq,
-                   (event_type = 'error') AS del
-            FROM events)
+        WITH {_tlog(
+            "props || ' reach me at u' || CAST(user_id AS VARCHAR)"
+            " || '@mail.example or 10.0.'"
+            " || CAST(event_id % 256 AS VARCHAR) || '.9'")}
         SELECT conv_id, turn_idx, role, {_scrub_of("text")} AS text,
                tool, ts
         FROM log
@@ -498,19 +508,8 @@ ALL_ORACLES: dict[str, str] = {
     # CDC replay + corpus assembly in one: LWW winners per (conv,
     # turn), then turns concatenated in turn order per conversation
     "conversation_corpus": f"""
-        WITH log AS (
-            SELECT 'c' || user_id AS conv_id,
-                   CAST(event_id % 20 AS INT) AS turn_idx,
-                   event_type AS role, props AS text,
-                   event_id AS seq,
-                   (event_type = 'error') AS del
-            FROM events),
-        lww AS (
-            SELECT conv_id, turn_idx, role, text
-            FROM log
-            QUALIFY row_number() OVER (
-                PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
-                AND NOT del)
+        WITH {_tlog()},
+        {_CONV_LWW}
         SELECT conv_id, count(*) AS n_turns,
                CAST(sum(len(regexp_extract_all(coalesce(text, ''),
                    '{TOKEN_PATTERN}'))) AS BIGINT) AS n_tokens,
@@ -522,19 +521,8 @@ ALL_ORACLES: dict[str, str] = {
     # under one hash: the LWW/tombstone replay and every curation
     # verdict must agree with the engine simultaneously
     "conversation_curated": f"""
-        WITH log AS (
-            SELECT 'c' || user_id AS conv_id,
-                   CAST(event_id % 20 AS INT) AS turn_idx,
-                   event_type AS role, props AS text,
-                   event_id AS seq,
-                   (event_type = 'error') AS del
-            FROM events),
-        lww AS (
-            SELECT conv_id, turn_idx, role, text
-            FROM log
-            QUALIFY row_number() OVER (
-                PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
-                AND NOT del),
+        WITH {_tlog()},
+        {_CONV_LWW},
         src AS (
             SELECT conv_id AS id,
                    string_agg(role || ': ' || coalesce(text, ''), chr(10)

@@ -401,7 +401,20 @@ class DiagnosticsService:
         with open(os.path.join(root, "curation.json")) as f:
             defn = json.load(f)
         smeta = _load_table_meta(defn["status_path"])
+        # truth = max(marker cursor, file cursor): a docs commit whose
+        # change set is empty for this index (compaction, no-op replay)
+        # advances the FILE past the last marker without a new status
+        # snapshot, while a crash between merge and file write leaves
+        # the MARKER ahead — whichever is larger is where the index
+        # actually stands
         cursor = cursor_from_status_metadata(smeta)
+        try:
+            with open(os.path.join(root, "_cursor.json")) as f:
+                fc = json.load(f).get("last_snapshot")
+            if fc is not None and (cursor is None or fc > cursor):
+                cursor = fc
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
         dmeta = _load_table_meta(defn["docs_path"])
         head = dmeta["current_snapshot_id"]
         docs_ids = {s["id"] for s in dmeta["snapshots"]}

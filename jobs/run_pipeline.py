@@ -234,7 +234,8 @@ def main() -> None:
         from delta_spark.transform import ScrubPII, chain
 
         transforms = chain(
-            [ScrubPII(c) for c in args.scrub_cols.split(",") if c]
+            [ScrubPII(c.strip()) for c in args.scrub_cols.split(",")
+             if c.strip()]
         )
     p = Pipeline(spark, cfg, transforms=transforms)
     if args.mode == "batch":

@@ -211,3 +211,44 @@ def test_curation_status_endpoint(spark, world):
         assert not body["in_sync"] and body["lag_commits"] == 1
     finally:
         svc.stop()
+
+
+def test_reopen_with_different_top_cap_refused(spark, world, tmp_path):
+    """Reopening an existing index under a different verdict-shaping
+    parameter is refused loudly (stored keep verdicts would silently
+    mix rules); layout-only params (budget) may change freely."""
+    tbl, ix = world
+    with pytest.raises(ValueError, match="top_cap"):
+        CurationIndexer(spark, tbl, ix.root, top_cap=0.5)
+    ix2 = CurationIndexer(spark, tbl, ix.root, budget=1024)  # legal
+    assert ix2.budget == 1024
+    assert json.load(open(ix2.cursor_path))  # same index, same cursor
+
+
+def test_service_cursor_survives_noop_docs_commit(spark, world):
+    """A docs commit that nets to zero changes for the index (e.g.
+    compaction) advances the file cursor without a new status marker;
+    /v1/curation must still report in_sync via max(marker, file)."""
+    import urllib.parse
+    import urllib.request
+
+    from delta_spark.service import DiagnosticsService
+
+    tbl, ix = world
+    tbl.compact(max_files_per_bucket=1)  # new snapshot, zero row change
+    out = ix.advance()
+    assert out["processed"] == 0 and out["deleted"] == 0
+    assert json.load(open(ix.cursor_path))["last_snapshot"] == (
+        tbl.current_snapshot["id"]
+    )
+    svc = DiagnosticsService(tables={"docs": tbl.path})
+    _, port = svc.start()
+    try:
+        url = (f"http://127.0.0.1:{port}/v1/curation?root="
+               + urllib.parse.quote(ix.root))
+        with urllib.request.urlopen(url) as r:
+            body = json.loads(r.read())
+        assert body["in_sync"] and body["lag_commits"] == 0
+        assert not body["cursor_expired"]
+    finally:
+        svc.stop()
