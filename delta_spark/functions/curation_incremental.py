@@ -68,6 +68,224 @@ _STATUS_SCHEMA = T.StructType(
 )
 
 
+_VOCAB_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.StringType(), False),
+        T.StructField("n_tokens", T.LongType(), True),
+        T.StructField("df_docs", T.LongType(), True),
+    ]
+)
+
+
+class VocabIndexer:
+    """Incrementally-maintained corpus VOCABULARY (per-token multiset
+    count + document frequency) — the global statistic ``oov_rate`` and
+    ``tfidf_topk`` are built on, kept current over the CDC feed instead
+    of recomputed by a corpus scan.
+
+    This is the retraction-fold the engine's Delta-CDF pre-images exist
+    for: ``read_changes(include_pre_images=True)`` emits each update as
+    ``update_pre`` (retract the old text's contribution) plus
+    ``update_post`` (add the new one), deletes carry their last payload
+    — so per epoch the token deltas are computed from CHANGED docs only
+    (+1/−1 per occurrence for the count, per distinct (doc, token) for
+    the document frequency), then folded into the vocab lake table by
+    one slim join (old + delta, delete at zero). Additive folds are not
+    idempotent, so exactness rides the engine's exactly-once markers:
+    a replayed epoch's merge is BLOCKED by its (writer-id, batch-id)
+    marker and cannot double-count — the same contract every other
+    writer uses.
+
+    Per-epoch cost: O(changed docs × tokens) text work + one join
+    against the vocab table's slim rows (at 10^10 docs the vocabulary
+    is ~10^8 rows of a few bytes — the join's vocab side is a scan of
+    that, never of corpus text; the write is bucket-pruned to touched
+    tokens by the engine). Expired cursor → documented rebootstrap:
+    recompute the batch vocabulary from the live corpus once and diff
+    it against the table.
+
+    Invariant (tests + driver oracle): the vocab table equals the
+    batch ``GROUP BY token`` counts of the live corpus after every
+    advance, under any interleaving.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs: LakeTable,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.docs = docs
+        self.root = root
+        self.id_col, self.text_col = id_col, text_col
+        self.vocab_path = os.path.join(root, "vocab")
+        self.cursor_path = os.path.join(root, "_cursor.json")
+        if LakeTable.exists(self.vocab_path):
+            self.vocab = LakeTable.load(spark, self.vocab_path)
+        else:
+            self.vocab = LakeTable.create(
+                spark,
+                self.vocab_path,
+                _VOCAB_SCHEMA,
+                key_cols=["token"],
+                num_buckets=num_buckets,
+            )
+
+    def _cursor(self) -> int | None:
+        try:
+            with open(self.cursor_path) as f:
+                return json.load(f)["last_snapshot"]
+        except FileNotFoundError:
+            return None
+
+    def _commit_cursor(self, snap_id: int) -> None:
+        tmp = self.cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_snapshot": snap_id}, f)
+        os.replace(tmp, self.cursor_path)
+
+    def _signed_deltas(self, signed: DataFrame) -> DataFrame:
+        """(token, d_count, d_df) from rows of (sgn, text): +1 rows add
+        their tokens, −1 rows retract them; df contributions are per
+        distinct (row, token). Net-zero tokens are dropped."""
+        from .text import tokens
+
+        tok = signed.select(
+            "_rid", "sgn", F.explode(tokens(self.text_col)).alias("token")
+        )
+        d_count = tok.groupBy("token").agg(
+            F.sum("sgn").cast("long").alias("d_count")
+        )
+        d_df = (
+            tok.select("_rid", "sgn", "token")
+            .distinct()
+            .groupBy("token")
+            .agg(F.sum("sgn").cast("long").alias("d_df"))
+        )
+        return (
+            d_count.join(d_df, "token", "full_outer")
+            .select(
+                "token",
+                F.coalesce("d_count", F.lit(0)).alias("d_count"),
+                F.coalesce("d_df", F.lit(0)).alias("d_df"),
+            )
+            .filter((F.col("d_count") != 0) | (F.col("d_df") != 0))
+        )
+
+    def advance(self, to_snapshot_id: int | None = None) -> dict:
+        cur = self.docs.current_snapshot
+        to_id = cur["id"] if to_snapshot_id is None and cur else to_snapshot_id
+        frm = self._cursor()
+        if to_id is None or (frm is not None and to_id <= frm):
+            return {"tokens_touched": 0, "to": to_id}
+
+        try:
+            ch = self.docs.read_changes(frm, to_id, include_pre_images=True)
+            sgn = (
+                F.when(
+                    F.col("_change_type").isin("insert", "update_post"),
+                    F.lit(1),
+                )
+                .when(
+                    F.col("_change_type").isin("update_pre", "delete"),
+                    F.lit(-1),
+                )
+            )
+            signed = ch.select(
+                F.concat_ws(
+                    "#", F.col(self.id_col).cast("string"), "_change_type"
+                ).alias("_rid"),
+                sgn.alias("sgn"),
+                self.text_col,
+            ).filter(F.col("sgn").isNotNull())
+            deltas = self._signed_deltas(signed)
+            old = self.vocab.read()
+        except ValueError:
+            # cursor expired under docs-table retention: rebootstrap by
+            # diffing the batch vocabulary of the live corpus against
+            # the table — every live token upserted to its true counts,
+            # every stale token deleted. O(corpus) once, by design.
+            import logging
+
+            logging.getLogger("delta_spark.curation").warning(
+                "vocab cursor %s expired on %s — rebootstrapping",
+                frm, self.docs.path,
+            )
+            state0 = self.docs.read(snapshot_id=to_id)
+            signed = state0.select(
+                F.col(self.id_col).cast("string").alias("_rid"),
+                F.lit(1).alias("sgn"),
+                self.text_col,
+            )
+            fresh = self._signed_deltas(signed)
+            old = self.vocab.read()
+            # express the rebootstrap as a delta against the current
+            # table so ONE fold path below serves both modes
+            deltas = (
+                fresh.join(old, "token", "full_outer")
+                .select(
+                    "token",
+                    (
+                        F.coalesce("d_count", F.lit(0))
+                        - F.coalesce("n_tokens", F.lit(0))
+                    ).alias("d_count"),
+                    (
+                        F.coalesce("d_df", F.lit(0))
+                        - F.coalesce("df_docs", F.lit(0))
+                    ).alias("d_df"),
+                )
+                .filter((F.col("d_count") != 0) | (F.col("d_df") != 0))
+            )
+
+        folded = (
+            deltas.join(old, "token", "left")
+            .select(
+                "token",
+                (
+                    F.coalesce("n_tokens", F.lit(0)) + F.col("d_count")
+                ).alias("n_tokens"),
+                (F.coalesce("df_docs", F.lit(0)) + F.col("d_df")).alias(
+                    "df_docs"
+                ),
+            )
+        )
+        batch = folded.select(
+            "token",
+            "n_tokens",
+            "df_docs",
+            F.when(F.col("n_tokens") <= 0, F.lit("DELETE"))
+            .otherwise(F.lit("UPSERT"))
+            .alias("op"),
+            F.lit(to_id).cast("long").alias("seq"),
+        )
+        stats = self.vocab.merge(
+            batch,
+            writer_id="vocab-index",
+            batch_id=f"{frm}->{to_id}",
+            mode="auto",
+        ) or {}
+        self._commit_cursor(to_id)
+        return {
+            "tokens_touched": (stats.get("upserts", 0) or 0)
+            + (stats.get("deletes", 0) or 0),
+            "to": to_id,
+        }
+
+    def top_k(self, k: int) -> DataFrame:
+        """The head vocabulary by (count desc, token asc) — the same
+        total order ``oov_stats`` cuts its broadcast vocab with, served
+        from maintained state instead of a corpus scan."""
+        return (
+            self.vocab.read()
+            .orderBy(F.col("n_tokens").desc(), F.col("token").asc())
+            .limit(k)
+        )
+
+
 def cursor_from_status_metadata(status_meta: dict) -> int | None:
     """Last docs-snapshot id folded into a status table, derived from
     its own exactly-once markers (every advance's batch-id ends

@@ -1073,6 +1073,23 @@ ALL_ORACLES["incremental_curation"] = f"""
     {_curation_chain("doc_id")}
 """
 
+# The maintained vocabulary must fold to the batch GROUP BY token of
+# the same closed-form final corpus (NULL-text tombstones drop out).
+ALL_ORACLES["incremental_vocab"] = """
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' revision two'
+                  ELSE text END AS text
+      FROM documents
+      WHERE NOT (doc_id % 13 = 0 AND doc_id % 7 <> 0)),
+    tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+                                  '\\s+')) AS token
+            FROM corpus WHERE text IS NOT NULL)
+    SELECT token, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+    FROM tok GROUP BY token
+"""
+
 ALL_ORACLES["neardup_incremental"] = (
     "WITH corpus AS (\n"
     "  SELECT doc_id,\n"

@@ -449,6 +449,58 @@ def incremental_curation(spark, sf_dir):
     return ix.curated_layout()
 
 
+def incremental_vocab(spark, sf_dir):
+    """The corpus VOCABULARY (token count + document frequency — the
+    global stat oov_rate/tfidf_keywords need) maintained over the CDC
+    feed by retraction-folding Delta-CDF pre-images: each update
+    retracts the old text's token contributions and adds the new
+    one's, deletes retract theirs, and the additive fold's exactness
+    rides the engine's exactly-once markers (a replayed epoch cannot
+    double-count). The oracle is the batch GROUP BY token over the
+    closed-form final corpus."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .functions.curation_incremental import VocabIndexer
+    from .lake import LakeTable
+
+    d = tempfile.mkdtemp(prefix="vocab_inc_")
+    src = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    tbl = LakeTable.create(spark, f"{d}/docs", schema, key_cols=["doc_id"])
+    ix = VocabIndexer(spark, tbl, f"{d}/vocab")
+
+    def commit(df, op, seq, bid):
+        tbl.merge(
+            df.withColumn("op", F.lit(op)).withColumn(
+                "seq", F.lit(seq).cast("long")
+            ),
+            writer_id="w",
+            batch_id=bid,
+        )
+        ix.advance()
+
+    commit(src, "INSERT", 1, "b1")
+    commit(
+        src.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id", F.concat("text", F.lit(" revision two")).alias("text")
+        ),
+        "UPDATE", 2, "b2",
+    )
+    commit(
+        src.filter((F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 7 != 0))
+        .select("doc_id", F.lit(None).cast("string").alias("text")),
+        "DELETE", 3, "b3",
+    )
+    return ix.vocab.read().select("token", "n_tokens", "df_docs")
+
+
 def simhash16(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return neardup.simhash(d, "doc_id", "text", bits=16)
@@ -1921,6 +1973,7 @@ ALL_QUERIES = {
     "neardup_clusters": neardup_clusters,
     "neardup_incremental": neardup_incremental,
     "incremental_curation": incremental_curation,
+    "incremental_vocab": incremental_vocab,
     "simhash16": simhash16,
     "lang_id": lang_id,
     "text_quality": text_quality,

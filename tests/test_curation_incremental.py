@@ -252,3 +252,103 @@ def test_service_cursor_survives_noop_docs_commit(spark, world):
         assert not body["cursor_expired"]
     finally:
         svc.stop()
+
+
+def _batch_vocab(df):
+    from delta_spark.functions.text import tokens as _tokens
+
+    tok = df.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(_tokens("text")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.countDistinct("doc_id").cast("long").alias("df_docs"),
+        )
+    )
+
+
+def _vkey(pdf):
+    return {
+        (r["token"], int(r["n_tokens"]), int(r["df_docs"]))
+        for _, r in pdf.iterrows()
+    }
+
+
+def test_vocab_fold_equals_batch(spark, tmp_path):
+    """VocabIndexer advanced through insert/revise/delete epochs equals
+    the batch GROUP BY token of the live corpus after every advance —
+    the retraction fold over Delta-CDF pre-images is exact."""
+    from delta_spark.functions.curation_incremental import VocabIndexer
+
+    src = _src(spark)
+    tbl = _mk_docs(spark, tmp_path / "docs")
+    ix = VocabIndexer(spark, tbl, str(tmp_path / "vocab"))
+
+    def check():
+        got = _vkey(ix.vocab.read().toPandas())
+        want = _vkey(_batch_vocab(tbl.read()).toPandas())
+        assert got == want
+
+    _commit(tbl, src, "INSERT", 1, "b1")
+    ix.advance(); check()
+
+    upd = src.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat("text", F.lit(" revision two")).alias("text")
+    )
+    _commit(tbl, upd, "UPDATE", 2, "b2")
+    ix.advance(); check()
+
+    dele = src.filter(
+        (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 7 != 0)
+    ).select("doc_id", F.lit(None).cast("string").alias("text"))
+    _commit(tbl, dele, "DELETE", 3, "b3")
+    ix.advance(); check()
+
+    # replay safety: additive folds are not idempotent, so the marker
+    # must block a replayed epoch (crash between merge and cursor)
+    with open(ix.cursor_path) as f:
+        snaps = [s["id"] for s in tbl.metadata["snapshots"]]
+    with open(ix.cursor_path, "w") as f:
+        json.dump({"last_snapshot": snaps[-2]}, f)
+    ix.advance()  # re-fold of the last epoch: must NOT double-count
+    check()
+
+    # head vocabulary served from maintained state, same total order
+    top = ix.top_k(5).toPandas()
+    want_top = (
+        _batch_vocab(tbl.read())
+        .orderBy(F.col("n_tokens").desc(), F.col("token").asc())
+        .limit(5)
+        .toPandas()
+    )
+    assert list(top["token"]) == list(want_top["token"])
+
+
+def test_vocab_cursor_expired_rebootstrap(spark, tmp_path):
+    from delta_spark.functions.curation_incremental import VocabIndexer
+
+    src = _src(spark).limit(40)
+    tbl = _mk_docs(spark, tmp_path / "docs")
+    ix = VocabIndexer(spark, tbl, str(tmp_path / "vocab"))
+    _commit(tbl, src, "INSERT", 1, "b1")
+    ix.advance()
+    _commit(
+        tbl,
+        src.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", F.lit(None).cast("string").alias("text")
+        ),
+        "DELETE", 2, "b2",
+    )
+    _commit(
+        tbl,
+        spark.createDataFrame([(90_001, "brand new words here")],
+                              DOCS_SCHEMA),
+        "INSERT", 3, "b3",
+    )
+    tbl.expire_snapshots(keep_last=1)
+    ix.advance()  # cursor gone → rebootstrap diff
+    got = _vkey(ix.vocab.read().toPandas())
+    want = _vkey(_batch_vocab(tbl.read()).toPandas())
+    assert got == want
