@@ -36,10 +36,14 @@ def maintain_curation(
     budget: int = 512,
     n_shards: int = 8,
     layout_dest: str | None = None,
+    vocab_root: str | None = None,
     compact_pressure: int = 4,
     expire_keep_last: int = 10,
 ) -> dict:
-    from delta_spark.functions.curation_incremental import CurationIndexer
+    from delta_spark.functions.curation_incremental import (
+        CurationIndexer,
+        VocabIndexer,
+    )
     from delta_spark.lake import LakeTable
 
     docs = LakeTable.load(spark, docs_path)
@@ -65,6 +69,21 @@ def maintain_curation(
         layout.write.mode("overwrite").parquet(layout_dest)
         out["layout_dest"] = layout_dest
         out["layout_rows"] = spark.read.parquet(layout_dest).count()
+    if vocab_root:
+        # the vocabulary index advances against the same docs table in
+        # the same scheduled run (own cursor, own exactly-once markers)
+        vx = VocabIndexer(spark, docs, vocab_root)
+        vadv = vx.advance()
+        out["vocab_root"] = vocab_root
+        out["vocab_tokens_touched"] = vadv.get("tokens_touched")
+        if compact_pressure >= 0:
+            out["vocab_compacted_buckets"] = vx.vocab.compact(
+                max_files_per_bucket=compact_pressure
+            )
+        if expire_keep_last > 0:
+            out["vocab_expired_snapshots"] = vx.vocab.expire_snapshots(
+                keep_last=expire_keep_last
+            )
     # the status table is a lake table: the same hygiene applies
     if compact_pressure >= 0:
         out["status_compacted_buckets"] = ix.status.compact(
@@ -89,6 +108,10 @@ def main() -> None:
     ap.add_argument("--layout-dest", default=None,
                     help="if set, materialize the curated packed layout "
                     "parquet here each run")
+    ap.add_argument("--vocab-root", default=None,
+                    help="if set, also advance a VocabIndexer (corpus "
+                    "token count + doc frequency) at this root against "
+                    "the same docs table")
     ap.add_argument("--compact-pressure", type=int, default=4,
                     help="status-table files per bucket before a rewrite "
                     "(-1 skips)")
@@ -115,6 +138,7 @@ def main() -> None:
                 budget=args.budget,
                 n_shards=args.shards,
                 layout_dest=args.layout_dest,
+                vocab_root=args.vocab_root,
                 compact_pressure=args.compact_pressure,
                 expire_keep_last=args.expire_keep_last,
             )

@@ -164,10 +164,17 @@ def test_maintain_curation_job(spark, world, tmp_path):
     dest = str(tmp_path / "layout")
     out = maintain_curation(
         spark, tbl.path, ix.root, layout_dest=dest,
+        vocab_root=str(tmp_path / "vocab"),
     )
     assert out["to_snapshot"] == tbl.current_snapshot["id"]
     assert out["status_upserts"] >= 1
     assert "status_expired_snapshots" in out
+    assert out["vocab_tokens_touched"] > 0  # bootstrap folds the corpus
+    got_v = _vkey(
+        LakeTable.load(spark, str(tmp_path / "vocab") + "/vocab")
+        .read().toPandas()
+    )
+    assert got_v == _vkey(_batch_vocab(tbl.read()).toPandas())
     got = spark.read.parquet(dest).toPandas()
     batch = cur.curate_corpus(tbl.read(), "doc_id", "text").toPandas()
     assert _key(got) == _key(batch)
