@@ -20,8 +20,13 @@ sequence packing + packed-corpus materialization, temperature
 resampling, OOV-rate vocabulary screening, deterministic TF-IDF
 keywords, real media codecs, the CDC-to-training-corpus assembly
 ``conversation_corpus``, the one-plan curation chain
-``corpus_curation_e2e``, and the full loop ``conversation_curated`` —
-CDC replay feeding curation under a single hash oracle).
+``corpus_curation_e2e``, the full loop ``conversation_curated`` —
+CDC replay feeding curation under a single hash oracle — and the
+incrementally-MAINTAINED derived states: ``incremental_curation``
+(per-doc verdict status table, O(changed docs) per epoch) and
+``incremental_vocab`` (token count + doc frequency retraction-folded
+from Delta-CDF pre-images), each pinned equal to its batch operator
+over the final corpus).
 """
 
 from __future__ import annotations
