@@ -222,6 +222,7 @@ def oov_stats(
     id_col: str,
     text_col: str,
     vocab_k: int = 100,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document out-of-vocabulary rate against the corpus's own
     top-``vocab_k`` token vocabulary — the standard gibberish /
@@ -243,15 +244,29 @@ def oov_stats(
     — and every verdict downstream of it — is identical on any
     cluster size. Reference analog: none — corpus-curation layer over
     the CDC targets.
+
+    ``vocab`` (a DataFrame whose first column is the token) serves the
+    head vocabulary from MAINTAINED state instead — pass
+    ``VocabIndexer.top_k(k).select("token")`` and the corpus-wide
+    token aggregation disappears from the plan (one scan instead of
+    two); with the default ``None`` the vocabulary is computed
+    in-query. Both paths cut by the same (count desc, token asc) total
+    order, so the verdicts are identical.
     """
     ex = df.select(id_col, F.explode(tokens(text_col)).alias("_tok"))
-    vocab = (
-        ex.groupBy("_tok")
-        .agg(F.count("*").alias("_c"))
-        .orderBy(F.col("_c").desc(), F.col("_tok").asc())
-        .limit(vocab_k)
-        .select("_tok", F.lit(True).alias("_in_vocab"))
-    )
+    if vocab is None:
+        vocab = (
+            ex.groupBy("_tok")
+            .agg(F.count("*").alias("_c"))
+            .orderBy(F.col("_c").desc(), F.col("_tok").asc())
+            .limit(vocab_k)
+            .select("_tok", F.lit(True).alias("_in_vocab"))
+        )
+    else:
+        first = vocab.columns[0]
+        vocab = vocab.select(
+            F.col(first).alias("_tok"), F.lit(True).alias("_in_vocab")
+        )
     per = ex.groupBy(id_col, "_tok").agg(F.count("*").alias("_c"))
     flagged = per.join(F.broadcast(vocab), "_tok", "left")
     oov = F.when(F.col("_in_vocab").isNull(), F.col("_c")).otherwise(F.lit(0))

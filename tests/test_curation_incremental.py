@@ -359,3 +359,27 @@ def test_vocab_cursor_expired_rebootstrap(spark, tmp_path):
     got = _vkey(ix.vocab.read().toPandas())
     want = _vkey(_batch_vocab(tbl.read()).toPandas())
     assert got == want
+
+
+def test_oov_served_from_maintained_vocab(spark, tmp_path):
+    """oov_stats(vocab=VocabIndexer.top_k(k)) equals the in-query
+    vocabulary path verdict-for-verdict — the maintained head vocab
+    cuts by the same total order."""
+    from delta_spark.functions.curation_incremental import VocabIndexer
+
+    src = _src(spark).limit(60)
+    tbl = _mk_docs(spark, tmp_path / "docs")
+    _commit(tbl, src, "INSERT", 1, "b1")
+    ix = VocabIndexer(spark, tbl, str(tmp_path / "vocab"))
+    ix.advance()
+
+    fresh = cur.oov_stats(tbl.read(), "doc_id", "text", vocab_k=20)
+    served = cur.oov_stats(
+        tbl.read(), "doc_id", "text",
+        vocab=ix.top_k(20).select("token"),
+    )
+    a = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_frac"])
+         for r in fresh.collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_frac"])
+         for r in served.collect()}
+    assert a == b
