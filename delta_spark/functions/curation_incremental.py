@@ -114,14 +114,20 @@ class VocabIndexer:
         spark: SparkSession,
         docs: LakeTable,
         root: str,
-        id_col: str = "doc_id",
+        id_col: str | tuple = "doc_id",
         text_col: str = "text",
         num_buckets: int = 16,
     ):
         self.spark = spark
         self.docs = docs
         self.root = root
-        self.id_col, self.text_col = id_col, text_col
+        # composite row identities are fine: the id only names a row
+        # for the document-frequency distinct (e.g. a transcripts table
+        # keyed (conv_id, turn_idx) counts df per TURN)
+        self.id_cols = (
+            (id_col,) if isinstance(id_col, str) else tuple(id_col)
+        )
+        self.text_col = text_col
         self.vocab_path = os.path.join(root, "vocab")
         self.cursor_path = os.path.join(root, "_cursor.json")
         if LakeTable.exists(self.vocab_path):
@@ -197,7 +203,9 @@ class VocabIndexer:
             )
             signed = ch.select(
                 F.concat_ws(
-                    "#", F.col(self.id_col).cast("string"), "_change_type"
+                    "#",
+                    *[F.col(c).cast("string") for c in self.id_cols],
+                    "_change_type",
                 ).alias("_rid"),
                 sgn.alias("sgn"),
                 self.text_col,
@@ -217,7 +225,9 @@ class VocabIndexer:
             )
             state0 = self.docs.read(snapshot_id=to_id)
             signed = state0.select(
-                F.col(self.id_col).cast("string").alias("_rid"),
+                F.concat_ws(
+                    "#", *[F.col(c).cast("string") for c in self.id_cols]
+                ).alias("_rid"),
                 F.lit(1).alias("sgn"),
                 self.text_col,
             )

@@ -119,6 +119,13 @@ class PipelineConfig:
     # the matview_dest one) advance through lake.materialized.advance_all,
     # which shares ONE pre-image change-feed scan across the set instead
     # of N identical scans per micro-batch
+    vocab_root: str | None = None          # maintain a VocabIndexer
+    # (functions/curation_incremental.py) in lockstep with the sink:
+    # per-token corpus counts + row frequency retraction-folded from
+    # each micro-batch's Delta-CDF pre-images — the head vocabulary
+    # oov_rate/tfidf serve from without a corpus scan
+    vocab_text_col: str = "text"
+    vocab_every: int = 1                   # advance every N micro-batches
     branch: str | None = None              # write-audit-publish: commit
     # every epoch to this branch (created at the table's current head on
     # first use) instead of main — an auditor validates read(branch=...)
@@ -285,6 +292,22 @@ class Pipeline:
                     )
                     for s in specs
                 ])
+            # continuous vocabulary maintenance: retraction-fold this
+            # micro-batch's pre-image change feed into the token stats
+            # — same placement rationale as the matview (before expiry)
+            if self.cfg.vocab_root and (
+                epoch_id % max(1, self.cfg.vocab_every) == 0
+            ):
+                from .functions.curation_incremental import VocabIndexer
+
+                base = main_view.refresh()
+                VocabIndexer(
+                    self.spark,
+                    base,
+                    self.cfg.vocab_root,
+                    id_col=tuple(base.key_cols),
+                    text_col=self.cfg.vocab_text_col,
+                ).advance()
             # periodic metadata maintenance: a per-micro-batch sink
             # accumulates snapshots without bound otherwise
             if (

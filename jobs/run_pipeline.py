@@ -80,6 +80,12 @@ def main() -> None:
                     help="with --branch: fast-forward main when the "
                     "audit passes (a failed audit leaves main untouched, "
                     "marks the pipeline FAILING, and exits 3)")
+    ap.add_argument("--vocab-root", default=None, metavar="ROOT",
+                    help="maintain a corpus vocabulary index (per-token "
+                    "count + row frequency, retraction-folded from each "
+                    "micro-batch's pre-image change feed) at ROOT — in "
+                    "stream modes per micro-batch, in batch mode as a "
+                    "catch-up after the run")
     ap.add_argument("--scrub-cols", default="", metavar="COLS",
                     help="comma-separated text columns to PII-scrub at "
                     "ingest (emails/phones/IPs/SSNs redacted by the "
@@ -148,6 +154,7 @@ def main() -> None:
             x for x in args.matview_group_cols.split(",") if x
         ),
         matview_sums=json.loads(args.matview_sums) if args.matview_sums else None,
+        vocab_root=args.vocab_root,
     )
     if args.stats_dir:
         from delta_spark.progress import attach_progress_logger
@@ -218,6 +225,21 @@ def main() -> None:
         ).advance()
         print(json.dumps({"matview": args.matview, "matview_epoch": epoch}))
 
+    def _vocab() -> None:
+        """Same contract as _matview: batch mode catches the vocabulary
+        up here; stream modes already folded it per micro-batch."""
+        if not args.vocab_root:
+            return
+        from delta_spark.functions.curation_incremental import VocabIndexer
+        from delta_spark.lake import LakeTable
+
+        t = LakeTable.load(spark, args.table)
+        adv = VocabIndexer(
+            spark, t, args.vocab_root, id_col=tuple(t.key_cols)
+        ).advance()
+        print(json.dumps({"vocab_root": args.vocab_root,
+                          "vocab_tokens_touched": adv.get("tokens_touched")}))
+
     if args.tag_before_run:
         from delta_spark.lake import LakeTable
 
@@ -246,6 +268,7 @@ def main() -> None:
         _audit_publish()
         _publish()
         _matview()
+        _vocab()
     elif args.mode == "stream":
         # in-engine supervised retry (reference RetryConfig semantics:
         # backoff 1->120 s, optional max duration, DeltaFailureException
@@ -261,6 +284,7 @@ def main() -> None:
         _audit_publish()
         _publish()
         _matview()
+        _vocab()
     else:  # stream-continuous: tail forever under the same supervisor
         from delta_spark.pipeline import RetryConfig, is_unretryable
 

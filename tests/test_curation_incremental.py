@@ -383,3 +383,45 @@ def test_oov_served_from_maintained_vocab(spark, tmp_path):
     b = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_frac"])
          for r in served.collect()}
     assert a == b
+
+
+def test_vocab_streaming_sink_hook(spark, tmp_path):
+    """cfg.vocab_root maintains the vocabulary in lockstep with the
+    streaming sink: after the stream drains, the vocab table equals
+    the batch GROUP BY token of the final transcript state (df counted
+    per turn — the table's composite key)."""
+    from delta_spark.changelog import ChangelogSpec, generate_and_write
+    from delta_spark.functions.text import tokens as _tokens
+    from delta_spark.pipeline import Pipeline, PipelineConfig
+
+    log = str(tmp_path / "log")
+    generate_and_write(log, ChangelogSpec(n_events=1200, n_convs=20, seed=9))
+    cfg = PipelineConfig(
+        changelog_path=log,
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        generation=1,
+        num_buckets=8,
+        max_files_per_trigger=1,  # several micro-batches
+        vocab_root=str(tmp_path / "vocab"),
+    )
+    Pipeline(spark, cfg).run_stream_to_completion()
+    t = LakeTable.load(spark, cfg.table_path)
+    got = _vkey(
+        LakeTable.load(spark, str(tmp_path / "vocab") + "/vocab")
+        .read().toPandas()
+    )
+    tok = t.read().filter(F.col("text").isNotNull()).select(
+        F.concat_ws("#", F.col("conv_id"),
+                    F.col("turn_idx").cast("string")).alias("_rid"),
+        F.explode(_tokens("text")).alias("token"),
+    )
+    want = _vkey(
+        tok.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.countDistinct("_rid").cast("long").alias("df_docs"),
+        )
+        .toPandas()
+    )
+    assert got == want and len(got) > 0

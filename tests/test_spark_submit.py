@@ -72,6 +72,7 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
             # redaction itself (that the chain bites) is hash-checked by
             # the scrubbed_replay_lww driver key and the ScrubPII unit
             "--scrub-cols", "text",
+            "--vocab-root", str(tmp_path / "vocab"),
         ],
         capture_output=True,
         text=True,
@@ -87,6 +88,8 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     ]
     stats = next(d for d in lines if "rows_in" in d)
     assert stats["upserts"] > 0
+    voc = next(d for d in lines if "vocab_tokens_touched" in d)
+    assert voc["vocab_tokens_touched"] > 0
     pub = next(d for d in lines if "published_iceberg_metadata" in d)
     assert os.path.exists(pub["published_iceberg_metadata"])
 
