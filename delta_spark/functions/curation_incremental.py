@@ -68,6 +68,30 @@ _STATUS_SCHEMA = T.StructType(
 )
 
 
+def _marker_cursor(meta: dict, writer_id: str) -> int | None:
+    """Last folded base-snapshot id derived from a derived-state
+    table's OWN exactly-once markers (every advance's batch-id ends
+    ``->{to}``; ``expire_snapshots`` folds markers into
+    ``applied_markers``). For ADDITIVE folds this is the only safe
+    advancing cursor: a side file committed after the merge leaves a
+    crash window in which new base commits change the next batch-id,
+    the marker no longer blocks, and the already-folded range is
+    folded again (the double-apply hole materialized.py:163-173
+    documents)."""
+    ids = [
+        int(s["summary"]["batch-id"].rsplit("->", 1)[1])
+        for s in meta["snapshots"]
+        if s["summary"].get("writer-id") == writer_id
+        and "->" in s["summary"].get("batch-id", "")
+    ]
+    ids += [
+        int(b.rsplit("->", 1)[1])
+        for b in meta.get("applied_markers", {}).get(writer_id, [])
+        if "->" in b
+    ]
+    return max(ids) if ids else None
+
+
 _VOCAB_SCHEMA = T.StructType(
     [
         T.StructField("token", T.StringType(), False),
@@ -91,10 +115,11 @@ class VocabIndexer:
     (+1/−1 per occurrence for the count, per distinct (doc, token) for
     the document frequency), then folded into the vocab lake table by
     one slim join (old + delta, delete at zero). Additive folds are not
-    idempotent, so exactness rides the engine's exactly-once markers:
-    a replayed epoch's merge is BLOCKED by its (writer-id, batch-id)
-    marker and cannot double-count — the same contract every other
-    writer uses.
+    idempotent, so the advancing cursor IS the merge's exactly-once
+    marker (one atomic write — never a side file, whose post-merge
+    crash window re-folds an already-applied range once new base
+    commits change the batch-id): a replayed epoch's merge is BLOCKED
+    by its (writer-id, batch-id) marker and cannot double-count.
 
     Per-epoch cost: O(changed docs × tokens) text work + one join
     against the vocab table's slim rows (at 10^10 docs the vocabulary
@@ -129,7 +154,6 @@ class VocabIndexer:
         )
         self.text_col = text_col
         self.vocab_path = os.path.join(root, "vocab")
-        self.cursor_path = os.path.join(root, "_cursor.json")
         if LakeTable.exists(self.vocab_path):
             self.vocab = LakeTable.load(spark, self.vocab_path)
         else:
@@ -140,19 +164,63 @@ class VocabIndexer:
                 key_cols=["token"],
                 num_buckets=num_buckets,
             )
+        self._write_definition()
+
+    def _write_definition(self) -> None:
+        """vocab.json sidecar: the same silent-mixing guard as
+        CurationIndexer — id_cols/text_col shape every stored count, so
+        reopening under different values is refused (delete the root to
+        rebootstrap); a docs_path change only warns (faithful copies
+        keep snapshot ids, true repoints hit the rebootstrap path)."""
+        import uuid as _uuid
+
+        p = os.path.join(self.root, "vocab.json")
+        body = {
+            "docs_path": os.path.abspath(self.docs.path),
+            "vocab_path": os.path.abspath(self.vocab_path),
+            "id_cols": list(self.id_cols),
+            "text_col": self.text_col,
+        }
+        try:
+            with open(p) as f:
+                prev = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            prev = None
+        if prev == body:
+            return
+        if prev is not None:
+            frozen = ("id_cols", "text_col")
+            diffs = {
+                k: (prev.get(k), body[k])
+                for k in frozen
+                if prev.get(k) != body[k]
+            }
+            if diffs:
+                raise ValueError(
+                    f"vocab index at {self.root} was built with "
+                    f"different contribution-shaping parameters {diffs}"
+                    " — stored counts would silently mix definitions. "
+                    "Delete the index root to rebootstrap, or reopen "
+                    "with the recorded parameters."
+                )
+            if prev.get("docs_path") != body["docs_path"]:
+                import logging
+
+                logging.getLogger("delta_spark.curation").warning(
+                    "vocab index %s re-pointed %s -> %s",
+                    self.root, prev.get("docs_path"), body["docs_path"],
+                )
+        os.makedirs(self.root, exist_ok=True)
+        tmp = f"{p}.{_uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(body, f, sort_keys=True)
+        os.replace(tmp, p)
 
     def _cursor(self) -> int | None:
-        try:
-            with open(self.cursor_path) as f:
-                return json.load(f)["last_snapshot"]
-        except FileNotFoundError:
-            return None
-
-    def _commit_cursor(self, snap_id: int) -> None:
-        tmp = self.cursor_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"last_snapshot": snap_id}, f)
-        os.replace(tmp, self.cursor_path)
+        """Marker-derived, never a side file: the additive fold is not
+        idempotent, so the cursor and the exactly-once marker must be
+        ONE write (the merge's own commit) — see _marker_cursor."""
+        return _marker_cursor(self.vocab.refresh().metadata, "vocab-index")
 
     def _signed_deltas(self, signed: DataFrame) -> DataFrame:
         """(token, d_count, d_df) from rows of (sgn, text): +1 rows add
@@ -182,7 +250,15 @@ class VocabIndexer:
             .filter((F.col("d_count") != 0) | (F.col("d_df") != 0))
         )
 
-    def advance(self, to_snapshot_id: int | None = None) -> dict:
+    def advance(
+        self,
+        to_snapshot_id: int | None = None,
+        changes: DataFrame | None = None,
+    ) -> dict:
+        """``changes`` lets a caller that already scanned the pre-image
+        feed for this exact (cursor, to] range share it (the matview
+        ``advance_all`` pattern) instead of a second identical scan —
+        the caller owns the range-match responsibility."""
         cur = self.docs.current_snapshot
         to_id = cur["id"] if to_snapshot_id is None and cur else to_snapshot_id
         frm = self._cursor()
@@ -190,7 +266,13 @@ class VocabIndexer:
             return {"tokens_touched": 0, "to": to_id}
 
         try:
-            ch = self.docs.read_changes(frm, to_id, include_pre_images=True)
+            ch = (
+                changes
+                if changes is not None
+                else self.docs.read_changes(
+                    frm, to_id, include_pre_images=True
+                )
+            )
             sgn = (
                 F.when(
                     F.col("_change_type").isin("insert", "update_post"),
@@ -272,13 +354,18 @@ class VocabIndexer:
             .alias("op"),
             F.lit(to_id).cast("long").alias("seq"),
         )
+        # the merge's marker IS the cursor (one atomic write): there is
+        # deliberately NO side cursor file to move afterwards — the
+        # crash window between two writes is the double-apply hole.
+        # A fold that nets to zero rows commits no snapshot, so the
+        # cursor conservatively stays put and the next advance re-reads
+        # a cheap empty range instead of risking a skipped one.
         stats = self.vocab.merge(
             batch,
             writer_id="vocab-index",
             batch_id=f"{frm}->{to_id}",
             mode="auto",
         ) or {}
-        self._commit_cursor(to_id)
         return {
             "tokens_touched": (stats.get("upserts", 0) or 0)
             + (stats.get("deletes", 0) or 0),
@@ -304,20 +391,7 @@ def cursor_from_status_metadata(status_meta: dict) -> int | None:
     uses this Spark-free — the markers, not the side cursor file, are
     the crash-consistent truth (the file moves last and only drives
     the next advance's starting point)."""
-    ids = [
-        int(s["summary"]["batch-id"].rsplit("->", 1)[1])
-        for s in status_meta["snapshots"]
-        if s["summary"].get("writer-id") == "curation-index"
-        and "->" in s["summary"].get("batch-id", "")
-    ]
-    ids += [
-        int(b.rsplit("->", 1)[1])
-        for b in status_meta.get("applied_markers", {}).get(
-            "curation-index", []
-        )
-        if "->" in b
-    ]
-    return max(ids) if ids else None
+    return _marker_cursor(status_meta, "curation-index")
 
 
 class CurationIndexer:

@@ -126,6 +126,9 @@ class PipelineConfig:
     # oov_rate/tfidf serve from without a corpus scan
     vocab_text_col: str = "text"
     vocab_every: int = 1                   # advance every N micro-batches
+    # (like publish_every: must stay well under expire_every or the
+    # vocab cursor's snapshot expires and every advance degrades to an
+    # O(corpus) rebootstrap)
     branch: str | None = None              # write-audit-publish: commit
     # every epoch to this branch (created at the table's current head on
     # first use) instead of main — an auditor validates read(branch=...)

@@ -315,11 +315,10 @@ def test_vocab_fold_equals_batch(spark, tmp_path):
 
     # replay safety: additive folds are not idempotent, so the marker
     # must block a replayed epoch (crash between merge and cursor)
-    with open(ix.cursor_path) as f:
-        snaps = [s["id"] for s in tbl.metadata["snapshots"]]
-    with open(ix.cursor_path, "w") as f:
-        json.dump({"last_snapshot": snaps[-2]}, f)
-    ix.advance()  # re-fold of the last epoch: must NOT double-count
+    # re-fold the last epoch explicitly (as a crashed run that lost no
+    # marker would): the merge marker must block the double-count
+    snaps = [s["id"] for s in tbl.metadata["snapshots"]]
+    ix.advance(to_snapshot_id=snaps[-1])
     check()
 
     # head vocabulary served from maintained state, same total order
