@@ -451,6 +451,61 @@ class DiagnosticsService:
             ),
         }
 
+    @staticmethod
+    def _vocab_status(root: str) -> dict:
+        """Inspect an incremental vocabulary index from on-disk
+        metadata only: the ``vocab.json`` sidecar names the docs table,
+        the cursor IS the vocab table's last merge marker (there is no
+        side file by design — additive folds make the marker the only
+        safe cursor), and the lag/expiry walk answers the same operator
+        questions as ``/v1/curation``. One honest asymmetry: a docs
+        commit whose fold nets to zero token deltas (compaction, a
+        row-neutral replay) commits no marker, so ``lag_commits`` may
+        overcount past such commits until the next non-empty fold —
+        the conservative direction (stale-looking, never wrong-counts).
+        """
+        from .functions.curation_incremental import _marker_cursor
+        from .lake.interop import resolve_snapshot
+
+        with open(os.path.join(root, "vocab.json")) as f:
+            defn = json.load(f)
+        vmeta = _load_table_meta(defn["vocab_path"])
+        cursor = _marker_cursor(vmeta, "vocab-index")
+        dmeta = _load_table_meta(defn["docs_path"])
+        head = dmeta["current_snapshot_id"]
+        docs_ids = {s["id"] for s in dmeta["snapshots"]}
+        by_id = {s["id"]: s for s in dmeta["snapshots"]}
+        lag, cur = 0, head
+        while cur is not None and cur != cursor and cur in by_id:
+            lag += 1
+            cur = by_id[cur].get("parent")
+        if cursor is not None and cur != cursor:
+            lag = len(docs_ids)
+        snap = resolve_snapshot(vmeta, defn["vocab_path"])
+        files = snap["files"] if snap else []
+        return {
+            "docs_path": defn["docs_path"],
+            "vocab_path": defn["vocab_path"],
+            "id_cols": defn["id_cols"],
+            "text_col": defn["text_col"],
+            "cursor": cursor,
+            "docs_head": head,
+            "in_sync": cursor == head,
+            "lag_commits": lag,
+            "cursor_expired": (
+                cursor is not None
+                and cursor != head
+                and cursor not in docs_ids
+            ),
+            "vocab_snapshots": len(vmeta["snapshots"]),
+            "vocab_base_rows": sum(
+                f["rows"] or 0 for f in files if f.get("kind") != "delta"
+            ),
+            "vocab_delta_rows": sum(
+                f["rows"] or 0 for f in files if f.get("kind") == "delta"
+            ),
+        }
+
     def _assess_one(self, body: dict) -> dict:
         schema = _schema_from_fields(body["fields"])
         target = None
@@ -500,6 +555,8 @@ class DiagnosticsService:
                     return 200, self._matview_status(q["root"])
                 if parts == ["v1", "curation"]:
                     return 200, self._curation_status(q["root"])
+                if parts == ["v1", "vocab"]:
+                    return 200, self._vocab_status(q["root"])
                 if parts == ["v1", "tables"]:
                     return 200, {"tables": sorted(self._table_paths())}
                 if len(parts) >= 3 and parts[:2] == ["v1", "tables"]:

@@ -424,3 +424,42 @@ def test_vocab_streaming_sink_hook(spark, tmp_path):
         .toPandas()
     )
     assert got == want and len(got) > 0
+
+
+def test_vocab_status_endpoint(spark, tmp_path):
+    """GET /v1/vocab?root=… reports the marker-derived cursor, lag vs
+    the docs head, and vocab size from on-disk metadata alone."""
+    import urllib.parse
+    import urllib.request
+
+    from delta_spark.functions.curation_incremental import VocabIndexer
+    from delta_spark.service import DiagnosticsService
+
+    src = _src(spark).limit(30)
+    tbl = _mk_docs(spark, tmp_path / "docs")
+    _commit(tbl, src, "INSERT", 1, "b1")
+    ix = VocabIndexer(spark, tbl, str(tmp_path / "vocab"))
+    ix.advance()
+    svc = DiagnosticsService(tables={"docs": tbl.path})
+    _, port = svc.start()
+    try:
+        url = (f"http://127.0.0.1:{port}/v1/vocab?root="
+               + urllib.parse.quote(ix.root))
+        with urllib.request.urlopen(url) as r:
+            body = json.loads(r.read())
+        assert body["in_sync"] and body["lag_commits"] == 0
+        assert body["cursor"] == tbl.current_snapshot["id"]
+        assert body["id_cols"] == ["doc_id"]
+        assert body["vocab_base_rows"] + body["vocab_delta_rows"] > 0
+
+        _commit(
+            tbl,
+            spark.createDataFrame([(40_001, "late words arrive")],
+                                  DOCS_SCHEMA),
+            "INSERT", 2, "b2",
+        )
+        with urllib.request.urlopen(url) as r:
+            body = json.loads(r.read())
+        assert not body["in_sync"] and body["lag_commits"] == 1
+    finally:
+        svc.stop()
