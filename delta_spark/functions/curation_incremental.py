@@ -57,15 +57,16 @@ from ..lake import LakeTable
 from .curation import repetition_stats, split_assign
 from .text import fingerprint, md5_long, pii_scrub, token_count
 
-_STATUS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("fingerprint", T.StringType(), True),
-        T.StructField("keep", T.BooleanType(), True),
-        T.StructField("split", T.StringType(), True),
-        T.StructField("pack_tokens", T.LongType(), True),
-    ]
-)
+def _status_schema(id_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("doc_id", id_type, False),
+            T.StructField("fingerprint", T.StringType(), True),
+            T.StructField("keep", T.BooleanType(), True),
+            T.StructField("split", T.StringType(), True),
+            T.StructField("pack_tokens", T.LongType(), True),
+        ]
+    )
 
 
 def _marker_cursor(meta: dict, writer_id: str) -> int | None:
@@ -404,7 +405,7 @@ class CurationIndexer:
         spark: SparkSession,
         docs: LakeTable,
         root: str,
-        id_col: str = "doc_id",
+        id_col: str | tuple = "doc_id",
         text_col: str = "text",
         top_cap: float = 0.25,
         budget: int = 512,
@@ -414,7 +415,18 @@ class CurationIndexer:
         self.spark = spark
         self.docs = docs
         self.root = root
-        self.id_col, self.text_col = id_col, text_col
+        # a plain string id_col keeps the original bigint row identity;
+        # a TUPLE (any length — e.g. the transcripts key
+        # ("conv_id", "turn_idx")) synthesizes a STRING identity
+        # concat_ws('#', ...) so composite-keyed tables curate directly.
+        # The batch-equality target is then curate_corpus over the
+        # corpus with the same synthesized column.
+        self.id_col = id_col
+        self.id_cols = (
+            (id_col,) if isinstance(id_col, str) else tuple(id_col)
+        )
+        self._composite = not isinstance(id_col, str)
+        self.text_col = text_col
         self.top_cap, self.budget, self.n_shards = top_cap, budget, n_shards
         self.status_path = os.path.join(root, "status")
         self.cursor_path = os.path.join(root, "_cursor.json")
@@ -424,11 +436,23 @@ class CurationIndexer:
             self.status = LakeTable.create(
                 spark,
                 self.status_path,
-                _STATUS_SCHEMA,
+                _status_schema(
+                    T.StringType() if self._composite else T.LongType()
+                ),
                 key_cols=["doc_id"],
                 num_buckets=num_buckets,
             )
         self._write_definition()
+
+    def _id_expr(self):
+        """The status row identity over docs columns: the raw bigint id
+        (legacy single-key mode) or the '#'-joined string of the key
+        columns (composite mode)."""
+        if self._composite:
+            return F.concat_ws(
+                "#", *[F.col(c).cast("string") for c in self.id_cols]
+            )
+        return F.col(self.id_cols[0]).cast("long")
 
     def _write_definition(self) -> None:
         """Self-describing index: a ``curation.json`` sidecar records
@@ -452,7 +476,11 @@ class CurationIndexer:
         body = {
             "docs_path": os.path.abspath(self.docs.path),
             "status_path": os.path.abspath(self.status_path),
-            "id_col": self.id_col,
+            "id_col": (
+                self.id_col
+                if isinstance(self.id_col, str)
+                else list(self.id_col)
+            ),
             "text_col": self.text_col,
             "top_cap": self.top_cap,
             "budget": self.budget,
@@ -519,7 +547,7 @@ class CurationIndexer:
         keyed by doc id, O(input docs). NULL text (emptied by an
         update) gates to keep=false and packs to 0 tokens."""
         clean = docs_df.select(
-            F.col(self.id_col).cast("long").alias("doc_id"),
+            self._id_expr().alias("doc_id"),
             pii_scrub(self.text_col).alias("_t"),
         )
         rowwise = clean.select(
@@ -561,9 +589,9 @@ class CurationIndexer:
             ch = self.docs.read_changes(frm, to_id)
             changed = ch.filter(
                 F.col("_change_type").isin("insert", "update")
-            ).select(self.id_col, self.text_col)
+            ).select(*self.id_cols, self.text_col)
             deleted = ch.filter(F.col("_change_type") == "delete").select(
-                F.col(self.id_col).cast("long").alias("doc_id")
+                self._id_expr().alias("doc_id")
             )
         except ValueError:
             # cursor snapshot EXPIRED (docs-table retention ran ahead of
@@ -580,14 +608,12 @@ class CurationIndexer:
                 frm, self.docs.path,
             )
             state0 = self.docs.read(snapshot_id=to_id)
-            changed = state0.select(self.id_col, self.text_col)
+            changed = state0.select(*self.id_cols, self.text_col)
             deleted = (
                 self.status.read()
                 .select("doc_id")
                 .join(
-                    changed.select(
-                        F.col(self.id_col).cast("long").alias("doc_id")
-                    ),
+                    changed.select(self._id_expr().alias("doc_id")),
                     "doc_id",
                     "left_anti",
                 )
@@ -627,6 +653,7 @@ class CurationIndexer:
         shadowed), then the train filter, then greedy boundary packing
         in id order within md5 shards. No text is read; the pass is
         O(live docs) over ~40-byte rows."""
+        out_id = self.id_col if isinstance(self.id_col, str) else "doc_id"
         st = self.status.read()
         kept = st.filter(F.col("keep") & F.col("fingerprint").isNotNull())
         wf = Window.partitionBy("fingerprint")
@@ -639,14 +666,14 @@ class CurationIndexer:
             md5_long(F.col("doc_id").cast("string")), F.lit(self.n_shards)
         )
         base = train.select(
-            F.col("doc_id").alias(self.id_col),
+            F.col("doc_id").alias(out_id),
             F.col("pack_tokens").alias("n_tokens"),
             shard.alias("shard"),
         )
-        w = Window.partitionBy("shard").orderBy(self.id_col)
+        w = Window.partitionBy("shard").orderBy(out_id)
         off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
             "bin_start"
         )
-        return base.select(self.id_col, "n_tokens", "shard", off).withColumn(
+        return base.select(out_id, "n_tokens", "shard", off).withColumn(
             "bin", F.floor(F.col("bin_start") / F.lit(self.budget))
         )

@@ -119,6 +119,18 @@ class PipelineConfig:
     # the matview_dest one) advance through lake.materialized.advance_all,
     # which shares ONE pre-image change-feed scan across the set instead
     # of N identical scans per micro-batch
+    curation_root: str | None = None       # maintain a CurationIndexer
+    # (functions/curation_incremental.py) in lockstep with the sink:
+    # per-turn curation verdicts (scrub fingerprint, quality gate,
+    # split, pack weight) re-computed for each micro-batch's changed
+    # keys only — curated_layout() then derives the packed training
+    # layout from slim status rows whenever a consumer asks
+    curation_text_col: str = "text"
+    curation_top_cap: float = 0.5          # dialogue-shaped rows repeat
+    # their role/markers by construction; the prose cap (0.25) would
+    # reject them — see curation.repetition_stats
+    curation_every: int = 1                # advance every N micro-batches
+    # (keep well under expire_every, same constraint as publish_every)
     vocab_root: str | None = None          # maintain a VocabIndexer
     # (functions/curation_incremental.py) in lockstep with the sink:
     # per-token corpus counts + row frequency retraction-folded from
@@ -295,6 +307,24 @@ class Pipeline:
                     )
                     for s in specs
                 ])
+            # continuous curation maintenance: re-scrub/gate ONLY this
+            # micro-batch's changed keys into the status table (the
+            # composite-key mode synthesizes the row identity from the
+            # table's own key columns)
+            if self.cfg.curation_root and (
+                epoch_id % max(1, self.cfg.curation_every) == 0
+            ):
+                from .functions.curation_incremental import CurationIndexer
+
+                base = main_view.refresh()
+                CurationIndexer(
+                    self.spark,
+                    base,
+                    self.cfg.curation_root,
+                    id_col=tuple(base.key_cols),
+                    text_col=self.cfg.curation_text_col,
+                    top_cap=self.cfg.curation_top_cap,
+                ).advance()
             # continuous vocabulary maintenance: retraction-fold this
             # micro-batch's pre-image change feed into the token stats
             # — same placement rationale as the matview (before expiry)

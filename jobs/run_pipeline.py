@@ -80,6 +80,16 @@ def main() -> None:
                     help="with --branch: fast-forward main when the "
                     "audit passes (a failed audit leaves main untouched, "
                     "marks the pipeline FAILING, and exits 3)")
+    ap.add_argument("--curation-root", default=None, metavar="ROOT",
+                    help="maintain turn-level curation verdicts (scrub "
+                    "fingerprint, quality gate, split, pack weight) at "
+                    "ROOT in lockstep with the sink — per micro-batch in "
+                    "stream modes, batch catch-up otherwise; the packed "
+                    "training layout derives from the status rows")
+    ap.add_argument("--curation-top-cap", type=float, default=0.5,
+                    help="quality-gate top-token cap for the curation "
+                    "index (0.5 default: dialogue rows repeat role "
+                    "markers by construction)")
     ap.add_argument("--vocab-root", default=None, metavar="ROOT",
                     help="maintain a corpus vocabulary index (per-token "
                     "count + row frequency, retraction-folded from each "
@@ -155,6 +165,8 @@ def main() -> None:
         ),
         matview_sums=json.loads(args.matview_sums) if args.matview_sums else None,
         vocab_root=args.vocab_root,
+        curation_root=args.curation_root,
+        curation_top_cap=args.curation_top_cap,
     )
     if args.stats_dir:
         from delta_spark.progress import attach_progress_logger
@@ -225,6 +237,25 @@ def main() -> None:
         ).advance()
         print(json.dumps({"matview": args.matview, "matview_epoch": epoch}))
 
+    def _curation() -> None:
+        """Batch-mode catch-up for --curation-root (stream modes fold
+        per micro-batch)."""
+        if not args.curation_root:
+            return
+        from delta_spark.functions.curation_incremental import (
+            CurationIndexer,
+        )
+        from delta_spark.lake import LakeTable
+
+        t = LakeTable.load(spark, args.table)
+        adv = CurationIndexer(
+            spark, t, args.curation_root,
+            id_col=tuple(t.key_cols), top_cap=args.curation_top_cap,
+        ).advance()
+        print(json.dumps({"curation_root": args.curation_root,
+                          "curation_processed": adv.get("processed"),
+                          "curation_deleted": adv.get("deleted")}))
+
     def _vocab() -> None:
         """Same contract as _matview: batch mode catches the vocabulary
         up here; stream modes already folded it per micro-batch."""
@@ -269,6 +300,7 @@ def main() -> None:
         _publish()
         _matview()
         _vocab()
+        _curation()
     elif args.mode == "stream":
         # in-engine supervised retry (reference RetryConfig semantics:
         # backoff 1->120 s, optional max duration, DeltaFailureException
@@ -285,6 +317,7 @@ def main() -> None:
         _publish()
         _matview()
         _vocab()
+        _curation()
     else:  # stream-continuous: tail forever under the same supervisor
         from delta_spark.pipeline import RetryConfig, is_unretryable
 

@@ -463,3 +463,103 @@ def test_vocab_status_endpoint(spark, tmp_path):
         assert not body["in_sync"] and body["lag_commits"] == 1
     finally:
         svc.stop()
+
+
+def test_composite_key_curation_over_transcripts(spark, tmp_path):
+    """CurationIndexer over a composite-keyed table (the transcripts
+    shape, key (conv_id, turn_idx)): the layout equals batch
+    curate_corpus over the final state with the same synthesized
+    string identity — turn-level curation directly on the CDC target."""
+    import datetime
+
+    from delta_spark.functions.curation_incremental import CurationIndexer
+    from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8,
+    )
+    ix = CurationIndexer(
+        spark, tbl, str(tmp_path / "cur"),
+        id_col=("conv_id", "turn_idx"), top_cap=0.5,
+    )
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp, op string, seq long")
+    ts = datetime.datetime(2026, 1, 1)
+    body = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima")
+    rows1 = [
+        (f"c{i}", j, "user", f"{body} c{i} t{j}", "", ts, "UPDATE",
+         i * 10 + j)
+        for i in range(6) for j in range(3)
+    ]
+    tbl.merge(spark.createDataFrame(rows1, ddl), "w", "b1")
+    ix.advance()
+    # revise one turn, delete another, add a gate-failing short turn
+    rows2 = [
+        ("c1", 1, "user", f"{body} revised tail", "", ts, "UPDATE", 900),
+        ("c2", 2, "user", None, "", ts, "DELETE", 901),
+        ("c9", 0, "user", "hi", "", ts, "UPDATE", 902),
+    ]
+    tbl.merge(spark.createDataFrame(rows2, ddl), "w", "b2")
+    ix.advance()
+
+    synth = F.concat_ws(
+        "#", F.col("conv_id").cast("string"),
+        F.col("turn_idx").cast("string"),
+    )
+    batch = cur.curate_corpus(
+        tbl.read().select(synth.alias("doc_id"), "text"),
+        "doc_id", "text", budget=512, n_shards=8, top_cap=0.5,
+    ).toPandas()
+    inc = ix.curated_layout().toPandas()
+    key = lambda p: {
+        (r["doc_id"], int(r["n_tokens"]), int(r["shard"]),
+         int(r["bin_start"]), int(r["bin"])) for _, r in p.iterrows()
+    }
+    assert key(inc) == key(batch) and len(inc) > 0
+    # the short turn failed the gate; the deleted turn is gone
+    ids = set(inc["doc_id"])
+    assert "c9#0" not in ids and "c2#2" not in ids
+
+
+def test_curation_streaming_sink_hook(spark, tmp_path):
+    """cfg.curation_root maintains turn-level curation verdicts in
+    lockstep with the streaming sink: after the stream drains, the
+    derived layout equals batch curate_corpus over the final transcript
+    state under the synthesized (conv_id#turn_idx) identity."""
+    from delta_spark.changelog import ChangelogSpec, generate_and_write
+    from delta_spark.functions.curation_incremental import CurationIndexer
+    from delta_spark.pipeline import Pipeline, PipelineConfig
+
+    log = str(tmp_path / "log")
+    generate_and_write(log, ChangelogSpec(n_events=1200, n_convs=20, seed=3))
+    cfg = PipelineConfig(
+        changelog_path=log,
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        generation=1,
+        num_buckets=8,
+        max_files_per_trigger=1,
+        curation_root=str(tmp_path / "cur"),
+    )
+    Pipeline(spark, cfg).run_stream_to_completion()
+    t = LakeTable.load(spark, cfg.table_path)
+    ix = CurationIndexer(
+        spark, t, cfg.curation_root,
+        id_col=("conv_id", "turn_idx"), top_cap=0.5,
+    )
+    synth = F.concat_ws(
+        "#", F.col("conv_id").cast("string"),
+        F.col("turn_idx").cast("string"),
+    )
+    batch = cur.curate_corpus(
+        t.read().select(synth.alias("doc_id"), "text"),
+        "doc_id", "text", budget=512, n_shards=8, top_cap=0.5,
+    ).toPandas()
+    inc = ix.curated_layout().toPandas()
+    key = lambda p: {
+        (r["doc_id"], int(r["n_tokens"]), int(r["shard"]),
+         int(r["bin_start"]), int(r["bin"])) for _, r in p.iterrows()
+    }
+    assert key(inc) == key(batch) and len(inc) > 0

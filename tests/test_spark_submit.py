@@ -73,6 +73,7 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
             # the scrubbed_replay_lww driver key and the ScrubPII unit
             "--scrub-cols", "text",
             "--vocab-root", str(tmp_path / "vocab"),
+            "--curation-root", str(tmp_path / "cur"),
         ],
         capture_output=True,
         text=True,
@@ -90,6 +91,8 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     assert stats["upserts"] > 0
     voc = next(d for d in lines if "vocab_tokens_touched" in d)
     assert voc["vocab_tokens_touched"] > 0
+    curd = next(d for d in lines if "curation_processed" in d)
+    assert curd["curation_processed"] > 0
     pub = next(d for d in lines if "published_iceberg_metadata" in d)
     assert os.path.exists(pub["published_iceberg_metadata"])
 
