@@ -69,6 +69,14 @@ def _status_schema(id_type: T.DataType) -> T.StructType:
     )
 
 
+# Composite row identities join key columns with the ASCII unit
+# separator: a printable '#' would make ('a#b','c') and ('a','b#c')
+# collide into one identity; \x1f in real key values is implausible
+# and documented. Batch-equality callers must synthesize ids with the
+# same constant.
+ID_SEP = "\x1f"
+
+
 def _marker_cursor(meta: dict, writer_id: str) -> int | None:
     """Last folded base-snapshot id derived from a derived-state
     table's OWN exactly-once markers (every advance's batch-id ends
@@ -176,11 +184,14 @@ class VocabIndexer:
         import uuid as _uuid
 
         p = os.path.join(self.root, "vocab.json")
+        by_name = {f["name"]: f["id"] for f in self.docs.fields}
         body = {
             "docs_path": os.path.abspath(self.docs.path),
             "vocab_path": os.path.abspath(self.vocab_path),
             "id_cols": list(self.id_cols),
+            "id_field_ids": [by_name.get(c) for c in self.id_cols],
             "text_col": self.text_col,
+            "text_field_id": by_name.get(self.text_col),
         }
         try:
             with open(p) as f:
@@ -190,7 +201,17 @@ class VocabIndexer:
         if prev == body:
             return
         if prev is not None:
-            frozen = ("id_cols", "text_col")
+            ids_known = (
+                prev.get("id_field_ids")
+                and prev.get("text_field_id") is not None
+                and all(i is not None for i in body["id_field_ids"])
+                and body["text_field_id"] is not None
+            )
+            frozen = (
+                ("id_field_ids", "text_field_id")
+                if ids_known
+                else ("id_cols", "text_col")
+            )
             diffs = {
                 k: (prev.get(k), body[k])
                 for k in frozen
@@ -286,7 +307,7 @@ class VocabIndexer:
             )
             signed = ch.select(
                 F.concat_ws(
-                    "#",
+                    ID_SEP,
                     *[F.col(c).cast("string") for c in self.id_cols],
                     "_change_type",
                 ).alias("_rid"),
@@ -309,7 +330,8 @@ class VocabIndexer:
             state0 = self.docs.read(snapshot_id=to_id)
             signed = state0.select(
                 F.concat_ws(
-                    "#", *[F.col(c).cast("string") for c in self.id_cols]
+                    ID_SEP,
+                    *[F.col(c).cast("string") for c in self.id_cols],
                 ).alias("_rid"),
                 F.lit(1).alias("sgn"),
                 self.text_col,
@@ -418,9 +440,20 @@ class CurationIndexer:
         # a plain string id_col keeps the original bigint row identity;
         # a TUPLE (any length — e.g. the transcripts key
         # ("conv_id", "turn_idx")) synthesizes a STRING identity
-        # concat_ws('#', ...) so composite-keyed tables curate directly.
-        # The batch-equality target is then curate_corpus over the
-        # corpus with the same synthesized column.
+        # concat_ws(ID_SEP, ...) so composite-keyed tables curate
+        # directly. The batch-equality target is then curate_corpus
+        # over the corpus with the same synthesized column. A 1-tuple
+        # naming a bigint column NORMALIZES to the plain bigint mode,
+        # so hooks that always pass tuple(key_cols) and jobs that pass
+        # the default string agree on one definition per index.
+        if not isinstance(id_col, str) and len(tuple(id_col)) == 1:
+            only = tuple(id_col)[0]
+            ftype = next(
+                (f["type"] for f in docs.fields if f["name"] == only),
+                None,
+            )
+            if ftype == "bigint":
+                id_col = only
         self.id_col = id_col
         self.id_cols = (
             (id_col,) if isinstance(id_col, str) else tuple(id_col)
@@ -450,7 +483,7 @@ class CurationIndexer:
         columns (composite mode)."""
         if self._composite:
             return F.concat_ws(
-                "#", *[F.col(c).cast("string") for c in self.id_cols]
+                ID_SEP, *[F.col(c).cast("string") for c in self.id_cols]
             )
         return F.col(self.id_cols[0]).cast("long")
 
@@ -473,6 +506,7 @@ class CurationIndexer:
         import uuid as _uuid
 
         p = os.path.join(self.root, "curation.json")
+        by_name = {f["name"]: f["id"] for f in self.docs.fields}
         body = {
             "docs_path": os.path.abspath(self.docs.path),
             "status_path": os.path.abspath(self.status_path),
@@ -481,7 +515,13 @@ class CurationIndexer:
                 if isinstance(self.id_col, str)
                 else list(self.id_col)
             ),
+            # field IDS are the rename-proof identity of the frozen
+            # columns: a legal key/text rename changes the NAMES but
+            # not what shaped the stored verdicts, so the freeze check
+            # compares ids when both sides have them
+            "id_field_ids": [by_name.get(c) for c in self.id_cols],
             "text_col": self.text_col,
+            "text_field_id": by_name.get(self.text_col),
             "top_cap": self.top_cap,
             "budget": self.budget,
             "n_shards": self.n_shards,
@@ -494,7 +534,16 @@ class CurationIndexer:
         if prev == body:
             return
         if prev is not None:
-            frozen = ("id_col", "text_col", "top_cap")
+            ids_known = (
+                prev.get("id_field_ids")
+                and prev.get("text_field_id") is not None
+                and all(i is not None for i in body["id_field_ids"])
+                and body["text_field_id"] is not None
+            )
+            if ids_known:
+                frozen = ("id_field_ids", "text_field_id", "top_cap")
+            else:  # legacy sidecar without ids: compare by name
+                frozen = ("id_col", "text_col", "top_cap")
             diffs = {
                 k: (prev.get(k), body[k])
                 for k in frozen
@@ -574,11 +623,18 @@ class CurationIndexer:
 
     # ------------------------------------------------------ advance
 
-    def advance(self, to_snapshot_id: int | None = None) -> dict:
+    def advance(
+        self,
+        to_snapshot_id: int | None = None,
+        changes: DataFrame | None = None,
+    ) -> dict:
         """Fold the docs-table commits in (cursor, to] into the status
         table. Crash-safe: the status merge is idempotent by
         (writer-id, batch-id) and the cursor moves LAST — a replay
-        lands on the same rows and the same markers."""
+        lands on the same rows and the same markers. ``changes`` lets a
+        caller share an already-scanned PLAIN-mode change feed for this
+        exact range (the advance_all pattern; the caller owns the
+        range-match responsibility)."""
         cur = self.docs.current_snapshot
         to_id = cur["id"] if to_snapshot_id is None and cur else to_snapshot_id
         frm = self._cursor()
@@ -586,7 +642,11 @@ class CurationIndexer:
             return {"processed": 0, "deleted": 0, "to": to_id}
 
         try:
-            ch = self.docs.read_changes(frm, to_id)
+            ch = (
+                changes
+                if changes is not None
+                else self.docs.read_changes(frm, to_id)
+            )
             changed = ch.filter(
                 F.col("_change_type").isin("insert", "update")
             ).select(*self.id_cols, self.text_col)

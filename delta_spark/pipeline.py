@@ -129,6 +129,8 @@ class PipelineConfig:
     curation_top_cap: float = 0.5          # dialogue-shaped rows repeat
     # their role/markers by construction; the prose cap (0.25) would
     # reject them — see curation.repetition_stats
+    curation_budget: int = 512             # layout token budget
+    curation_n_shards: int = 8             # layout shard count
     curation_every: int = 1                # advance every N micro-batches
     # (keep well under expire_every, same constraint as publish_every)
     vocab_root: str | None = None          # maintain a VocabIndexer
@@ -219,6 +221,29 @@ class Pipeline:
         return st
 
     # ---------------------------------------------------- streaming
+
+    def _index_hygiene(self, root: str, table_dir: str) -> None:
+        """A stream-maintained derived-state table (curation status,
+        vocab) is a lake table like any other: without this, a
+        per-micro-batch sink accumulates its snapshots and MoR delta
+        files without bound. Applies the MAIN table's own policy
+        (compact_pressure / expire_every / expire_keep_last); expiry
+        folds exactly-once markers into applied_markers, so marker-
+        derived cursors survive it."""
+        path = os.path.join(root, table_dir)
+        if not LakeTable.exists(path):
+            return
+        t = LakeTable.load(self.spark, path)
+        if (
+            self.cfg.compact_pressure
+            and t.delta_file_pressure() >= self.cfg.compact_pressure
+        ):
+            t.compact(max_files_per_bucket=1)
+        if (
+            self.cfg.expire_every
+            and len(t.metadata["snapshots"]) > self.cfg.expire_every
+        ):
+            t.expire_snapshots(keep_last=self.cfg.expire_keep_last)
 
     def _foreach_batch(self, table: LakeTable):
         name = self.cfg.pipeline_name
@@ -324,7 +349,10 @@ class Pipeline:
                     id_col=tuple(base.key_cols),
                     text_col=self.cfg.curation_text_col,
                     top_cap=self.cfg.curation_top_cap,
+                    budget=self.cfg.curation_budget,
+                    n_shards=self.cfg.curation_n_shards,
                 ).advance()
+                self._index_hygiene(self.cfg.curation_root, "status")
             # continuous vocabulary maintenance: retraction-fold this
             # micro-batch's pre-image change feed into the token stats
             # — same placement rationale as the matview (before expiry)
@@ -341,6 +369,7 @@ class Pipeline:
                     id_col=tuple(base.key_cols),
                     text_col=self.cfg.vocab_text_col,
                 ).advance()
+                self._index_hygiene(self.cfg.vocab_root, "vocab")
             # periodic metadata maintenance: a per-micro-batch sink
             # accumulates snapshots without bound otherwise
             if (

@@ -338,6 +338,33 @@ class DiagnosticsService:
         }
 
     @staticmethod
+    def _cursor_lag(base_meta: dict, cursor) -> dict:
+        """Shared cursor-freshness walk for every derived-state
+        endpoint (matview / curation / vocab): lag counts MAIN-lineage
+        commits only (WAP-staged branch snapshots share the base's
+        snapshot list but are never folded, so they must not report a
+        perpetually-lagging view that is in sync), and a cursor that is
+        neither the head nor on the lineage is off-lineage/expired —
+        bound the lag and flag the O(base) rebootstrap."""
+        head = base_meta["current_snapshot_id"]
+        ids = {s["id"] for s in base_meta["snapshots"]}
+        by_id = {s["id"]: s for s in base_meta["snapshots"]}
+        lag, cur = 0, head
+        while cur is not None and cur != cursor and cur in by_id:
+            lag += 1
+            cur = by_id[cur].get("parent")
+        if cursor is not None and cur != cursor:
+            lag = len(ids)
+        return {
+            "base_head": head,
+            "in_sync": cursor == head,
+            "lag_commits": lag,
+            "cursor_expired": (
+                cursor is not None and cursor != head and cursor not in ids
+            ),
+        }
+
+    @staticmethod
     def _matview_status(root: str) -> dict:
         """Inspect a materialized view (lake/materialized.py) from its
         on-disk metadata only: the ``matview.json`` definition sidecar
@@ -354,31 +381,13 @@ class DiagnosticsService:
         vmeta = _load_table_meta(defn["view_path"])
         cursor = cursor_from_metadata(vmeta)
         bmeta = _load_table_meta(defn["base_path"])
-        head = bmeta["current_snapshot_id"]
-        base_ids = {s["id"] for s in bmeta["snapshots"]}
-        # lag counts MAIN-lineage commits only: the view folds main
-        # (never WAP-staged branch commits), so staged snapshots in
-        # the shared list must not report a perpetually-lagging view
-        # that is actually in sync
-        by_id = {s["id"]: s for s in bmeta["snapshots"]}
-        lag, cur = 0, head
-        while cur is not None and cur != cursor and cur in by_id:
-            lag += 1
-            cur = by_id[cur].get("parent")
-        if cursor is not None and cur != cursor:
-            lag = len(base_ids)  # cursor off-lineage/expired: bound it
         return {
             "base_path": defn["base_path"],
             "view_path": defn["view_path"],
             "group_cols": defn["group_cols"],
             "sums": defn["sums"],
             "cursor": cursor,
-            "base_head": head,
-            "in_sync": cursor == head,
-            "lag_commits": lag,
-            "cursor_expired": (
-                cursor is not None and cursor != head and cursor not in base_ids
-            ),
+            **DiagnosticsService._cursor_lag(bmeta, cursor),
             "view_snapshots": len(vmeta["snapshots"]),
         }
 
@@ -416,15 +425,8 @@ class DiagnosticsService:
         except (FileNotFoundError, json.JSONDecodeError):
             pass
         dmeta = _load_table_meta(defn["docs_path"])
-        head = dmeta["current_snapshot_id"]
-        docs_ids = {s["id"] for s in dmeta["snapshots"]}
-        by_id = {s["id"]: s for s in dmeta["snapshots"]}
-        lag, cur = 0, head
-        while cur is not None and cur != cursor and cur in by_id:
-            lag += 1
-            cur = by_id[cur].get("parent")
-        if cursor is not None and cur != cursor:
-            lag = len(docs_ids)  # cursor off-lineage/expired: bound it
+        freshness = DiagnosticsService._cursor_lag(dmeta, cursor)
+        freshness["docs_head"] = freshness.pop("base_head")
         snap = resolve_snapshot(smeta, defn["status_path"])
         files = snap["files"] if snap else []
         return {
@@ -434,14 +436,7 @@ class DiagnosticsService:
                 k: defn[k] for k in ("top_cap", "budget", "n_shards")
             },
             "cursor": cursor,
-            "docs_head": head,
-            "in_sync": cursor == head,
-            "lag_commits": lag,
-            "cursor_expired": (
-                cursor is not None
-                and cursor != head
-                and cursor not in docs_ids
-            ),
+            **freshness,
             "status_snapshots": len(smeta["snapshots"]),
             "status_base_rows": sum(
                 f["rows"] or 0 for f in files if f.get("kind") != "delta"
@@ -472,15 +467,8 @@ class DiagnosticsService:
         vmeta = _load_table_meta(defn["vocab_path"])
         cursor = _marker_cursor(vmeta, "vocab-index")
         dmeta = _load_table_meta(defn["docs_path"])
-        head = dmeta["current_snapshot_id"]
-        docs_ids = {s["id"] for s in dmeta["snapshots"]}
-        by_id = {s["id"]: s for s in dmeta["snapshots"]}
-        lag, cur = 0, head
-        while cur is not None and cur != cursor and cur in by_id:
-            lag += 1
-            cur = by_id[cur].get("parent")
-        if cursor is not None and cur != cursor:
-            lag = len(docs_ids)
+        freshness = DiagnosticsService._cursor_lag(dmeta, cursor)
+        freshness["docs_head"] = freshness.pop("base_head")
         snap = resolve_snapshot(vmeta, defn["vocab_path"])
         files = snap["files"] if snap else []
         return {
@@ -489,14 +477,7 @@ class DiagnosticsService:
             "id_cols": defn["id_cols"],
             "text_col": defn["text_col"],
             "cursor": cursor,
-            "docs_head": head,
-            "in_sync": cursor == head,
-            "lag_commits": lag,
-            "cursor_expired": (
-                cursor is not None
-                and cursor != head
-                and cursor not in docs_ids
-            ),
+            **freshness,
             "vocab_snapshots": len(vmeta["snapshots"]),
             "vocab_base_rows": sum(
                 f["rows"] or 0 for f in files if f.get("kind") != "delta"

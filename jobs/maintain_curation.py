@@ -47,8 +47,24 @@ def maintain_curation(
     from delta_spark.lake import LakeTable
 
     docs = LakeTable.load(spark, docs_path)
+    # an existing index's sidecar is the source of truth for the
+    # verdict-shaping parameters (id columns, text column, top_cap):
+    # a scheduled run must adopt them rather than re-assert CLI
+    # defaults against, say, a composite-key index the streaming sink
+    # bootstrapped — the sidecar freeze would (correctly) refuse that
+    sidecar = os.path.join(root, "curation.json")
+    id_col = "doc_id"
+    text_col = "text"
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            rec = json.load(f)
+        rid = rec.get("id_col", "doc_id")
+        id_col = rid if isinstance(rid, str) else tuple(rid)
+        text_col = rec.get("text_col", "text")
+        top_cap = rec.get("top_cap", top_cap)
     ix = CurationIndexer(
         spark, docs, root,
+        id_col=id_col, text_col=text_col,
         top_cap=top_cap, budget=budget, n_shards=n_shards,
     )
     frm = ix._cursor()

@@ -411,7 +411,7 @@ def test_vocab_streaming_sink_hook(spark, tmp_path):
         .read().toPandas()
     )
     tok = t.read().filter(F.col("text").isNotNull()).select(
-        F.concat_ws("#", F.col("conv_id"),
+        F.concat_ws("|", F.col("conv_id"),
                     F.col("turn_idx").cast("string")).alias("_rid"),
         F.explode(_tokens("text")).alias("token"),
     )
@@ -504,8 +504,10 @@ def test_composite_key_curation_over_transcripts(spark, tmp_path):
     tbl.merge(spark.createDataFrame(rows2, ddl), "w", "b2")
     ix.advance()
 
+    from delta_spark.functions.curation_incremental import ID_SEP
+
     synth = F.concat_ws(
-        "#", F.col("conv_id").cast("string"),
+        ID_SEP, F.col("conv_id").cast("string"),
         F.col("turn_idx").cast("string"),
     )
     batch = cur.curate_corpus(
@@ -520,7 +522,7 @@ def test_composite_key_curation_over_transcripts(spark, tmp_path):
     assert key(inc) == key(batch) and len(inc) > 0
     # the short turn failed the gate; the deleted turn is gone
     ids = set(inc["doc_id"])
-    assert "c9#0" not in ids and "c2#2" not in ids
+    assert f"c9{ID_SEP}0" not in ids and f"c2{ID_SEP}2" not in ids
 
 
 def test_curation_streaming_sink_hook(spark, tmp_path):
@@ -549,8 +551,10 @@ def test_curation_streaming_sink_hook(spark, tmp_path):
         spark, t, cfg.curation_root,
         id_col=("conv_id", "turn_idx"), top_cap=0.5,
     )
+    from delta_spark.functions.curation_incremental import ID_SEP
+
     synth = F.concat_ws(
-        "#", F.col("conv_id").cast("string"),
+        ID_SEP, F.col("conv_id").cast("string"),
         F.col("turn_idx").cast("string"),
     )
     batch = cur.curate_corpus(
@@ -563,3 +567,67 @@ def test_curation_streaming_sink_hook(spark, tmp_path):
          int(r["bin_start"]), int(r["bin"])) for _, r in p.iterrows()
     }
     assert key(inc) == key(batch) and len(inc) > 0
+
+
+def test_single_key_tuple_normalizes_to_bigint_mode(spark, tmp_path):
+    """A 1-tuple naming a bigint key (what the sink hook passes for a
+    single-key table) normalizes to the plain bigint identity, so the
+    hook and the scheduled job (default 'doc_id') share one index."""
+    from delta_spark.functions.curation_incremental import CurationIndexer
+
+    src = _src(spark).limit(20)
+    tbl = _mk_docs(spark, tmp_path / "docs")
+    _commit(tbl, src, "INSERT", 1, "b1")
+    ix1 = CurationIndexer(spark, tbl, str(tmp_path / "cur"),
+                          id_col=("doc_id",))
+    assert ix1.id_col == "doc_id" and not ix1._composite
+    ix1.advance()
+    # reopening with the string default must NOT refuse
+    ix2 = CurationIndexer(spark, tbl, str(tmp_path / "cur"))
+    assert {f.name: f.dataType.simpleString()
+            for f in ix2.status.read().schema}["doc_id"] == "bigint"
+
+
+def test_sidecar_survives_key_rename(spark, tmp_path):
+    """Renaming a frozen column via the table's schema evolution must
+    not brick the index: the sidecar freeze compares FIELD IDS, so the
+    reopened indexer (new names from key_cols) is accepted and the
+    sidecar rewrites its recorded names."""
+    import datetime
+
+    from delta_spark.functions.curation_incremental import CurationIndexer
+    from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8,
+    )
+    ix = CurationIndexer(
+        spark, tbl, str(tmp_path / "cur"),
+        id_col=("conv_id", "turn_idx"), top_cap=0.5,
+    )
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp, op string, seq long")
+    ts = datetime.datetime(2026, 1, 1)
+    tbl.merge(
+        spark.createDataFrame(
+            [("c0", 0, "user", "alpha bravo charlie delta echo foxtrot "
+              "golf hotel india juliet kilo lima", "", ts, "UPDATE", 1)],
+            ddl,
+        ),
+        "w", "b1",
+    )
+    ix.advance()
+    tbl.apply_ddl({"op": "RENAME_COLUMN", "column": "conv_id",
+                   "new_name": "conversation_id"})
+    tbl = LakeTable.load(spark, tbl.path)
+    # reopen with the POST-rename key names (what the sink hook passes)
+    ix2 = CurationIndexer(
+        spark, tbl, str(tmp_path / "cur"),
+        id_col=tuple(tbl.key_cols), top_cap=0.5,
+    )
+    assert tuple(ix2.id_cols) == ("conversation_id", "turn_idx")
+    # and a DIFFERENT frozen param still refuses
+    with pytest.raises(ValueError, match="top_cap"):
+        CurationIndexer(spark, tbl, str(tmp_path / "cur"),
+                        id_col=tuple(tbl.key_cols), top_cap=0.25)
