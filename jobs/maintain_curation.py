@@ -87,8 +87,18 @@ def maintain_curation(
         out["layout_rows"] = spark.read.parquet(layout_dest).count()
     if vocab_root:
         # the vocabulary index advances against the same docs table in
-        # the same scheduled run (own cursor, own exactly-once markers)
-        vx = VocabIndexer(spark, docs, vocab_root)
+        # the same scheduled run (own cursor, own exactly-once markers);
+        # an existing sidecar's id/text definition is adopted, same as
+        # the curation index above
+        vdef = os.path.join(vocab_root, "vocab.json")
+        vid, vtext = "doc_id", "text"
+        if os.path.exists(vdef):
+            with open(vdef) as f:
+                vrec = json.load(f)
+            vid = tuple(vrec.get("id_cols", ["doc_id"]))
+            vtext = vrec.get("text_col", "text")
+        vx = VocabIndexer(spark, docs, vocab_root, id_col=vid,
+                          text_col=vtext)
         vadv = vx.advance()
         out["vocab_root"] = vocab_root
         out["vocab_tokens_touched"] = vadv.get("tokens_touched")
