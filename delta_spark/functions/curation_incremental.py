@@ -69,6 +69,38 @@ def _status_schema(id_type: T.DataType) -> T.StructType:
     )
 
 
+def _verdict_rows(ids_text: DataFrame, top_cap: float) -> DataFrame:
+    """Per-document curation verdicts over (doc_id, raw text): PII
+    scrub, normalized fingerprint, split assignment, packing token
+    count, and the quality-gate keep — one row-wise projection plus the
+    two repetition_stats aggregations keyed by doc id, O(input rows).
+    NULL text gates to keep=false and packs to 0 tokens. Shared by the
+    document-level and conversation-level indexers so the verdict
+    definition can never drift between them."""
+    clean = ids_text.select(
+        "doc_id", pii_scrub("text").alias("_t")
+    )
+    rowwise = clean.select(
+        "doc_id",
+        fingerprint("_t").alias("fingerprint"),
+        split_assign("doc_id").alias("split"),
+        F.coalesce(token_count("_t").cast("long"), F.lit(0)).alias(
+            "pack_tokens"
+        ),
+    )
+    gate = repetition_stats(
+        clean.filter(F.col("_t").isNotNull()), "doc_id", "_t",
+        top_cap=top_cap,
+    ).select("doc_id", "keep")
+    return rowwise.join(gate, "doc_id", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.coalesce(F.col("keep"), F.lit(False)).alias("keep"),
+        "split",
+        "pack_tokens",
+    )
+
+
 # Composite row identities join key columns with the ASCII unit
 # separator: a printable '#' would make ('a#b','c') and ('a','b#c')
 # collide into one identity; \x1f in real key values is implausible
@@ -591,34 +623,14 @@ class CurationIndexer:
     # ------------------------------------------------- status rows
 
     def _status_rows(self, docs_df: DataFrame) -> DataFrame:
-        """Per-document verdicts over the SCRUBBED text — one row-wise
-        projection plus the two repetition_stats aggregations, all
-        keyed by doc id, O(input docs). NULL text (emptied by an
-        update) gates to keep=false and packs to 0 tokens."""
-        clean = docs_df.select(
-            self._id_expr().alias("doc_id"),
-            pii_scrub(self.text_col).alias("_t"),
-        )
-        rowwise = clean.select(
-            "doc_id",
-            fingerprint("_t").alias("fingerprint"),
-            split_assign("doc_id").alias("split"),
-            F.coalesce(token_count("_t").cast("long"), F.lit(0)).alias(
-                "pack_tokens"
+        """Per-document verdicts over the SCRUBBED text (shared
+        definition: module-level ``_verdict_rows``)."""
+        return _verdict_rows(
+            docs_df.select(
+                self._id_expr().alias("doc_id"),
+                F.col(self.text_col).alias("text"),
             ),
-        )
-        gate = repetition_stats(
-            clean.filter(F.col("_t").isNotNull()),
-            "doc_id",
-            "_t",
-            top_cap=self.top_cap,
-        ).select("doc_id", "keep")
-        return rowwise.join(gate, "doc_id", "left").select(
-            "doc_id",
-            "fingerprint",
-            F.coalesce(F.col("keep"), F.lit(False)).alias("keep"),
-            "split",
-            "pack_tokens",
+            self.top_cap,
         )
 
     # ------------------------------------------------------ advance
@@ -737,3 +749,311 @@ class CurationIndexer:
         return base.select(out_id, "n_tokens", "shard", off).withColumn(
             "bin", F.floor(F.col("bin_start") / F.lit(self.budget))
         )
+
+
+class ConversationCurationIndexer:
+    """CONVERSATION-level curation maintained over the CDC feed — the
+    semantic unit transcript training data actually ships (one packed
+    document per conversation, turns concatenated in order), kept
+    current as individual TURNS arrive, get revised, and get deleted.
+
+    The granularity argument: a changed turn invalidates only its own
+    conversation's verdicts, so ``advance()``
+      1. names the touched conversations from the plain change feed
+         (every insert/update/delete row carries its conv id),
+      2. re-reads ONLY those conversations' live turns from the target
+         snapshot — the conv column is the table's bucket column, so
+         the re-read is bucket-hash pruned + per-value stats-skipped
+         and PINNED at ``to`` (``read(buckets=…, ranges=…,
+         snapshot_id=to)``, the same driver-side plan ``lookup()``
+         builds) — O(touched convs) files, never a corpus scan,
+      3. re-assembles their dialogues (``role: text`` lines in
+         turn order — identical to ``conversation_corpus``) and
+         re-gates them through the SHARED ``_verdict_rows`` definition,
+      4. merges verdicts into the status table (touched convs with no
+         live turns left are deleted) through the engine's exactly-once
+         idempotent path.
+
+    ``curated_layout()`` then derives the packed conversation-level
+    training layout from slim status rows, equal to batch
+    ``curate_corpus`` over the assembled final corpus — the same
+    invariant (and driver oracle) as ``conversation_curated``.
+
+    When the touched-conversation count exceeds ``max_lookup_convs``
+    (driver-side value list) the re-read falls back to one pinned scan
+    semi-joined on the touched set — loud in the logs, correct, and
+    bounded by a single pass; the expired-cursor rebootstrap uses the
+    same full pass by construction.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs: LakeTable,
+        root: str,
+        conv_col: str = "conv_id",
+        turn_col: str = "turn_idx",
+        role_col: str = "role",
+        text_col: str = "text",
+        top_cap: float = 0.5,
+        budget: int = 512,
+        n_shards: int = 8,
+        num_buckets: int = 16,
+        max_lookup_convs: int = 100_000,
+    ):
+        self.spark = spark
+        self.docs = docs
+        self.root = root
+        self.conv_col, self.turn_col = conv_col, turn_col
+        self.role_col, self.text_col = role_col, text_col
+        self.top_cap, self.budget, self.n_shards = top_cap, budget, n_shards
+        self.max_lookup_convs = max_lookup_convs
+        self.status_path = os.path.join(root, "status")
+        self.cursor_path = os.path.join(root, "_cursor.json")
+        if LakeTable.exists(self.status_path):
+            self.status = LakeTable.load(spark, self.status_path)
+        else:
+            self.status = LakeTable.create(
+                spark,
+                self.status_path,
+                _status_schema(T.StringType()),
+                key_cols=["doc_id"],
+                num_buckets=num_buckets,
+            )
+        self._write_definition()
+
+    def _write_definition(self) -> None:
+        """conv_curation.json sidecar — same freeze policy as the other
+        indexes: the columns and top_cap shape stored verdicts (frozen
+        by field id, rename-proof); budget/n_shards are layout-time."""
+        import uuid as _uuid
+
+        by_name = {f["name"]: f["id"] for f in self.docs.fields}
+        p = os.path.join(self.root, "conv_curation.json")
+        cols = (self.conv_col, self.turn_col, self.role_col, self.text_col)
+        body = {
+            "docs_path": os.path.abspath(self.docs.path),
+            "status_path": os.path.abspath(self.status_path),
+            "cols": list(cols),
+            "col_field_ids": [by_name.get(c) for c in cols],
+            "top_cap": self.top_cap,
+            "budget": self.budget,
+            "n_shards": self.n_shards,
+        }
+        try:
+            with open(p) as f:
+                prev = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            prev = None
+        if prev == body:
+            return
+        if prev is not None:
+            ids_known = prev.get("col_field_ids") and all(
+                i is not None for i in body["col_field_ids"]
+            )
+            frozen = (
+                ("col_field_ids", "top_cap")
+                if ids_known
+                else ("cols", "top_cap")
+            )
+            diffs = {
+                k: (prev.get(k), body[k])
+                for k in frozen
+                if prev.get(k) != body[k]
+            }
+            if diffs:
+                raise ValueError(
+                    f"conversation-curation index at {self.root} was "
+                    f"built with different verdict-shaping parameters "
+                    f"{diffs} — stored verdicts would silently mix "
+                    "rules. Delete the root to rebootstrap, or reopen "
+                    "with the recorded parameters."
+                )
+        os.makedirs(self.root, exist_ok=True)
+        tmp = f"{p}.{_uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(body, f, sort_keys=True)
+        os.replace(tmp, p)
+
+    def _cursor(self) -> int | None:
+        try:
+            with open(self.cursor_path) as f:
+                return json.load(f)["last_snapshot"]
+        except FileNotFoundError:
+            return None
+
+    def _commit_cursor(self, snap_id: int) -> None:
+        tmp = self.cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_snapshot": snap_id}, f)
+        os.replace(tmp, self.cursor_path)
+
+    # ---------------------------------------------------- assembly
+
+    def _assemble(self, turns: DataFrame) -> DataFrame:
+        """(conv, dialogue) from turn rows — the conversation_corpus
+        assembly: 'role: text' lines joined by newline in turn order
+        (turn_idx is a key column, so the order is total)."""
+        line = F.concat(
+            F.col(self.role_col),
+            F.lit(": "),
+            F.coalesce(F.col(self.text_col), F.lit("")),
+        )
+        structs = F.collect_list(
+            F.struct(F.col(self.turn_col), line.alias("_l"))
+        )
+        return turns.groupBy(
+            F.col(self.conv_col).cast("string").alias("doc_id")
+        ).agg(
+            F.array_join(
+                F.transform(F.array_sort(structs), lambda x: x["_l"]), "\n"
+            ).alias("text")
+        )
+
+    def _pinned_touched_turns(self, convs: list, to_id: int) -> DataFrame:
+        """The touched conversations' live turns AT the target snapshot
+        — lookup()'s driver-side bucket-hash + per-value stats plan,
+        with the snapshot pinned so racing base commits cannot leak
+        future turns into this epoch's verdicts."""
+        bcol = self.docs.bucket_col
+        if bcol != self.conv_col or not convs:
+            raise _FallbackScan()
+        btype = next(
+            f["type"] for f in self.docs.fields if f["name"] == bcol
+        )
+        if btype not in ("string", "bigint", "int"):
+            raise _FallbackScan()
+        from ..lake.xxh import bucket_of
+
+        vals = [str(v) if btype == "string" else int(v) for v in convs]
+        buckets = sorted(
+            {
+                bucket_of(v, self.docs.num_buckets, coltype=btype)
+                for v in vals
+            }
+        )
+        out = self.docs.read(
+            buckets=buckets,
+            ranges={bcol: [(v, v) for v in set(vals)]},
+            snapshot_id=to_id,
+        )
+        return out.filter(F.col(bcol).isin(vals))
+
+    # ----------------------------------------------------- advance
+
+    def advance(self, to_snapshot_id: int | None = None) -> dict:
+        cur = self.docs.current_snapshot
+        to_id = cur["id"] if to_snapshot_id is None and cur else to_snapshot_id
+        frm = self._cursor()
+        if to_id is None or (frm is not None and to_id <= frm):
+            return {"convs": 0, "deleted": 0, "to": to_id}
+
+        import logging
+
+        log = logging.getLogger("delta_spark.curation")
+        conv_str = F.col(self.conv_col).cast("string")
+        try:
+            ch = self.docs.read_changes(frm, to_id)
+            touched_df = ch.select(conv_str.alias("doc_id")).distinct()
+            # control-plane list: O(touched convs) ids on the driver —
+            # past the cap, one pinned semi-joined scan instead
+            convs = [
+                r["doc_id"]
+                for r in touched_df.limit(self.max_lookup_convs + 1).collect()
+            ]
+            if len(convs) > self.max_lookup_convs:
+                log.warning(
+                    "conv-curation %s: %d+ touched convs exceeds the "
+                    "lookup cap — one pinned scan semi-joined on the "
+                    "touched set", self.root, self.max_lookup_convs,
+                )
+                turns = self.docs.read(snapshot_id=to_id).join(
+                    touched_df.withColumnRenamed("doc_id", "_tc"),
+                    conv_str == F.col("_tc"),
+                    "left_semi",
+                )
+            else:
+                try:
+                    turns = self._pinned_touched_turns(convs, to_id)
+                except _FallbackScan:
+                    turns = self.docs.read(snapshot_id=to_id).join(
+                        touched_df.withColumnRenamed("doc_id", "_tc"),
+                        conv_str == F.col("_tc"),
+                        "left_semi",
+                    )
+            assembled = self._assemble(turns)
+            deleted = touched_df.join(
+                assembled.select("doc_id"), "doc_id", "left_anti"
+            )
+        except ValueError:
+            log.warning(
+                "conv-curation cursor %s expired on %s — rebootstrapping",
+                frm, self.docs.path,
+            )
+            assembled = self._assemble(self.docs.read(snapshot_id=to_id))
+            deleted = (
+                self.status.read()
+                .select("doc_id")
+                .join(assembled.select("doc_id"), "doc_id", "left_anti")
+            )
+
+        ups = _verdict_rows(assembled, self.top_cap).withColumn(
+            "op", F.lit("UPSERT")
+        )
+        dels = deleted.select(
+            "doc_id",
+            F.lit(None).cast("string").alias("fingerprint"),
+            F.lit(None).cast("boolean").alias("keep"),
+            F.lit(None).cast("string").alias("split"),
+            F.lit(None).cast("long").alias("pack_tokens"),
+            F.lit("DELETE").alias("op"),
+        )
+        stats = self.status.merge(
+            ups.unionByName(dels).withColumn(
+                "seq", F.lit(to_id).cast("long")
+            ),
+            writer_id="conv-curation-index",
+            batch_id=f"{frm}->{to_id}",
+            mode="auto",
+        ) or {}
+        self._commit_cursor(to_id)
+        return {
+            "convs": stats.get("upserts", 0),
+            "deleted": stats.get("deletes", 0),
+            "to": to_id,
+        }
+
+    # ------------------------------------------------------ layout
+
+    def curated_layout(self) -> DataFrame:
+        """Packed conversation-level training layout from status rows
+        alone — identical order statistics to batch ``curate_corpus``
+        over the assembled corpus (the conversation_curated oracle)."""
+        st = self.status.read()
+        kept = st.filter(F.col("keep") & F.col("fingerprint").isNotNull())
+        wf = Window.partitionBy("fingerprint")
+        uniq = (
+            kept.withColumn("_kid", F.min("doc_id").over(wf))
+            .filter(F.col("doc_id") == F.col("_kid"))
+        )
+        train = uniq.filter(F.col("split") == "train")
+        shard = F.pmod(
+            md5_long(F.col("doc_id").cast("string")), F.lit(self.n_shards)
+        )
+        base = train.select(
+            F.col("doc_id").alias(self.conv_col),
+            F.col("pack_tokens").alias("n_tokens"),
+            shard.alias("shard"),
+        )
+        w = Window.partitionBy("shard").orderBy(self.conv_col)
+        off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+            "bin_start"
+        )
+        return base.select(
+            self.conv_col, "n_tokens", "shard", off
+        ).withColumn("bin", F.floor(F.col("bin_start") / F.lit(self.budget)))
+
+
+class _FallbackScan(Exception):
+    """Internal: the pruned touched-conv re-read is unavailable (conv
+    is not the bucket column / exotic type) — use the pinned scan."""

@@ -1090,6 +1090,13 @@ ALL_ORACLES["incremental_vocab"] = """
     FROM tok GROUP BY token
 """
 
+# Conversation-level incremental curation folds to the batch
+# conversation_curated chain over the identical final corpus — the
+# oracle IS that chain (one definition, no drift).
+ALL_ORACLES["incremental_conversation_curation"] = ALL_ORACLES[
+    "conversation_curated"
+]
+
 ALL_ORACLES["neardup_incremental"] = (
     "WITH corpus AS (\n"
     "  SELECT doc_id,\n"

@@ -1014,6 +1014,59 @@ def conversation_curated(spark, sf_dir):
     )
 
 
+def incremental_conversation_curation(spark, sf_dir):
+    """Conversation-LEVEL curation maintained over the CDC feed: the
+    mapped transcript changelog lands in the lake table across THREE
+    seq-range epochs, a ``ConversationCurationIndexer`` advances after
+    each — re-assembling ONLY the epoch's touched conversations from a
+    pinned bucket-pruned read, re-gating them through the shared
+    verdict definition — and the layout derived from its status rows
+    is returned. The oracle is the ``conversation_curated`` CTE chain
+    itself (windowed LWW → dialogue assembly → curation), so the
+    incremental answer is pinned to the batch one over the identical
+    final corpus."""
+    import tempfile
+
+    from .functions.curation_incremental import ConversationCurationIndexer
+    from .lake import LakeTable
+    from .schema import TRANSCRIPT_SCHEMA
+
+    d = tempfile.mkdtemp(prefix="conv_cur_inc_")
+    ev = _t(spark, sf_dir, "events")
+    mapped = ev.select(
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.col("event_id").cast("long").alias("seq"),
+    )
+    tbl = LakeTable.create(
+        spark, f"{d}/t", TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8,
+    )
+    ix = ConversationCurationIndexer(
+        spark, tbl, f"{d}/cc", top_cap=0.5, budget=512, n_shards=8
+    )
+    hi = mapped.agg(F.max("seq")).collect()[0][0]
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    for i, (lo, up) in enumerate(
+        [(None, cut1), (cut1, cut2), (cut2, None)]
+    ):
+        part = mapped
+        if lo is not None:
+            part = part.filter(F.col("seq") > lo)
+        if up is not None:
+            part = part.filter(F.col("seq") <= up)
+        tbl.merge(part, writer_id="w", batch_id=f"e{i}")
+        ix.advance()
+    return ix.curated_layout()
+
+
 def transcript_replay_lww(spark, sf_dir):
     """Flagship E2E WITH a SQL oracle: the events view mapped
     deterministically onto the input_hint transcript changelog shape
@@ -1974,6 +2027,7 @@ ALL_QUERIES = {
     "neardup_incremental": neardup_incremental,
     "incremental_curation": incremental_curation,
     "incremental_vocab": incremental_vocab,
+    "incremental_conversation_curation": incremental_conversation_curation,
     "simhash16": simhash16,
     "lang_id": lang_id,
     "text_quality": text_quality,

@@ -631,3 +631,121 @@ def test_sidecar_survives_key_rename(spark, tmp_path):
     with pytest.raises(ValueError, match="top_cap"):
         CurationIndexer(spark, tbl, str(tmp_path / "cur"),
                         id_col=tuple(tbl.key_cols), top_cap=0.25)
+
+
+def _assemble_batch(t):
+    line = F.concat(F.col("role"), F.lit(": "),
+                    F.coalesce(F.col("text"), F.lit("")))
+    structs = F.collect_list(F.struct(F.col("turn_idx"), line.alias("_l")))
+    return t.read().groupBy(
+        F.col("conv_id").cast("string").alias("doc_id")
+    ).agg(F.array_join(
+        F.transform(F.array_sort(structs), lambda x: x["_l"]), "\n"
+    ).alias("text"))
+
+
+def test_conversation_level_incremental_curation(spark, tmp_path):
+    """A changed TURN invalidates only its conversation: the indexer
+    re-assembles touched convs from a pinned bucket-pruned read and the
+    layout equals batch curate_corpus over the assembled final corpus
+    after every advance — including whole-conversation deletion."""
+    import datetime
+
+    from delta_spark.functions.curation_incremental import (
+        ConversationCurationIndexer,
+    )
+    from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8,
+    )
+    ix = ConversationCurationIndexer(
+        spark, tbl, str(tmp_path / "cc"), top_cap=0.5, n_shards=8,
+    )
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp, op string, seq long")
+    ts = datetime.datetime(2026, 1, 1)
+    body = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima")
+
+    def check():
+        batch = cur.curate_corpus(
+            _assemble_batch(tbl).withColumnRenamed("doc_id", "conv_id"),
+            "conv_id", "text", budget=512, n_shards=8, top_cap=0.5,
+        ).toPandas()
+        inc = ix.curated_layout().toPandas()
+        key = lambda p: {
+            (r["conv_id"], int(r["n_tokens"]), int(r["shard"]),
+             int(r["bin_start"]), int(r["bin"])) for _, r in p.iterrows()
+        }
+        assert key(inc) == key(batch)
+        return len(inc)
+
+    rows1 = [
+        (f"c{i}", j, "user", f"{body} c{i} t{j}", "", ts, "UPDATE",
+         i * 10 + j)
+        for i in range(8) for j in range(3)
+    ]
+    tbl.merge(spark.createDataFrame(rows1, ddl), "w", "b1")
+    ix.advance()
+    n1 = check()
+    assert n1 > 0
+
+    # revise one turn (invalidates only c1), delete ALL of c2's turns,
+    # delete one turn of c3 (conv survives with 2 turns)
+    rows2 = (
+        [("c1", 1, "user", f"{body} revised tail", "", ts, "UPDATE", 900)]
+        + [("c2", j, "user", None, "", ts, "DELETE", 910 + j)
+           for j in range(3)]
+        + [("c3", 0, "user", None, "", ts, "DELETE", 920)]
+    )
+    tbl.merge(spark.createDataFrame(rows2, ddl), "w", "b2")
+    ix.advance()
+    check()
+    ids = set(ix.curated_layout().toPandas()["conv_id"])
+    assert "c2" not in ids  # fully-deleted conversation is gone
+
+    # idempotent catch-up
+    out = ix.advance()
+    assert out["convs"] == 0
+
+
+def test_conversation_curation_fallback_scan_equal(spark, tmp_path):
+    """Forcing the over-cap fallback (pinned semi-joined scan) lands on
+    the same verdicts as the pruned lookup path."""
+    import datetime
+
+    from delta_spark.functions.curation_incremental import (
+        ConversationCurationIndexer,
+    )
+    from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp, op string, seq long")
+    ts = datetime.datetime(2026, 1, 1)
+    body = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima")
+    rows = [
+        (f"c{i}", j, "user", f"{body} c{i} t{j}", "", ts, "UPDATE",
+         i * 10 + j)
+        for i in range(5) for j in range(2)
+    ]
+    outs = []
+    for cap in (100_000, 0):  # pruned path, then forced fallback
+        tbl = LakeTable.create(
+            spark, str(tmp_path / f"t{cap}"), TRANSCRIPT_SCHEMA,
+            key_cols=["conv_id", "turn_idx"], num_buckets=8,
+        )
+        tbl.merge(spark.createDataFrame(rows, ddl), "w", "b1")
+        ix = ConversationCurationIndexer(
+            spark, tbl, str(tmp_path / f"cc{cap}"),
+            max_lookup_convs=cap,
+        )
+        ix.advance()
+        outs.append({
+            (r["conv_id"], r["n_tokens"], r["shard"], r["bin_start"],
+             r["bin"])
+            for r in ix.curated_layout().collect()
+        })
+    assert outs[0] == outs[1] and len(outs[0]) > 0
