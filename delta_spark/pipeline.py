@@ -133,6 +133,12 @@ class PipelineConfig:
     curation_n_shards: int = 8             # layout shard count
     curation_every: int = 1                # advance every N micro-batches
     # (keep well under expire_every, same constraint as publish_every)
+    conv_curation_root: str | None = None  # maintain a
+    # ConversationCurationIndexer in lockstep with the sink: the
+    # CONVERSATION-level curated corpus (one packed document per conv,
+    # verdicts re-computed only for conversations a micro-batch
+    # touched). Column names follow the transcript schema; top_cap /
+    # budget / shards share the curation_* knobs above.
     vocab_root: str | None = None          # maintain a VocabIndexer
     # (functions/curation_incremental.py) in lockstep with the sink:
     # per-token corpus counts + row frequency retraction-folded from
@@ -353,6 +359,27 @@ class Pipeline:
                     n_shards=self.cfg.curation_n_shards,
                 ).advance()
                 self._index_hygiene(self.cfg.curation_root, "status")
+            # continuous CONVERSATION-level curation: a micro-batch's
+            # touched conversations re-assemble from a pinned pruned
+            # read and re-gate; everything else stands
+            if self.cfg.conv_curation_root and (
+                epoch_id % max(1, self.cfg.curation_every) == 0
+            ):
+                from .functions.curation_incremental import (
+                    ConversationCurationIndexer,
+                )
+
+                base = main_view.refresh()
+                ConversationCurationIndexer(
+                    self.spark,
+                    base,
+                    self.cfg.conv_curation_root,
+                    text_col=self.cfg.curation_text_col,
+                    top_cap=self.cfg.curation_top_cap,
+                    budget=self.cfg.curation_budget,
+                    n_shards=self.cfg.curation_n_shards,
+                ).advance()
+                self._index_hygiene(self.cfg.conv_curation_root, "status")
             # continuous vocabulary maintenance: retraction-fold this
             # micro-batch's pre-image change feed into the token stats
             # — same placement rationale as the matview (before expiry)

@@ -90,6 +90,12 @@ def main() -> None:
                     help="quality-gate top-token cap for the curation "
                     "index (0.5 default: dialogue rows repeat role "
                     "markers by construction)")
+    ap.add_argument("--conv-curation-root", default=None, metavar="ROOT",
+                    help="maintain the CONVERSATION-level curated corpus "
+                    "at ROOT (one packed document per conversation; "
+                    "touched conversations re-assemble from a pinned "
+                    "pruned read) — per micro-batch in stream modes, "
+                    "batch catch-up otherwise")
     ap.add_argument("--vocab-root", default=None, metavar="ROOT",
                     help="maintain a corpus vocabulary index (per-token "
                     "count + row frequency, retraction-folded from each "
@@ -167,6 +173,7 @@ def main() -> None:
         vocab_root=args.vocab_root,
         curation_root=args.curation_root,
         curation_top_cap=args.curation_top_cap,
+        conv_curation_root=args.conv_curation_root,
     )
     if args.stats_dir:
         from delta_spark.progress import attach_progress_logger
@@ -256,6 +263,24 @@ def main() -> None:
                           "curation_processed": adv.get("processed"),
                           "curation_deleted": adv.get("deleted")}))
 
+    def _conv_curation() -> None:
+        """Batch-mode catch-up for --conv-curation-root."""
+        if not args.conv_curation_root:
+            return
+        from delta_spark.functions.curation_incremental import (
+            ConversationCurationIndexer,
+        )
+        from delta_spark.lake import LakeTable
+
+        t = LakeTable.load(spark, args.table)
+        adv = ConversationCurationIndexer(
+            spark, t, args.conv_curation_root,
+            top_cap=args.curation_top_cap,
+        ).advance()
+        print(json.dumps({"conv_curation_root": args.conv_curation_root,
+                          "conv_curation_convs": adv.get("convs"),
+                          "conv_curation_deleted": adv.get("deleted")}))
+
     def _vocab() -> None:
         """Same contract as _matview: batch mode catches the vocabulary
         up here; stream modes already folded it per micro-batch."""
@@ -301,6 +326,7 @@ def main() -> None:
         _matview()
         _vocab()
         _curation()
+        _conv_curation()
     elif args.mode == "stream":
         # in-engine supervised retry (reference RetryConfig semantics:
         # backoff 1->120 s, optional max duration, DeltaFailureException
@@ -318,6 +344,7 @@ def main() -> None:
         _matview()
         _vocab()
         _curation()
+        _conv_curation()
     else:  # stream-continuous: tail forever under the same supervisor
         from delta_spark.pipeline import RetryConfig, is_unretryable
 

@@ -749,3 +749,72 @@ def test_conversation_curation_fallback_scan_equal(spark, tmp_path):
             for r in ix.curated_layout().collect()
         })
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_conv_curation_streaming_sink_hook(spark, tmp_path):
+    """cfg.conv_curation_root maintains the conversation-level curated
+    corpus in lockstep with the streaming sink: after the stream
+    drains, the layout equals batch curate_corpus over the assembled
+    final dialogues — with survivors (varied text passes the gate) AND
+    casualties (a templated conversation fails it)."""
+    import datetime
+
+    from delta_spark.functions.curation_incremental import (
+        ConversationCurationIndexer,
+    )
+    from delta_spark.pipeline import Pipeline, PipelineConfig
+    from delta_spark.schema import CHANGELOG_SCHEMA
+
+    ts = datetime.datetime(2026, 1, 1)
+
+    def ev(seq, conv, turn, text, op="UPDATE"):
+        return (seq, op, conv, turn, "user", text, "", ts, None, False,
+                ts, None)
+
+    # varied vocabulary per turn → gate passes; conv 'spam' fails it
+    rows = []
+    seq = 0
+    for i in range(6):
+        for j in range(3):
+            seq += 1
+            words = " ".join(f"t{i}{j}w{k}" for k in range(15))
+            rows.append(ev(seq, f"c{i}", j, words))
+    seq += 1
+    rows.append(ev(seq, "spam", 0, "lorem " * 60))
+    # a late revision and a deletion land in the second half
+    seq += 1
+    rows.append(ev(seq, "c1", 1, " ".join(
+        f"rev{k}t{k}" for k in range(14))))
+    seq += 1
+    rows.append(ev(seq, "c2", 0, None, op="DELETE"))
+
+    log = str(tmp_path / "log")
+    # several part files in ONE dir → several micro-batches under
+    # max_files_per_trigger=1 (order across files is irrelevant: the
+    # apply is seq-guarded)
+    spark.createDataFrame(rows, CHANGELOG_SCHEMA).repartition(
+        3).write.parquet(log)
+
+    cfg = PipelineConfig(
+        changelog_path=log,
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        generation=1,
+        num_buckets=8,
+        max_files_per_trigger=1,
+        conv_curation_root=str(tmp_path / "cc"),
+    )
+    Pipeline(spark, cfg).run_stream_to_completion()
+    t = LakeTable.load(spark, cfg.table_path)
+    ix = ConversationCurationIndexer(spark, t, cfg.conv_curation_root)
+    batch = cur.curate_corpus(
+        _assemble_batch(t).withColumnRenamed("doc_id", "conv_id"),
+        "conv_id", "text", budget=512, n_shards=8, top_cap=0.5,
+    ).toPandas()
+    inc = ix.curated_layout().toPandas()
+    key = lambda p: {
+        (r["conv_id"], int(r["n_tokens"]), int(r["shard"]),
+         int(r["bin_start"]), int(r["bin"])) for _, r in p.iterrows()
+    }
+    assert key(inc) == key(batch) and len(inc) > 0
+    assert "spam" not in set(inc["conv_id"])  # gate bit in-stream

@@ -74,6 +74,7 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
             "--scrub-cols", "text",
             "--vocab-root", str(tmp_path / "vocab"),
             "--curation-root", str(tmp_path / "cur"),
+            "--conv-curation-root", str(tmp_path / "ccur"),
         ],
         capture_output=True,
         text=True,
@@ -93,6 +94,8 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     assert voc["vocab_tokens_touched"] > 0
     curd = next(d for d in lines if "curation_processed" in d)
     assert curd["curation_processed"] > 0
+    ccur = next(d for d in lines if "conv_curation_convs" in d)
+    assert ccur["conv_curation_convs"] > 0
     pub = next(d for d in lines if "published_iceberg_metadata" in d)
     assert os.path.exists(pub["published_iceberg_metadata"])
 
