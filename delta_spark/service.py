@@ -487,6 +487,49 @@ class DiagnosticsService:
             ),
         }
 
+    @staticmethod
+    def _conv_curation_status(root: str) -> dict:
+        """/v1/curation's conversation-level sibling: sidecar-described
+        definition, marker-or-file cursor (the merge is idempotent, so
+        the side file is legal — same max() rule as _curation_status),
+        lag/expiry vs the docs head, verdict-state size."""
+        from .functions.curation_incremental import _marker_cursor
+        from .lake.interop import resolve_snapshot
+
+        with open(os.path.join(root, "conv_curation.json")) as f:
+            defn = json.load(f)
+        smeta = _load_table_meta(defn["status_path"])
+        cursor = _marker_cursor(smeta, "conv-curation-index")
+        try:
+            with open(os.path.join(root, "_cursor.json")) as f:
+                fc = json.load(f).get("last_snapshot")
+            if fc is not None and (cursor is None or fc > cursor):
+                cursor = fc
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        dmeta = _load_table_meta(defn["docs_path"])
+        freshness = DiagnosticsService._cursor_lag(dmeta, cursor)
+        freshness["docs_head"] = freshness.pop("base_head")
+        snap = resolve_snapshot(smeta, defn["status_path"])
+        files = snap["files"] if snap else []
+        return {
+            "docs_path": defn["docs_path"],
+            "status_path": defn["status_path"],
+            "cols": defn["cols"],
+            "params": {
+                k: defn[k] for k in ("top_cap", "budget", "n_shards")
+            },
+            "cursor": cursor,
+            **freshness,
+            "status_snapshots": len(smeta["snapshots"]),
+            "status_base_rows": sum(
+                f["rows"] or 0 for f in files if f.get("kind") != "delta"
+            ),
+            "status_delta_rows": sum(
+                f["rows"] or 0 for f in files if f.get("kind") == "delta"
+            ),
+        }
+
     def _assess_one(self, body: dict) -> dict:
         schema = _schema_from_fields(body["fields"])
         target = None
@@ -538,6 +581,8 @@ class DiagnosticsService:
                     return 200, self._curation_status(q["root"])
                 if parts == ["v1", "vocab"]:
                     return 200, self._vocab_status(q["root"])
+                if parts == ["v1", "conv_curation"]:
+                    return 200, self._conv_curation_status(q["root"])
                 if parts == ["v1", "tables"]:
                     return 200, {"tables": sorted(self._table_paths())}
                 if len(parts) >= 3 and parts[:2] == ["v1", "tables"]:

@@ -818,3 +818,50 @@ def test_conv_curation_streaming_sink_hook(spark, tmp_path):
     }
     assert key(inc) == key(batch) and len(inc) > 0
     assert "spam" not in set(inc["conv_id"])  # gate bit in-stream
+
+
+def test_conv_curation_status_endpoint(spark, tmp_path):
+    """GET /v1/conv_curation?root=… mirrors /v1/curation for the
+    conversation-level index."""
+    import datetime
+    import urllib.parse
+    import urllib.request
+
+    from delta_spark.functions.curation_incremental import (
+        ConversationCurationIndexer,
+    )
+    from delta_spark.schema import TRANSCRIPT_SCHEMA
+    from delta_spark.service import DiagnosticsService
+
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8,
+    )
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp, op string, seq long")
+    ts = datetime.datetime(2026, 1, 1)
+    tbl.merge(
+        spark.createDataFrame(
+            [("c0", j, "user",
+              " ".join(f"w{j}x{k}" for k in range(12)), "", ts,
+              "UPDATE", j + 1) for j in range(3)],
+            ddl,
+        ),
+        "w", "b1",
+    )
+    ix = ConversationCurationIndexer(spark, tbl, str(tmp_path / "cc"))
+    ix.advance()
+    svc = DiagnosticsService(tables={"t": tbl.path})
+    _, port = svc.start()
+    try:
+        url = (f"http://127.0.0.1:{port}/v1/conv_curation?root="
+               + urllib.parse.quote(ix.root))
+        with urllib.request.urlopen(url) as r:
+            body = json.loads(r.read())
+        assert body["in_sync"] and body["cursor"] == (
+            tbl.current_snapshot["id"]
+        )
+        assert body["cols"] == ["conv_id", "turn_idx", "role", "text"]
+        assert body["status_base_rows"] + body["status_delta_rows"] >= 1
+    finally:
+        svc.stop()
