@@ -172,6 +172,29 @@ def domain_mix_weights(
     )
 
 
+def dialogue_expr(
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> Column:
+    """THE dialogue-assembly aggregate: ``role: text`` lines joined by
+    newline in turn order (structs sort by the turn column — a key
+    column, so the order is total). One definition shared by the batch
+    corpus query, the conversation-level incremental indexer, and the
+    tests, because the assembly shapes fingerprints, the quality gate,
+    and pack weights exactly like the gate thresholds do — two copies
+    would let the pinned incremental==batch invariant drift
+    undetected."""
+    line = F.concat(
+        F.col(role_col), F.lit(": "),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    structs = F.collect_list(F.struct(F.col(turn_col), line.alias("_l")))
+    return F.array_join(
+        F.transform(F.array_sort(structs), lambda x: x["_l"]), "\n"
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     id_col: str,

@@ -869,6 +869,13 @@ class ConversationCurationIndexer:
                     "rules. Delete the root to rebootstrap, or reopen "
                     "with the recorded parameters."
                 )
+            if prev.get("docs_path") != body["docs_path"]:
+                import logging
+
+                logging.getLogger("delta_spark.curation").warning(
+                    "conversation-curation index %s re-pointed %s -> %s",
+                    self.root, prev.get("docs_path"), body["docs_path"],
+                )
         os.makedirs(self.root, exist_ok=True)
         tmp = f"{p}.{_uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
@@ -891,22 +898,17 @@ class ConversationCurationIndexer:
     # ---------------------------------------------------- assembly
 
     def _assemble(self, turns: DataFrame) -> DataFrame:
-        """(conv, dialogue) from turn rows — the conversation_corpus
-        assembly: 'role: text' lines joined by newline in turn order
-        (turn_idx is a key column, so the order is total)."""
-        line = F.concat(
-            F.col(self.role_col),
-            F.lit(": "),
-            F.coalesce(F.col(self.text_col), F.lit("")),
-        )
-        structs = F.collect_list(
-            F.struct(F.col(self.turn_col), line.alias("_l"))
-        )
+        """(conv, dialogue) from turn rows — THE shared assembly
+        definition (curation.dialogue_expr, the same aggregate the
+        batch conversation_corpus query uses), so the incremental and
+        batch corpora can never drift."""
+        from .curation import dialogue_expr
+
         return turns.groupBy(
             F.col(self.conv_col).cast("string").alias("doc_id")
         ).agg(
-            F.array_join(
-                F.transform(F.array_sort(structs), lambda x: x["_l"]), "\n"
+            dialogue_expr(
+                self.turn_col, self.role_col, self.text_col
             ).alias("text")
         )
 
@@ -915,29 +917,12 @@ class ConversationCurationIndexer:
         — lookup()'s driver-side bucket-hash + per-value stats plan,
         with the snapshot pinned so racing base commits cannot leak
         future turns into this epoch's verdicts."""
-        bcol = self.docs.bucket_col
-        if bcol != self.conv_col or not convs:
+        if self.docs.bucket_col != self.conv_col:
             raise _FallbackScan()
-        btype = next(
-            f["type"] for f in self.docs.fields if f["name"] == bcol
-        )
-        if btype not in ("string", "bigint", "int"):
-            raise _FallbackScan()
-        from ..lake.xxh import bucket_of
-
-        vals = [str(v) if btype == "string" else int(v) for v in convs]
-        buckets = sorted(
-            {
-                bucket_of(v, self.docs.num_buckets, coltype=btype)
-                for v in vals
-            }
-        )
-        out = self.docs.read(
-            buckets=buckets,
-            ranges={bcol: [(v, v) for v in set(vals)]},
-            snapshot_id=to_id,
-        )
-        return out.filter(F.col(bcol).isin(vals))
+        # lookup() owns the driver-side plan (bucket-hash set,
+        # per-value stats ranges, strict value/column type gate) — one
+        # definition, pinned at the target snapshot
+        return self.docs.lookup(convs, snapshot_id=to_id)
 
     # ----------------------------------------------------- advance
 
@@ -954,25 +939,41 @@ class ConversationCurationIndexer:
         conv_str = F.col(self.conv_col).cast("string")
         try:
             ch = self.docs.read_changes(frm, to_id)
-            touched_df = ch.select(conv_str.alias("doc_id")).distinct()
-            # control-plane list: O(touched convs) ids on the driver —
+            # control-plane list of NATIVE conv values (lookup's type
+            # gate needs them un-cast): O(touched convs) on the driver;
             # past the cap, one pinned semi-joined scan instead
-            convs = [
-                r["doc_id"]
-                for r in touched_df.limit(self.max_lookup_convs + 1).collect()
-            ]
+            touched_rows = (
+                ch.select(self.conv_col)
+                .distinct()
+                .limit(self.max_lookup_convs + 1)
+                .collect()
+            )
+            convs = [r[self.conv_col] for r in touched_rows]
+            if not convs:
+                # a commit range that nets to zero changed keys
+                # (compaction, row-neutral replay): nothing to fold —
+                # NOT a reason to rescan the corpus
+                self._commit_cursor(to_id)
+                return {"convs": 0, "deleted": 0, "to": to_id}
             if len(convs) > self.max_lookup_convs:
                 log.warning(
                     "conv-curation %s: %d+ touched convs exceeds the "
                     "lookup cap — one pinned scan semi-joined on the "
                     "touched set", self.root, self.max_lookup_convs,
                 )
+                touched_df = ch.select(conv_str.alias("doc_id")).distinct()
                 turns = self.docs.read(snapshot_id=to_id).join(
                     touched_df.withColumnRenamed("doc_id", "_tc"),
                     conv_str == F.col("_tc"),
                     "left_semi",
                 )
             else:
+                # the full touched set is already on the driver — the
+                # deleted-set anti-join below runs against this tiny
+                # local frame instead of re-executing the feed diff
+                touched_df = self.spark.createDataFrame(
+                    [(str(v),) for v in convs], "doc_id string"
+                )
                 try:
                     turns = self._pinned_touched_turns(convs, to_id)
                 except _FallbackScan:

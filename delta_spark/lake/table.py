@@ -867,12 +867,14 @@ class LakeTable:
             files, cur, bset=bset, include_system=include_system, ranges=ranges
         )
 
-    def lookup(self, values: list) -> DataFrame:
+    def lookup(self, values: list, snapshot_id: int | None = None) -> DataFrame:
         """Point lookup by bucket-column value(s): bucket-hash file
         pruning + manifest-stats file skipping + exact row filter — the
         touched file count is O(len(values)), independent of table
         size (a 100 TB table answers a conv_id lookup from a handful of
-        files, planned entirely driver-side from the manifest)."""
+        files, planned entirely driver-side from the manifest).
+        ``snapshot_id`` pins the read (incremental consumers re-reading
+        the keys an epoch touched must not see racing later commits)."""
         if not values:
             return self.spark.createDataFrame([], self.schema)
         values = list(values)
@@ -914,7 +916,9 @@ class LakeTable:
         # domain still stats-skips every file holding neither value (a
         # single (min, max) envelope would degenerate to a full scan)
         out = self.read(
-            buckets=buckets, ranges={bcol: [(v, v) for v in set(values)]}
+            buckets=buckets,
+            ranges={bcol: [(v, v) for v in set(values)]},
+            snapshot_id=snapshot_id,
         )
         return out.filter(F.col(bcol).isin(values))
 

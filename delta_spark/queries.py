@@ -976,18 +976,12 @@ def conversation_corpus(spark, sf_dir):
         checkpoint_dir=f"{d}/ck", generation=1, num_buckets=8,
     )).run_batch()
     t = LakeTable.load(spark, f"{d}/tbl").read()
-    line = F.concat(
-        F.col("role"), F.lit(": "), F.coalesce(F.col("text"), F.lit(""))
-    )
-    structs = F.collect_list(F.struct(F.col("turn_idx"), line.alias("_l")))
     return t.groupBy("conv_id").agg(
         F.count("*").alias("n_turns"),
         F.sum(
             tx.token_count(F.coalesce(F.col("text"), F.lit("")))
         ).alias("n_tokens"),
-        F.array_join(
-            F.transform(F.array_sort(structs), lambda s: s["_l"]), "\n"
-        ).alias("dialogue"),
+        cur.dialogue_expr().alias("dialogue"),
     )
 
 

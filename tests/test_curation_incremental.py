@@ -865,3 +865,40 @@ def test_conv_curation_status_endpoint(spark, tmp_path):
         assert body["status_base_rows"] + body["status_delta_rows"] >= 1
     finally:
         svc.stop()
+
+
+def test_conv_curation_noop_epoch_short_circuits(spark, tmp_path):
+    """A commit range netting zero changed keys (compaction) moves the
+    cursor without assembling anything — never a corpus rescan."""
+    import datetime
+
+    from delta_spark.functions.curation_incremental import (
+        ConversationCurationIndexer,
+    )
+    from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8,
+    )
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp, op string, seq long")
+    ts = datetime.datetime(2026, 1, 1)
+    tbl.merge(
+        spark.createDataFrame(
+            [("c0", j, "user", " ".join(f"w{j}x{k}" for k in range(12)),
+              "", ts, "UPDATE", j + 1) for j in range(3)],
+            ddl,
+        ),
+        "w", "b1",
+    )
+    ix = ConversationCurationIndexer(spark, tbl, str(tmp_path / "cc"))
+    ix.advance()
+    before = {tuple(r) for r in ix.curated_layout().collect()}
+    tbl.compact(max_files_per_bucket=1)  # head moves, zero row change
+    out = ix.advance()
+    assert out["convs"] == 0 and out["deleted"] == 0
+    assert json.load(open(ix.cursor_path))["last_snapshot"] == (
+        tbl.current_snapshot["id"]
+    )
+    assert {tuple(r) for r in ix.curated_layout().collect()} == before
