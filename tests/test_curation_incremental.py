@@ -902,3 +902,58 @@ def test_conv_curation_noop_epoch_short_circuits(spark, tmp_path):
         tbl.current_snapshot["id"]
     )
     assert {tuple(r) for r in ix.curated_layout().collect()} == before
+
+
+def test_conv_curation_cursor_expired_rebootstrap(spark, tmp_path):
+    """Docs retention running ahead of the conversation index triggers
+    the full-assembly rebootstrap; the layout invariant holds and a
+    conversation deleted while the index was behind loses its row."""
+    import datetime
+
+    from delta_spark.functions.curation_incremental import (
+        ConversationCurationIndexer,
+    )
+    from delta_spark.schema import TRANSCRIPT_SCHEMA
+
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8,
+    )
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp, op string, seq long")
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        (f"c{i}", j, "user", " ".join(f"q{i}{j}w{k}" for k in range(12)),
+         "", ts, "UPDATE", i * 10 + j + 1)
+        for i in range(4) for j in range(2)
+    ]
+    tbl.merge(spark.createDataFrame(rows, ddl), "w", "b1")
+    ix = ConversationCurationIndexer(spark, tbl, str(tmp_path / "cc"))
+    ix.advance()
+    # while the index sleeps: delete all of c0, add c9, expire history
+    tbl.merge(
+        spark.createDataFrame(
+            [("c0", j, "user", None, "", ts, "DELETE", 100 + j)
+             for j in range(2)], ddl),
+        "w", "b2",
+    )
+    tbl.merge(
+        spark.createDataFrame(
+            [("c9", 0, "user",
+              " ".join(f"z9w{k}" for k in range(12)), "", ts,
+              "UPDATE", 200)], ddl),
+        "w", "b3",
+    )
+    tbl.expire_snapshots(keep_last=1)  # cursor snapshot now gone
+    ix.advance()  # ValueError path → full re-assembly + stale deletes
+    batch = cur.curate_corpus(
+        _assemble_batch(tbl).withColumnRenamed("doc_id", "conv_id"),
+        "conv_id", "text", budget=512, n_shards=8, top_cap=0.5,
+    ).toPandas()
+    inc = ix.curated_layout().toPandas()
+    key = lambda p: {
+        (r["conv_id"], int(r["n_tokens"]), int(r["shard"]),
+         int(r["bin_start"]), int(r["bin"])) for _, r in p.iterrows()
+    }
+    assert key(inc) == key(batch)
+    assert "c0" not in set(inc["conv_id"])
