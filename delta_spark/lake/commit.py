@@ -134,6 +134,64 @@ class HttpConditionalPut(ConditionalPutStore):
             raise
 
 
+class Boto3ConditionalPut(ConditionalPutStore):
+    """Conditional put via the AWS SDK — the production path on real
+    S3 (SigV4 signing, credential chain, VPC endpoints) and on any
+    S3-compatible store reachable through ``endpoint_url`` (MinIO,
+    moto). Keys are bucket-qualified (``bucket/prefix/file``, exactly
+    what ``ObjectStoreCommit._key`` produces from an ``s3://`` root);
+    the first path segment is the bucket.
+
+    Two S3 answers mean "another writer may have won":
+
+    * 412 ``PreconditionFailed`` — the key exists; the race is lost.
+    * 409 ``ConditionalRequestConflict`` — a concurrent conditional
+      write on the same key was in flight and S3 refused to arbitrate;
+      the outcome is UNKNOWN (the other writer may yet fail). AWS
+      documents retrying as the correct response, so the put is
+      re-issued (bounded) until it converges to created-by-us (2xx)
+      or lost (412). Raising CommitConflict on an undecided 409 would
+      be wrong: the engine's refresh-retry would find no committed
+      version and re-claim anyway — spinning here is the same loop
+      without re-reading table metadata.
+
+    Tested against moto's real S3 HTTP server (SigV4-signed, 412 on
+    conflict) in tests/test_object_commit.py — the same shared
+    contract suite the POSIX protocol passes."""
+
+    def __init__(self, client=None, endpoint_url=None, max_conflict_retries=16):
+        if client is None:
+            import boto3
+
+            client = boto3.client("s3", endpoint_url=endpoint_url)
+        self.client = client
+        self.max_conflict_retries = max_conflict_retries
+
+    def put_if_absent(self, key: str, body: bytes) -> bool:
+        from botocore.exceptions import ClientError
+
+        bucket, _, obj = key.lstrip("/").partition("/")
+        if not bucket or not obj:
+            raise ValueError(f"bucket-qualified key required, got {key!r}")
+        attempts = 0
+        while True:
+            try:
+                self.client.put_object(
+                    Bucket=bucket, Key=obj, Body=body, IfNoneMatch="*"
+                )
+                return True
+            except ClientError as e:
+                code = e.response.get("Error", {}).get("Code")
+                if code == "PreconditionFailed":
+                    return False
+                if code == "ConditionalRequestConflict":
+                    attempts += 1
+                    if attempts > self.max_conflict_retries:
+                        raise
+                    continue
+                raise
+
+
 class ObjectStoreCommit(CommitProtocol):
     """Version claim over a conditional-put object store. With no
     ``store`` configured, instantiating-then-claiming is an explicit,
@@ -178,7 +236,18 @@ def protocol_for(path: str) -> CommitProtocol:
     for scheme in _OBJECT_SCHEMES:
         if path.startswith(scheme):
             endpoint = os.environ.get("DELTA_SPARK_OBJECT_STORE_ENDPOINT")
-            store = HttpConditionalPut(endpoint) if endpoint else None
+            sdk = os.environ.get("DELTA_SPARK_OBJECT_STORE_SDK")
+            if sdk == "boto3":
+                store: ConditionalPutStore | None = Boto3ConditionalPut(
+                    endpoint_url=endpoint or None
+                )
+            elif sdk:
+                raise ValueError(
+                    f"unknown DELTA_SPARK_OBJECT_STORE_SDK={sdk!r} "
+                    "(supported: boto3)"
+                )
+            else:
+                store = HttpConditionalPut(endpoint) if endpoint else None
             return ObjectStoreCommit(scheme.rstrip(":/"), store)
     if "://" in path and not path.startswith("file://"):
         raise ValueError(

@@ -6,12 +6,14 @@ substrate holds the metadata (reference analog: commit arbitration
 delegated to a store, DBReplicationOffsetStore.java:92-99)."""
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
 
 from delta_spark.lake.commit import (
+    Boto3ConditionalPut,
     CommitConflict,
     HttpConditionalPut,
     ObjectStoreCommit,
@@ -162,3 +164,157 @@ def test_http_error_other_than_conflict_propagates(s3_double):
     bad = HttpConditionalPut("http://127.0.0.1:1", timeout=0.5)
     with pytest.raises(urllib.error.URLError):
         bad.put_if_absent("k", b"{}")
+
+
+# ---------------------------------------------------------------- boto3
+# The SDK path, run against moto's REAL S3 HTTP server (SigV4-signed
+# requests, genuine 412 PreconditionFailed on a lost conditional put) —
+# the same contract the POSIX protocol and the raw-HTTP store pass.
+
+boto3 = pytest.importorskip("boto3")
+
+
+@pytest.fixture(scope="module")
+def moto_s3():
+    from moto.server import ThreadedMotoServer
+
+    saved = {
+        k: os.environ.get(k)
+        for k in ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY", "AWS_DEFAULT_REGION")
+    }
+    os.environ["AWS_ACCESS_KEY_ID"] = "testing"
+    os.environ["AWS_SECRET_ACCESS_KEY"] = "testing"
+    os.environ["AWS_DEFAULT_REGION"] = "us-east-1"
+    srv = ThreadedMotoServer(port=0, verbose=False)
+    srv.start()
+    port = srv._server.socket.getsockname()[1]
+    client = boto3.client("s3", endpoint_url=f"http://127.0.0.1:{port}")
+    client.create_bucket(Bucket="bucket")
+    try:
+        yield client
+    finally:
+        srv.stop()
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def test_boto3_contract_claim_conflict_durability(moto_s3):
+    proto = ObjectStoreCommit("s3", Boto3ConditionalPut(client=moto_s3))
+    d = "s3://bucket/tbl-a/metadata"
+    proto.claim(d, "v1.json", {"v": 1})
+    with pytest.raises(CommitConflict):
+        proto.claim(d, "v1.json", {"v": 1, "again": True})
+    proto.claim(d, "v2.json", {"v": 2})  # next version still free
+    # durable, first-writer payload, at the bucket-qualified key
+    body = moto_s3.get_object(Bucket="bucket", Key="tbl-a/metadata/v1.json")[
+        "Body"
+    ].read()
+    assert json.loads(body) == {"v": 1}
+
+
+def test_boto3_contract_single_winner_under_concurrency(moto_s3):
+    proto = ObjectStoreCommit("s3", Boto3ConditionalPut(client=moto_s3))
+    d = "s3://bucket/tbl-race/metadata"
+    wins, losses, errs = [], [], []
+
+    def worker(i):
+        try:
+            proto.claim(d, "v9.json", {"writer": i})
+            wins.append(i)
+        except CommitConflict:
+            losses.append(i)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert len(wins) == 1 and len(losses) == 15
+    # the surviving payload belongs to the single winner
+    body = moto_s3.get_object(Bucket="bucket", Key="tbl-race/metadata/v9.json")[
+        "Body"
+    ].read()
+    assert json.loads(body) == {"writer": wins[0]}
+
+
+def test_boto3_requires_bucket_qualified_key(moto_s3):
+    store = Boto3ConditionalPut(client=moto_s3)
+    with pytest.raises(ValueError, match="bucket-qualified"):
+        store.put_if_absent("no-object-part", b"{}")
+
+
+class _ScriptedClient:
+    """boto3-shaped double replaying a scripted sequence of outcomes:
+    'conflict' (409 ConditionalRequestConflict — undecided, AWS says
+    retry), 'lost' (412), 'ok' (created), or any other string as an
+    unrelated error code that must propagate."""
+
+    def __init__(self, outcomes):
+        self.outcomes = list(outcomes)
+        self.calls = 0
+
+    def put_object(self, **kw):
+        from botocore.exceptions import ClientError
+
+        self.calls += 1
+        outcome = self.outcomes.pop(0)
+        if outcome == "ok":
+            return {}
+        code = {
+            "conflict": "ConditionalRequestConflict",
+            "lost": "PreconditionFailed",
+        }.get(outcome, outcome)
+        raise ClientError({"Error": {"Code": code}}, "PutObject")
+
+
+def test_boto3_409_retries_until_created():
+    store = Boto3ConditionalPut(client=_ScriptedClient(["conflict", "conflict", "ok"]))
+    assert store.put_if_absent("bucket/k", b"{}") is True
+    assert store.client.calls == 3
+
+
+def test_boto3_409_retries_until_lost():
+    store = Boto3ConditionalPut(client=_ScriptedClient(["conflict", "lost"]))
+    assert store.put_if_absent("bucket/k", b"{}") is False
+
+
+def test_boto3_409_retry_budget_exhausted_raises():
+    from botocore.exceptions import ClientError
+
+    store = Boto3ConditionalPut(
+        client=_ScriptedClient(["conflict"] * 4), max_conflict_retries=3
+    )
+    with pytest.raises(ClientError, match="ConditionalRequestConflict"):
+        store.put_if_absent("bucket/k", b"{}")
+
+
+def test_boto3_unrelated_error_propagates():
+    from botocore.exceptions import ClientError
+
+    store = Boto3ConditionalPut(client=_ScriptedClient(["AccessDenied"]))
+    with pytest.raises(ClientError, match="AccessDenied"):
+        store.put_if_absent("bucket/k", b"{}")
+
+
+def test_protocol_for_sdk_selection(monkeypatch):
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "testing")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "testing")
+    monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+    monkeypatch.setenv("DELTA_SPARK_OBJECT_STORE_SDK", "boto3")
+    monkeypatch.delenv("DELTA_SPARK_OBJECT_STORE_ENDPOINT", raising=False)
+    proto = protocol_for("s3://bucket/tbl")
+    assert isinstance(proto.store, Boto3ConditionalPut)
+    # endpoint override reaches the client (MinIO/moto deployments)
+    monkeypatch.setenv("DELTA_SPARK_OBJECT_STORE_ENDPOINT", "http://127.0.0.1:9999")
+    proto = protocol_for("s3://bucket/tbl")
+    assert proto.store.client.meta.endpoint_url == "http://127.0.0.1:9999"
+    # unknown SDK names fail fast, never fall back silently
+    monkeypatch.setenv("DELTA_SPARK_OBJECT_STORE_SDK", "gcs-magic")
+    with pytest.raises(ValueError, match="DELTA_SPARK_OBJECT_STORE_SDK"):
+        protocol_for("s3://bucket/tbl")
