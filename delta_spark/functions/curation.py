@@ -310,6 +310,8 @@ def tfidf_topk(
     id_col: str,
     text_col: str,
     k: int = 3,
+    dfreq: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Deterministic per-document keyword extraction: the top-``k``
     tokens by a TF-IDF-shaped score, ``score = tf * N / df`` (term
@@ -328,13 +330,43 @@ def tfidf_topk(
     top-k is a row_number window partitioned by document id, state
     bounded by each document's distinct-token count. N is an
     O(1)-row aggregate broadcast, never a driver-side collect.
+
+    ``dfreq``/``n_docs`` serve the IDF side from MAINTAINED state: pass
+    ``VocabIndexer.doc_frequency()`` (any DataFrame whose first two
+    columns are token → containing-doc count) plus the corpus doc
+    count at the same epoch (``VocabIndexer.doc_count()``) and the
+    corpus-wide (doc, token) aggregation disappears from the plan —
+    only the documents being SCORED are scanned, while their IDF stays
+    corpus-exact. That is the real serving win: keywords for a fresh
+    batch of documents no longer rescan 100 TB of corpus for document
+    frequencies. A scored token absent from the maintained state (a
+    document newer than the index cursor) falls back to df=1 — its
+    first observed occurrence — via a LEFT join, never silently
+    dropped. For a caught-up index over the same corpus both paths are
+    bit-identical (same bigints, same single divide).
     """
     ex = df.select(id_col, F.explode(tokens(text_col)).alias("token"))
     per = ex.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    dfreq = per.groupBy("token").agg(F.count("*").alias("df_docs"))
-    ndocs = df.agg(F.count("*").alias("_n"))
+    if dfreq is None:
+        dfreq = per.groupBy("token").agg(F.count("*").alias("df_docs"))
+        ndocs = df.agg(F.count("*").alias("_n"))
+    else:
+        if n_docs is None:
+            raise ValueError(
+                "maintained dfreq needs the corpus doc count from the "
+                "same epoch (VocabIndexer.doc_count()) — computing N "
+                "from the scored subset would skew every score"
+            )
+        c0, c1 = dfreq.columns[:2]
+        dfreq = dfreq.select(
+            F.col(c0).alias("token"), F.col(c1).cast("long").alias("df_docs")
+        )
+        ndocs = df.sparkSession.range(1).select(
+            F.lit(int(n_docs)).cast("long").alias("_n")
+        )
     scored = (
-        per.join(dfreq, "token")
+        per.join(dfreq, "token", "left")
+        .withColumn("df_docs", F.coalesce("df_docs", F.lit(1)))
         .crossJoin(F.broadcast(ndocs))
         .select(
             id_col,

@@ -437,6 +437,27 @@ class VocabIndexer:
             .limit(k)
         )
 
+    def doc_frequency(self) -> DataFrame:
+        """(token, df_docs) from maintained state — the corpus-wide IDF
+        side ``tfidf_topk(dfreq=...)`` serves without rescanning the
+        corpus; pair with :meth:`doc_count` from the same epoch."""
+        return self.vocab.read().select("token", "df_docs")
+
+    def doc_count(self) -> int:
+        """Corpus document count pinned at the index's cursor snapshot
+        — the N that makes maintained-IDF scores epoch-consistent with
+        :meth:`doc_frequency` even while newer commits land on the docs
+        table. One column-pruned count over the pinned snapshot
+        (O(corpus rows), but no explode and no token aggregation — the
+        costs the maintained path exists to avoid); the scalar is
+        control-plane, not a data collect."""
+        frm = self._cursor()
+        if frm is None:
+            raise ValueError(
+                "vocab index has never advanced — no epoch to count at"
+            )
+        return self.docs.read(snapshot_id=frm).count()
+
 
 def cursor_from_status_metadata(status_meta: dict) -> int | None:
     """Last docs-snapshot id folded into a status table, derived from

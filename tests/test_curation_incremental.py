@@ -384,6 +384,55 @@ def test_oov_served_from_maintained_vocab(spark, tmp_path):
     assert a == b
 
 
+def test_tfidf_served_from_maintained_vocab(spark, tmp_path):
+    """tfidf_topk(dfreq=ix.doc_frequency(), n_docs=ix.doc_count())
+    equals the in-query document-frequency path bit-for-bit for a
+    caught-up index — the corpus-wide (doc, token) aggregation leaves
+    the plan, the scores do not move."""
+    from delta_spark.functions.curation_incremental import VocabIndexer
+
+    src = _src(spark).limit(60)
+    tbl = _mk_docs(spark, tmp_path / "docs")
+    _commit(tbl, src, "INSERT", 1, "b1")
+    ix = VocabIndexer(spark, tbl, str(tmp_path / "vocab"))
+    ix.advance()
+
+    def _k(df):
+        return {
+            (int(r["doc_id"]), int(r["rank"]), r["token"], int(r["tf"]),
+             int(r["df_docs"]), float(r["score"]))
+            for r in df.collect()
+        }
+
+    fresh = _k(cur.tfidf_topk(tbl.read(), "doc_id", "text", k=3))
+    served = _k(
+        cur.tfidf_topk(
+            tbl.read(), "doc_id", "text", k=3,
+            dfreq=ix.doc_frequency(), n_docs=ix.doc_count(),
+        )
+    )
+    assert fresh == served and len(fresh) > 0
+
+    # maintained dfreq without its epoch's N is refused, not guessed
+    with pytest.raises(ValueError, match="doc count"):
+        cur.tfidf_topk(
+            tbl.read(), "doc_id", "text", k=3, dfreq=ix.doc_frequency()
+        )
+
+    # a document newer than the index cursor still scores: unseen
+    # tokens fall back to df=1 (first observed occurrence), never drop
+    novel = spark.createDataFrame(
+        [(999_001, "zzznovel zzznovel qqqunseen")], DOCS_SCHEMA
+    )
+    out = cur.tfidf_topk(
+        novel, "doc_id", "text", k=3,
+        dfreq=ix.doc_frequency(), n_docs=ix.doc_count(),
+    ).collect()
+    by_tok = {r["token"]: r for r in out}
+    assert set(by_tok) == {"zzznovel", "qqqunseen"}
+    assert all(int(r["df_docs"]) == 1 for r in out)
+
+
 def test_vocab_streaming_sink_hook(spark, tmp_path):
     """cfg.vocab_root maintains the vocabulary in lockstep with the
     streaming sink: after the stream drains, the vocab table equals
