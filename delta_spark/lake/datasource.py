@@ -1,0 +1,525 @@
+"""``deltaspark`` — the lake as a FIRST-CLASS Spark data source.
+
+Any Spark session can scan a lake table or tail its change feed with
+nothing but the format name — no ``LakeTable`` import, no engine API:
+
+    spark.dataSource.register(LakeDataSource)       # or register(spark)
+
+    # table state (optionally time-traveled)
+    spark.read.format("deltaspark").option("path", root).load()
+    ... .option("snapshot_id", 7) / .option("tag", "v1")
+    ... .option("branch", "audit")                  # WAP staging read
+
+    # batch change feed between two snapshots (Delta CDF / Iceberg
+    # changelog-scan analog): rows + _change_type + _seq
+    spark.read.format("deltaspark").option("path", root)
+        .option("feed", "changes").option("from_snapshot_id", 3).load()
+
+    # STREAMING: tail the change feed, exactly-once, resumable
+    spark.readStream.format("deltaspark").option("path", root)
+        .option("feed", "changes").option("starting", "earliest").load()
+
+Architecture (PySpark 4 Python DataSource API): all PLANNING is
+driver-side over O(metadata) — resolve the snapshot once (the scan is
+pinned: commits landing mid-query cannot tear it), name the bucket ids
+to read, emit one ``InputPartition`` per bucket. All DATA movement is
+executor-side: each task runs the Spark-free DuckDB reader
+(``lake/interop.py``) for ITS bucket and streams Arrow record batches
+straight back to Spark — per-key state is bucket-local by the lake's
+layout invariant, so the per-bucket MoR fold / change diff needs no
+shuffle and the union over buckets is exact. At 100 TB the scan
+parallelism is the bucket count (the same fan-out the engine's own
+reads use), the driver never touches data, and a 1-commit streaming
+micro-batch plans O(touched buckets) tasks from the manifest diff.
+
+Filter pushdown (``pushFilters``): equality/IN on the bucket column
+prunes partitions via the Spark-equal XXH64 (a point lookup plans
+exactly one task); comparisons on stats-tracked columns become
+manifest min/max ``ranges`` so each task opens only intersecting
+files. Every filter is also RETURNED to Spark for re-application —
+pruning here is an optimization, never the correctness boundary.
+
+Streaming offsets are snapshot ids — the lake's own commit points —
+so a checkpointed restart replays exactly the committed range
+deterministically (same manifest diff → same rows). An offset that
+has been expired by ``expire_snapshots`` fails loudly at planning,
+the same resync contract as jobs/consume_changes.py.
+
+Reference analog: the reference exposes its target tables to ANY
+downstream consumer through the EventConsumer contract
+(delta-api/.../EventConsumer.java:39-76) and its change stream
+through EventReader.start(Offset) (delta-api/.../EventReader.java:
+22-51, offset = resumable position). This module is that surface
+rebuilt Spark-native: the table is a format, the offset is a
+snapshot id, the consumer is any Spark query.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "deltaspark"
+
+_CHANGE_COLS = (("_change_type", "string"), ("_seq", "bigint"))
+
+
+def register(spark) -> None:
+    """Register the ``deltaspark`` format on a session (idempotent)."""
+    spark.dataSource.register(LakeDataSource)
+
+
+def _meta(path: str) -> dict:
+    from .interop import read_metadata
+
+    return read_metadata(os.path.abspath(path))
+
+
+def _spark_type(simple: str):
+    """Lake field type (Spark ``simpleString``) → DataType, without a
+    live session (``DataType.fromDDL`` needs one; ``schema()`` runs in
+    a sessionless planning worker). The lake's column type surface is
+    the reference's end-to-end type list (SURVEY §1.2) — primitives
+    only; anything else is a loud error, not a guess."""
+    from pyspark.sql import types as T
+
+    m = {
+        "string": T.StringType(),
+        "int": T.IntegerType(),
+        "integer": T.IntegerType(),
+        "bigint": T.LongType(),
+        "long": T.LongType(),
+        "smallint": T.ShortType(),
+        "tinyint": T.ByteType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "boolean": T.BooleanType(),
+        "timestamp": T.TimestampType(),
+        "binary": T.BinaryType(),
+        "date": T.DateType(),
+    }
+    t = simple.strip().lower()
+    if t not in m:
+        raise ValueError(f"deltaspark: unsupported lake column type {simple!r}")
+    return m[t]
+
+
+def _resolve_pin(meta: dict, path: str, opts: dict) -> int | None:
+    """Driver-side: pin the snapshot a batch scan reads — explicit
+    snapshot_id / tag / branch head, else current main head."""
+    picked = [k for k in ("snapshot_id", "tag", "branch") if opts.get(k)]
+    if len(picked) > 1:
+        raise ValueError(f"pass at most one of snapshot_id/tag/branch, got {picked}")
+    if opts.get("snapshot_id"):
+        return int(opts["snapshot_id"])
+    if opts.get("tag"):
+        tags = meta.get("tags", {})
+        if opts["tag"] not in tags:
+            raise ValueError(f"unknown tag {opts['tag']!r} (have {sorted(tags)})")
+        return int(tags[opts["tag"]])
+    if opts.get("branch"):
+        from .interop import branch_ref
+
+        return branch_ref(meta, opts["branch"])[0]
+    return meta["current_snapshot_id"]
+
+
+def _fields_at(meta: dict, path: str, sid: int | None) -> list[dict]:
+    from .interop import resolve_snapshot
+
+    sv = meta["schema_version"]
+    if sid is not None and sid != meta["current_snapshot_id"]:
+        snap = resolve_snapshot(meta, os.path.abspath(path), sid)
+        if snap is not None:
+            sv = snap.get("schema_version", sv)
+    return meta["schemas"][str(sv)]
+
+
+def _candidate_buckets(meta: dict, snap: dict | None) -> list[int]:
+    """Bucket ids that may hold rows of ``snap``: the current-spec ids
+    its files carry, widened to the full domain when spanning (-1) or
+    foreign-spec files exist (their rows' current-spec ids are only
+    known row-side; each task row-filters them to its own id)."""
+    if snap is None or not snap["files"]:
+        return []
+    cur_spec = int(meta.get("bucket_spec_id", 0))
+    n = int(meta["num_buckets"])
+    ids: set[int] = set()
+    for f in snap["files"]:
+        if int(f.get("spec", 0)) != cur_spec or int(f["bucket"]) == -1:
+            return list(range(n))
+        ids.add(int(f["bucket"]))
+    return sorted(ids)
+
+
+def _cast_batches(rel, spark_schema: StructType, rows_per_batch: int):
+    """Stream a DuckDB relation back as Arrow record batches cast to
+    the exact Arrow schema Spark expects for ``spark_schema``."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    # cast target is all-nullable: DuckDB's Arrow output flags every
+    # field nullable, and Spark trusts the DECLARED source schema for
+    # nullability — only names/types/units must line up here
+    target = pa.schema(
+        [f.with_nullable(True) for f in to_arrow_schema(spark_schema)]
+    )
+    reader = rel.fetch_arrow_reader(rows_per_batch)
+    for batch in reader:
+        tbl = pa.Table.from_batches([batch]).select(target.names).cast(target)
+        yield from tbl.to_batches()
+
+
+@dataclass
+class _BucketPart(InputPartition):
+    bucket: int | None  # None = unsliced whole read (empty/fallback)
+
+
+class LakeDataSource(DataSource):
+    """``format("deltaspark")`` — options:
+
+    path (required)      lake table root (reachable from executors,
+                         like any Spark path)
+    feed                 "state" (default) | "changes"
+    snapshot_id/tag/branch   batch time travel (state feed)
+    from_snapshot_id/to_snapshot_id   batch change-feed range
+                         (from omitted → full TO state as inserts)
+    starting             streaming start: "latest" (default),
+                         "earliest", or a snapshot id
+    rows_per_batch       Arrow batch size (default 65536)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("deltaspark requires .option('path', <table root>)")
+        return os.path.abspath(p)
+
+    def _feed(self) -> str:
+        feed = (self.options.get("feed") or "state").lower()
+        if feed not in ("state", "changes"):
+            raise ValueError(f"feed must be 'state' or 'changes', got {feed!r}")
+        return feed
+
+    def schema(self) -> StructType:
+        from pyspark.sql.types import StructField
+
+        path = self._path()
+        meta = _meta(path)
+        if self._feed() == "changes":
+            to = self.options.get("to_snapshot_id")
+            fields = _fields_at(meta, path, int(to) if to else None)
+            cols = [(f["name"], f["type"]) for f in fields] + list(_CHANGE_COLS)
+        else:
+            sid = _resolve_pin(meta, path, self.options)
+            fields = _fields_at(meta, path, sid)
+            cols = [(f["name"], f["type"]) for f in fields]
+        # all-nullable, matching LakeTable.read() (a parquet scan):
+        # the metadata's not-null flags are WRITE constraints; readers
+        # of either surface see the same schema
+        return StructType([StructField(n, _spark_type(t), True) for n, t in cols])
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        if self._feed() == "changes":
+            return LakeChangesBatchReader(self._path(), self.options, schema)
+        if _pushdown_enabled():
+            return LakeBatchReader(self._path(), self.options, schema)
+        return _LakeBatchReaderNoPushdown(self._path(), self.options, schema)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self._feed() != "changes":
+            raise ValueError(
+                "streaming reads tail the change feed: add "
+                ".option('feed', 'changes') (a stream of table STATE "
+                "has no incremental meaning)"
+            )
+        return LakeChangesStreamReader(self._path(), self.options, schema)
+
+
+def _pushdown_enabled() -> bool:
+    """Spark refuses a reader that merely DEFINES pushFilters unless
+    spark.sql.python.filterPushdown.enabled is on (build_session sets
+    it); fall back to the same reader minus the hook so plain sessions
+    still read — Spark re-applies all filters either way, only the
+    partition/file pruning is lost."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    try:
+        return (
+            s is not None
+            and s.conf.get("spark.sql.python.filterPushdown.enabled", "false").lower()
+            == "true"
+        )
+    except Exception:
+        return False
+
+
+class _LakeBatchReaderBase(DataSourceReader):
+    """Table-state scan: one task per candidate bucket, each folding
+    its bucket's base+delta files locally (keys never span buckets)."""
+
+    def __init__(self, path: str, options: dict, schema: StructType):
+        self.path = path
+        self.schema = schema
+        self.rows_per_batch = int(options.get("rows_per_batch") or 65536)
+        meta = _meta(path)
+        self.sid = _resolve_pin(meta, path, options)
+        # a head read speaks CURRENT column names even when the head
+        # snapshot predates a metadata-only rename (LakeTable.read()
+        # semantics); explicit time travel keeps its snapshot's names
+        explicit = any(options.get(k) for k in ("snapshot_id", "tag", "branch"))
+        self.align_sv = None if explicit else meta["schema_version"]
+        # pushdown planning state (driver-only; cheap to pickle anyway)
+        fields = _fields_at(meta, path, self.sid)
+        by_id = {f["id"]: f for f in fields}
+        self._bucket_field = by_id.get(meta["bucket_id"], {})
+        self._stats_names = {
+            by_id[i]["name"] for i in meta.get("stats_ids", []) if i in by_id
+        }
+        self._num_buckets = int(meta["num_buckets"])
+        self._pruned_buckets: list[int] | None = None
+        self._ranges: dict[str, tuple] = {}
+
+    # -- planning (driver) -------------------------------------------
+    def partitions(self) -> Sequence[InputPartition]:
+        from .interop import resolve_snapshot
+
+        meta = _meta(self.path)
+        snap = resolve_snapshot(meta, self.path, self.sid)
+        cand = _candidate_buckets(meta, snap)
+        if self._pruned_buckets is not None:
+            cand = sorted(set(cand) & set(self._pruned_buckets))
+        if not cand:
+            return [_BucketPart(None)]  # empty scan, one no-op task
+        return [_BucketPart(b) for b in cand]
+
+    # -- execution (executor) ----------------------------------------
+    def read(self, partition: _BucketPart) -> Iterator:
+        import duckdb
+
+        from .interop import read_duckdb
+
+        if partition.bucket is None and self.sid is None:
+            return
+        con = duckdb.connect()
+        rel = read_duckdb(
+            self.path,
+            con=con,
+            buckets=None if partition.bucket is None else [partition.bucket],
+            snapshot_id=self.sid,
+            ranges=self._ranges or None,
+            align_schema_version=self.align_sv,
+        )
+        yield from _cast_batches(rel, self.schema, self.rows_per_batch)
+
+
+_LakeBatchReaderNoPushdown = _LakeBatchReaderBase
+
+
+class LakeBatchReader(_LakeBatchReaderBase):
+    """The state reader plus filter pushdown (bucket pruning via the
+    Spark-equal XXH64, manifest min/max ranges via lake/stats.py)."""
+
+    def pushFilters(self, filters):
+        from .xxh import bucket_of
+
+        bname = self._bucket_field.get("name")
+        btype = self._bucket_field.get("type")
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr is None or len(attr) != 1:
+                continue
+            col = attr[0]
+            vals = None
+            if isinstance(f, EqualTo):
+                vals = [f.value]
+            elif isinstance(f, In):
+                vals = list(f.value)
+            if (
+                vals is not None
+                and col == bname
+                and all(isinstance(v, (str, int)) for v in vals)
+                and None not in vals
+            ):
+                try:
+                    ids = sorted(
+                        {bucket_of(v, self._num_buckets, coltype=btype) for v in vals}
+                    )
+                except TypeError:
+                    ids = None  # unsupported bucket type: no pruning
+                if ids is not None:
+                    cur = (
+                        set(ids)
+                        if self._pruned_buckets is None
+                        else set(self._pruned_buckets) & set(ids)
+                    )
+                    self._pruned_buckets = sorted(cur)
+            if col in self._stats_names and isinstance(
+                getattr(f, "value", None), (str, int, float)
+            ):
+                lo, hi = self._ranges.get(col, (None, None))
+                v = f.value
+                if isinstance(f, EqualTo):
+                    lo = v if lo is None else max(lo, v)
+                    hi = v if hi is None else min(hi, v)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    lo = v if lo is None else max(lo, v)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    hi = v if hi is None else min(hi, v)
+                if lo is not None or hi is not None:
+                    self._ranges[col] = (lo, hi)
+        # every filter is re-applied by Spark: bucket/stats pruning is
+        # conservative (may keep extra rows), never load-bearing. The
+        # strict >/< bounds stay inclusive in the range plan for the
+        # same reason.
+        return filters
+
+
+class LakeChangesBatchReader(DataSourceReader):
+    """Batch change feed ``(from, to]`` — one task per TOUCHED bucket
+    (driver-side manifest diff), each running its slice of the
+    Spark-free diff SQL."""
+
+    def __init__(self, path: str, options: dict, schema: StructType):
+        self.path = path
+        self.schema = schema
+        self.rows_per_batch = int(options.get("rows_per_batch") or 65536)
+        frm = options.get("from_snapshot_id")
+        to = options.get("to_snapshot_id")
+        self.frm = int(frm) if frm else None
+        meta = _meta(path)
+        self.to = int(to) if to else meta["current_snapshot_id"]
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return _change_partitions(self.path, self.frm, self.to)
+
+    def read(self, partition: _BucketPart) -> Iterator:
+        yield from _read_changes_part(
+            self.path, self.frm, self.to, partition, self.schema, self.rows_per_batch
+        )
+
+
+def _change_partitions(path: str, frm: int | None, to: int | None):
+    from .interop import resolve_snapshot, touched_buckets
+
+    if to is None:
+        return [_BucketPart(None)]
+    meta = _meta(path)
+    if frm is None:
+        cand = _candidate_buckets(meta, resolve_snapshot(meta, path, to))
+    else:
+        cand = touched_buckets(path, frm, to)
+        if cand is None:  # unprunable (rebucket + unsupported type)
+            cand = _candidate_buckets(meta, resolve_snapshot(meta, path, to))
+    if not cand:
+        return [_BucketPart(None)]
+    return [_BucketPart(b) for b in cand]
+
+
+def _read_changes_part(
+    path: str,
+    frm: int | None,
+    to: int | None,
+    partition: _BucketPart,
+    schema: StructType,
+    rows_per_batch: int,
+):
+    import duckdb
+
+    from .interop import changes_duckdb
+
+    if partition.bucket is None and to is None:
+        return
+    con = duckdb.connect()
+    rel = changes_duckdb(
+        path,
+        con=con,
+        from_snapshot_id=frm,
+        to_snapshot_id=to,
+        buckets=None if partition.bucket is None else [partition.bucket],
+    )
+    yield from _cast_batches(rel, schema, rows_per_batch)
+
+
+@dataclass
+class _ChangeRangePart(InputPartition):
+    frm: int | None
+    to: int
+    bucket: int | None
+
+
+class LakeChangesStreamReader(DataSourceStreamReader):
+    """Structured Streaming source over the change feed. Offsets ARE
+    snapshot ids (-1 = before any snapshot), so progress is pinned to
+    the lake's own commit points: ``partitions(start, end)`` plans the
+    manifest diff ``(start, end]`` driver-side — O(touched buckets)
+    tasks — and a checkpointed replay of the same range is
+    deterministic by construction. DDL-only / compaction-only commits
+    yield a no-op micro-batch (the diff is empty, as read_changes
+    promises). The output schema is pinned at query start, like every
+    Spark streaming source."""
+
+    def __init__(self, path: str, options: dict, schema: StructType):
+        self.path = path
+        self.schema = schema
+        self.rows_per_batch = int(options.get("rows_per_batch") or 65536)
+        starting = str(options.get("starting") or "latest").lower()
+        head = _meta(path)["current_snapshot_id"]
+        if starting == "latest":
+            self._initial = -1 if head is None else int(head)
+        elif starting == "earliest":
+            self._initial = -1
+        else:
+            self._initial = int(starting)
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": self._initial}
+
+    def latestOffset(self) -> dict:
+        head = _meta(self.path)["current_snapshot_id"]
+        return {"snapshot_id": -1 if head is None else int(head)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        s, e = int(start["snapshot_id"]), int(end["snapshot_id"])
+        if e == -1 or s == e:
+            return [_ChangeRangePart(None, -1, None)]  # no-op batch
+        frm = None if s == -1 else s
+        return [
+            _ChangeRangePart(frm, e, p.bucket)
+            for p in _change_partitions(self.path, frm, e)
+        ]
+
+    def read(self, partition: _ChangeRangePart) -> Iterator:
+        if partition.to == -1:
+            return
+        yield from _read_changes_part(
+            self.path,
+            partition.frm,
+            partition.to,
+            _BucketPart(partition.bucket),
+            self.schema,
+            self.rows_per_batch,
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to release: snapshots are retained by expiry policy

@@ -450,11 +450,39 @@ def _touched_buckets(
     return sorted(bset), udf
 
 
+def touched_buckets(
+    table_path: str,
+    from_snapshot_id: int | None,
+    to_snapshot_id: int | None = None,
+    con=None,
+) -> list[int] | None:
+    """Driver-side: the CURRENT-spec bucket ids touched by commits in
+    ``(from, to]`` — the same manifest-diff pruning ``changes_sql``
+    plans with, exposed so a caller that fans the diff out (one task
+    per touched bucket, ``changes_sql(buckets=[b])`` each) can name
+    the fan-out without generating SQL first. ``None`` means "cannot
+    prune, scan whole" (unsupported bucket type across a rebucket) —
+    never wrong, only wider. ``from_snapshot_id=None`` (full state as
+    inserts) also returns None: every bucket may hold rows."""
+    table_path = os.path.abspath(table_path)
+    meta = read_metadata(table_path)
+    to_sid = (
+        meta["current_snapshot_id"] if to_snapshot_id is None else to_snapshot_id
+    )
+    if from_snapshot_id is None or to_sid is None:
+        return None
+    from_snap = resolve_snapshot(meta, table_path, from_snapshot_id)
+    to_snap = resolve_snapshot(meta, table_path, to_sid)
+    buckets, _ = _touched_buckets(table_path, meta, from_snap, to_snap, con)
+    return buckets
+
+
 def changes_sql(
     table_path: str,
     from_snapshot_id: int | None = None,
     to_snapshot_id: int | None = None,
     con=None,
+    buckets: list[int] | None = None,
 ) -> str:
     """One DuckDB SQL statement equivalent to
     ``LakeTable.read_changes(from, to)`` — Spark-free CDC-out. A
@@ -475,7 +503,14 @@ def changes_sql(
     connection): a 1-commit delta on a wide table generates SQL over
     O(touched) files, not O(table). Untouched buckets are state-equal
     on both sides by construction, so pruning never changes the
-    emitted set."""
+    emitted set.
+
+    Explicit ``buckets`` restricts BOTH sides to those current-spec
+    bucket ids instead of auto-computing the touched set — the
+    fan-out path (``touched_buckets`` names the ids driver-side, one
+    executor runs the SQL for its slice). The restriction is a
+    partition of the auto-pruned diff: key state is bucket-local, so
+    the union over the touched ids equals the unrestricted feed."""
     table_path = os.path.abspath(table_path)
     meta = read_metadata(table_path)
     to_sid = (
@@ -496,8 +531,26 @@ def changes_sql(
     keys = [by_id[i] for i in meta["key_ids"]]
     payload = [f["name"] for f in fields if f["name"] not in keys]
 
-    buckets = udf = None
-    if from_snapshot_id is not None and to_snap is not None:
+    udf = None
+    if buckets is not None:
+        # caller-scoped slice: a pruned read across a rebucket still
+        # needs the Spark-equal hash to row-filter foreign-spec files
+        cur_spec = int(meta.get("bucket_spec_id", 0))
+        from_snap = (
+            resolve_snapshot(meta, table_path, from_snapshot_id)
+            if from_snapshot_id is not None and to_snap is not None
+            else None
+        )
+        if any(
+            int(f.get("spec", 0)) != cur_spec
+            for snap in (from_snap, to_snap)
+            if snap is not None
+            for f in snap["files"]
+        ):
+            import duckdb
+
+            udf = _register_bucket_udf(con if con is not None else duckdb, meta)
+    elif from_snapshot_id is not None and to_snap is not None:
         from_snap = resolve_snapshot(meta, table_path, from_snapshot_id)
         buckets, udf = _touched_buckets(
             table_path, meta, from_snap, to_snap, con
@@ -610,6 +663,7 @@ def read_duckdb(
     snapshot_id: int | None = None,
     ranges: dict[str, tuple] | None = None,
     branch: str | None = None,
+    align_schema_version: int | None = None,
 ):
     """Read a lake table through DuckDB; returns a DuckDB relation
     (``.df()`` / ``.fetchall()`` to materialize). Unlike the pure-SQL
@@ -638,12 +692,37 @@ def read_duckdb(
         ranges=ranges,
         bucket_udf=bucket_udf,
         branch=branch,
+        align_schema_version=align_schema_version,
     )
     if con is not None:
         return con.sql(sql)
     # module-level default connection: outlives this frame (a locally
     # created connection would be GC'd with the relation still open)
     return duckdb.sql(sql)
+
+
+def changes_duckdb(
+    table_path: str,
+    con=None,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+    buckets: list[int] | None = None,
+):
+    """``changes_sql`` executed through DuckDB; returns a relation.
+    The ``buckets`` slice makes this the executor half of a fan-out:
+    the driver names ``touched_buckets(...)``, each task folds its
+    bucket's diff independently (keys never span buckets)."""
+    import duckdb
+
+    c = con if con is not None else duckdb
+    sql = changes_sql(
+        table_path,
+        from_snapshot_id=from_snapshot_id,
+        to_snapshot_id=to_snapshot_id,
+        con=c,
+        buckets=buckets,
+    )
+    return c.sql(sql)
 
 
 # ---------------------------------------------------------- writing

@@ -58,6 +58,10 @@ def build_session(
         # manifest column-bounds stats + row-group skipping on ts
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the deltaspark Python DataSource (lake/datasource.py) prunes
+        # partitions/files from pushed filters; Spark refuses a reader
+        # that defines pushFilters unless this is on
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():

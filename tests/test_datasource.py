@@ -1,0 +1,299 @@
+"""The ``deltaspark`` Python DataSource: lake tables as a first-class
+Spark format — batch state reads (time travel, pushdown pruning),
+batch change-feed reads, and the streaming change-feed source with
+checkpointed exactly-once resume. Every read is pinned against the
+engine's own readers (LakeTable.read / read_changes)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_spark.lake import LakeTable
+from delta_spark.lake.datasource import (
+    LakeBatchReader,
+    LakeDataSource,
+    register,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+TS = __import__("datetime").datetime(2025, 1, 1)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _registered(spark):
+    register(spark)
+
+
+def _commit(spark, tbl, rows, op, seq, bid):
+    df = (
+        spark.createDataFrame(rows, SCHEMA)
+        .withColumn("op", F.lit(op))
+        .withColumn("seq", F.lit(seq).cast("long"))
+    )
+    tbl.merge(df, writer_id="w", batch_id=bid)
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    """3 commits: 60-row insert, 4 updates, 1 delete — MoR deltas in
+    play (auto mode), two mid-history snapshots to travel to."""
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=8,
+    )
+    _commit(
+        spark,
+        tbl,
+        [(f"c{i}", j, f"v0 {i}/{j}", TS) for i in range(20) for j in range(3)],
+        "INSERT",
+        1,
+        "b1",
+    )
+    s1 = tbl.metadata["current_snapshot_id"]
+    _commit(
+        spark,
+        tbl,
+        [(f"c{i}", 0, f"v1 {i}", TS) for i in range(0, 20, 5)],
+        "UPDATE",
+        2,
+        "b2",
+    )
+    _commit(spark, tbl, [("c3", 1, None, None)], "DELETE", 3, "b3")
+    return tbl, s1
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _fmt(spark, path, **opts):
+    r = spark.read.format("deltaspark").option("path", str(path))
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_state_read_equals_engine(spark, table):
+    tbl, _ = table
+    got = _fmt(spark, tbl.path)
+    assert got.schema == tbl.read().schema
+    assert _rows(got) == _rows(tbl.read())
+
+
+def test_time_travel_snapshot_and_tag(spark, table):
+    tbl, s1 = table
+    tbl.tag("first", s1)
+    for opt in ({"snapshot_id": s1}, {"tag": "first"}):
+        got = _fmt(spark, tbl.path, **opt)
+        assert _rows(got) == _rows(tbl.read(snapshot_id=s1))
+    with pytest.raises(Exception, match="unknown tag"):
+        _fmt(spark, tbl.path, tag="nope").collect()
+
+
+def test_branch_read(spark, table):
+    tbl, _ = table
+    tbl.create_branch("audit")
+    h = tbl.for_branch("audit")
+    _commit(spark, h, [("c0", 0, "staged", TS)], "UPDATE", 9, "stage1")
+    fresh = LakeTable.load(spark, tbl.path)  # h advanced the ref on disk
+    got = _fmt(spark, tbl.path, branch="audit")
+    assert _rows(got) == _rows(fresh.read(branch="audit"))
+    staged = {r["text"] for r in got.filter("conv_id='c0' and turn_idx=0").collect()}
+    assert staged == {"staged"}
+    # main unchanged through the format too
+    assert _rows(_fmt(spark, tbl.path)) == _rows(fresh.read())
+
+
+def test_bucket_pruning_pushdown_plans_one_task(spark, table):
+    """Driver-side proof the equality filter pruned partitions: the
+    reader plans exactly the key's bucket, and the filtered read is
+    row-equal to the engine's."""
+    tbl, _ = table
+    got = _fmt(spark, tbl.path).filter(
+        (F.col("conv_id") == "c7") & (F.col("turn_idx") == 2)
+    )
+    assert [r["text"] for r in got.collect()] == ["v0 7/2"]
+
+    from pyspark.sql.datasource import EqualTo
+
+    rdr = LakeBatchReader(tbl.path, {}, tbl.read().schema)
+    rdr.pushFilters([EqualTo(("conv_id",), "c7")])
+    parts = rdr.partitions()
+    assert len(parts) == 1
+    from delta_spark.lake.xxh import bucket_of
+
+    assert parts[0].bucket == bucket_of("c7", 8, coltype="string")
+
+
+def test_range_pushdown_recorded_and_correct(spark, table):
+    tbl, _ = table
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    rdr = LakeBatchReader(tbl.path, {}, tbl.read().schema)
+    rdr.pushFilters(
+        [GreaterThanOrEqual(("turn_idx",), 1), LessThan(("turn_idx",), 2)]
+    )
+    assert rdr._ranges["turn_idx"] == (1, 2)
+    got = _fmt(spark, tbl.path).filter("turn_idx >= 1 and turn_idx < 2")
+    assert _rows(got) == _rows(tbl.read().filter("turn_idx = 1"))
+
+
+def test_rename_then_read_uses_current_names(spark, table):
+    tbl, _ = table
+    tbl.apply_ddl({"op": "RENAME_COLUMN", "column": "text", "new_name": "body"})
+    got = _fmt(spark, tbl.path)
+    assert "body" in got.columns and "text" not in got.columns
+    assert _rows(got) == _rows(tbl.read())
+
+
+def test_rebucket_crossing_read(spark, table):
+    """Files under the OLD spec stay readable: candidate set widens to
+    the full domain and each task row-filters foreign-spec files on
+    the recomputed Spark-equal hash."""
+    tbl, _ = table
+    tbl.rebucket(5)
+    _commit(spark, tbl, [("c2", 0, "v2 post-rebucket", TS)], "UPDATE", 4, "b4")
+    got = _fmt(spark, tbl.path)
+    assert _rows(got) == _rows(tbl.read())
+
+
+def test_empty_table_reads_empty(spark, tmp_path):
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "e"), SCHEMA, key_cols=["conv_id", "turn_idx"]
+    )
+    got = _fmt(spark, tbl.path)
+    assert got.count() == 0
+    eng = tbl.read().schema
+    assert [(f.name, f.dataType) for f in got.schema] == [
+        (f.name, f.dataType) for f in eng
+    ]
+
+
+def test_changes_feed_batch_equals_engine(spark, table):
+    tbl, s1 = table
+    head = tbl.metadata["current_snapshot_id"]
+    got = _fmt(spark, tbl.path, feed="changes", from_snapshot_id=s1)
+    eng = tbl.read_changes(s1, head).select(*got.columns)
+    assert _rows(got) == _rows(eng)
+    # from omitted: full state as inserts
+    full = _fmt(spark, tbl.path, feed="changes")
+    assert full.count() == tbl.read().count()
+    assert {r["_change_type"] for r in full.collect()} == {"insert"}
+
+
+def test_stream_requires_changes_feed(spark, table, tmp_path):
+    tbl, _ = table
+    sdf = spark.readStream.format("deltaspark").option("path", tbl.path).load()
+    with pytest.raises(Exception, match="feed"):
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", str(tmp_path / "o"))
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+
+def _run_available_now(spark, src_path, out, ck, starting="earliest"):
+    sdf = (
+        spark.readStream.format("deltaspark")
+        .option("path", str(src_path))
+        .option("feed", "changes")
+        .option("starting", starting)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_earliest_then_resume_exactly_once(spark, tmp_path):
+    """Offsets are snapshot ids: the first run folds history-to-head
+    into one inserts batch; a checkpointed rerun after two more
+    commits emits ONLY their diff — no replays, no gaps."""
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=8,
+    )
+    _commit(
+        spark, tbl, [(f"c{i}", 0, f"v0 {i}", TS) for i in range(10)], "INSERT", 1, "b1"
+    )
+    _commit(spark, tbl, [("c3", 0, "v1 3", TS)], "UPDATE", 2, "b2")
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _run_available_now(spark, tbl.path, out, ck)
+    first = spark.read.parquet(str(out)).collect()
+    assert len(first) == 10  # head state as inserts, c3 already at v1
+    assert {r["_change_type"] for r in first} == {"insert"}
+    assert [r["text"] for r in first if r["conv_id"] == "c3"] == ["v1 3"]
+
+    _commit(spark, tbl, [("c5", 0, None, None)], "DELETE", 3, "b3")
+    _commit(spark, tbl, [("c9", 1, "v0 9/1", TS)], "INSERT", 4, "b4")
+    _run_available_now(spark, tbl.path, out, ck)
+    rows = spark.read.parquet(str(out)).collect()
+    tagged = sorted((r["conv_id"], r["turn_idx"], r["_change_type"]) for r in rows)
+    assert len(rows) == 12
+    assert ("c5", 0, "delete") in tagged and ("c9", 1, "insert") in tagged
+
+    # a rerun with NOTHING new is a no-op (offset unchanged)
+    _run_available_now(spark, tbl.path, out, ck)
+    assert spark.read.parquet(str(out)).count() == 12
+
+
+def test_stream_starting_latest_skips_history(spark, tmp_path):
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["conv_id", "turn_idx"]
+    )
+    _commit(
+        spark, tbl, [(f"c{i}", 0, f"v0 {i}", TS) for i in range(6)], "INSERT", 1, "b1"
+    )
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _run_available_now(spark, tbl.path, out, ck, starting="latest")
+    # history not emitted; parquet sink may not even have files yet
+    try:
+        n0 = spark.read.parquet(str(out)).count()
+    except Exception:
+        n0 = 0
+    assert n0 == 0
+    _commit(spark, tbl, [("c1", 0, "v1 1", TS)], "UPDATE", 2, "b2")
+    _run_available_now(spark, tbl.path, out, ck, starting="latest")
+    rows = spark.read.parquet(str(out)).collect()
+    assert [(r["conv_id"], r["_change_type"], r["text"]) for r in rows] == [
+        ("c1", "update", "v1 1")
+    ]
+
+
+def test_schema_function_matches_feeds(spark, table):
+    tbl, _ = table
+    ds = LakeDataSource({"path": tbl.path})
+    st = ds.schema()
+    assert st["conv_id"].dataType == T.StringType()
+    dsc = LakeDataSource({"path": tbl.path, "feed": "changes"})
+    stc = dsc.schema()
+    assert stc["_change_type"].dataType == T.StringType()
+    assert stc["_seq"].dataType == T.LongType()
+    with pytest.raises(ValueError, match="at most one"):
+        LakeDataSource(
+            {"path": tbl.path, "snapshot_id": "1", "tag": "x"}
+        ).schema()
