@@ -62,6 +62,7 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -71,6 +72,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -253,6 +255,16 @@ class LakeDataSource(DataSource):
                 "has no incremental meaning)"
             )
         return LakeChangesStreamReader(self._path(), self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "deltaspark writes are CDC delta batches (MoR upserts/"
+                "deletes keyed by the table's key columns) — use "
+                "mode('append'); to rebuild a table wholesale, use the "
+                "engine API (LakeTable.overwrite)"
+            )
+        return LakeDeltaWriter(self._path(), self.options, schema)
 
 
 def _pushdown_enabled() -> bool:
@@ -523,3 +535,110 @@ class LakeChangesStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to release: snapshots are retained by expiry policy
+
+
+@dataclass
+class _StagedMsg(WriterCommitMessage):
+    staged: dict | None  # stage_delta_duckdb result (None = empty task)
+
+
+class LakeDeltaWriter(DataSourceArrowWriter):
+    """``df.write.format("deltaspark").mode("append")`` — one CDC
+    delta batch committed exactly-once as a single snapshot.
+
+    Input rows are change events: the table's current payload columns
+    plus ``op`` (op_col option; rows equal to delete_op become
+    tombstones) and ``seq`` (seq_col; the LWW sequence). Each Spark
+    task stages ITS partition as one spanning MoR delta file via the
+    Spark-free stager (Arrow handed to DuckDB zero-copy, system
+    columns + Spark-equal bucket hash stamped there); the driver then
+    commits every staged file in ONE atomic snapshot carrying the
+    mandatory (writer_id, batch_id) marker — all-or-nothing across
+    tasks, idempotent on replay (a re-run of an applied batch removes
+    its freshly staged files and commits nothing), conflict-and-retry
+    beside concurrent writers, CommitConflict if the schema or bucket
+    spec moved while staging. ``branch`` stages on a WAP branch.
+    Failed jobs leave only orphan data files (never metadata) for
+    remove_orphans — the same crash contract as every engine writer.
+
+    Reference analog: EventConsumer.applyDML's idempotent-upsert
+    contract (delta-api/.../EventConsumer.java:58-76) exposed as a
+    Spark write format.
+    """
+
+    def __init__(self, path: str, options: dict, schema: StructType):
+        self.path = path
+        self.writer_id = options.get("writer_id")
+        self.batch_id = options.get("batch_id")
+        if not self.writer_id or not self.batch_id:
+            raise ValueError(
+                "deltaspark writes are exactly-once and need their "
+                "identity: .option('writer_id', ...) and "
+                ".option('batch_id', ...) (a replay of the same pair "
+                "is a no-op)"
+            )
+        self.op_col = options.get("op_col") or "op"
+        self.seq_col = options.get("seq_col") or "seq"
+        self.delete_op = options.get("delete_op") or "DELETE"
+        self.sort_col = options.get("sort_col") or None
+        self.branch = options.get("branch") or None
+        meta = _meta(path)
+        self.expected_spec = int(meta.get("bucket_spec_id", 0))
+        self.expected_num_buckets = int(meta["num_buckets"])
+        # fail fast on the driver: every payload column + the CDC
+        # columns must be present in the incoming frame
+        cur = {f["name"] for f in meta["schemas"][str(meta["schema_version"])]}
+        have = set(schema.fieldNames())
+        missing = sorted((cur | {self.op_col, self.seq_col}) - have)
+        if missing:
+            raise ValueError(
+                f"deltaspark write is missing columns {missing}: a delta "
+                f"batch carries the table's payload columns plus "
+                f"'{self.op_col}'/'{self.seq_col}'"
+            )
+
+    def write(self, iterator) -> _StagedMsg:
+        import duckdb
+        import pyarrow as pa
+
+        from .interop import stage_delta_duckdb
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _StagedMsg(None)
+        con = duckdb.connect()
+        con.register("_delta_batch", pa.Table.from_batches(batches))
+        staged = stage_delta_duckdb(
+            self.path,
+            con,
+            "SELECT * FROM _delta_batch",
+            op_col=self.op_col,
+            seq_col=self.seq_col,
+            delete_op=self.delete_op,
+            sort_col=self.sort_col,
+        )
+        return _StagedMsg(staged)
+
+    def commit(self, messages) -> None:
+        from .interop import commit_delta_staged
+
+        commit_delta_staged(
+            self.path,
+            [m.staged for m in messages if m is not None],
+            writer_id=self.writer_id,
+            batch_id=str(self.batch_id),
+            expected_spec=self.expected_spec,
+            expected_num_buckets=self.expected_num_buckets,
+            branch=self.branch,
+        )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None or m.staged is None:
+                continue
+            p = os.path.join(self.path, m.staged["entry"]["path"])
+            try:
+                os.unlink(p)
+                os.rmdir(os.path.dirname(p))
+            except OSError:
+                pass

@@ -803,15 +803,56 @@ def write_delta_duckdb(
     None on replay, commit stats otherwise. Readers (Spark, DuckDB)
     fold it like any delta; ``compact()`` migrates it to base files.
     """
-    commit = _sibling("commit")
-
     table_path = os.path.abspath(table_path)
     meta = read_metadata(table_path)
     if _is_applied(meta, writer_id, batch_id):
         return None
+    staged = stage_delta_duckdb(
+        table_path,
+        con,
+        select_sql,
+        meta=meta,
+        op_col=op_col,
+        seq_col=seq_col,
+        delete_op=delete_op,
+        sort_col=sort_col,
+    )
+    if staged is None:
+        return {"files": 0, "upserts": 0, "deletes": 0}
+    return commit_delta_staged(
+        table_path,
+        [staged],
+        writer_id=writer_id,
+        batch_id=batch_id,
+        expected_spec=int(meta.get("bucket_spec_id", 0)),
+        expected_num_buckets=int(meta["num_buckets"]),
+        branch=branch,
+    )
+
+
+def stage_delta_duckdb(
+    table_path: str,
+    con,
+    select_sql: str,
+    meta: dict | None = None,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    delete_op: str = "DELETE",
+    sort_col: str | None = None,
+) -> dict | None:
+    """Stage one spanning MoR delta parquet file from a DuckDB query —
+    the executor half of a Spark-free (or fan-out) delta write. Writes
+    ``data/<tag>/part-00000.parquet`` with the engine's system columns
+    and returns ``{"entry": <manifest entry>, "rows", "deletes",
+    "max_seq"}`` for ``commit_delta_staged`` (None when the query
+    yields no rows). Purely local: no metadata is touched, so any
+    number of stagers run concurrently and a crash leaves only an
+    orphan file for ``remove_orphans``."""
+    table_path = os.path.abspath(table_path)
+    if meta is None:
+        meta = read_metadata(table_path)
     cur = meta["schemas"][str(meta["schema_version"])]
     bname = next(f["name"] for f in cur if f["id"] == meta["bucket_id"])
-    n_buckets = int(meta["num_buckets"])
     spec_id = int(meta.get("bucket_spec_id", 0))
 
     fname = _register_bucket_udf(con, meta)
@@ -853,33 +894,81 @@ def write_delta_duckdb(
     if n == 0:
         os.unlink(fpath)
         os.rmdir(out_dir)
-        return {"files": 0, "upserts": 0, "deletes": 0}
-    entry = {
-        "path": os.path.relpath(fpath, table_path),
-        "bucket": -1,
-        "schema_version": meta["schema_version"],
+        return None
+    return {
+        "entry": {
+            "path": os.path.relpath(fpath, table_path),
+            "bucket": -1,
+            "schema_version": meta["schema_version"],
+            "rows": int(n),
+            "max_seq": int(max_seq),
+            "kind": "delta",
+            **({"spec": spec_id} if spec_id else {}),
+        },
         "rows": int(n),
+        "deletes": int(dels),
         "max_seq": int(max_seq),
-        "kind": "delta",
-        **({"spec": spec_id} if spec_id else {}),
     }
+
+
+def commit_delta_staged(
+    table_path: str,
+    staged: list,
+    writer_id: str,
+    batch_id: str,
+    expected_spec: int,
+    expected_num_buckets: int,
+    branch: str | None = None,
+) -> dict | None:
+    """Driver half: commit already-staged delta files (from any number
+    of ``stage_delta_duckdb`` runs — e.g. one per Spark write task) as
+    ONE snapshot under the atomic version claim. All-or-nothing:
+    either every staged file enters the manifest chain with the
+    (writer-id, batch-id) marker, or the claim loses and is retried
+    against fresh metadata. Idempotent: returns None (and removes the
+    staged orphans) when the batch is already applied. Raises
+    CommitConflict if the bucket spec or schema moved while staging —
+    the stage is schema-version-stamped, so a stale file can never
+    slip into a newer table shape."""
+    commit = _sibling("commit")
+
+    table_path = os.path.abspath(table_path)
+    staged = [s for s in staged if s is not None]
+    if not staged:
+        return {"files": 0, "upserts": 0, "deletes": 0}
+    entries = [s["entry"] for s in staged]
+    n = sum(s["rows"] for s in staged)
+    dels = sum(s["deletes"] for s in staged)
+    max_seq = max(s["max_seq"] for s in staged)
+    spec_id = expected_spec
+
+    def _drop_orphans():
+        for e in entries:
+            p = os.path.join(table_path, e["path"])
+            try:
+                os.unlink(p)
+                os.rmdir(os.path.dirname(p))
+            except OSError:
+                pass
+
     mdir = os.path.join(table_path, "metadata", "manifests")
     os.makedirs(mdir, exist_ok=True)
     man_rel = os.path.join("metadata", "manifests", f"m-{uuid.uuid4().hex[:16]}.json")
-    _write_json_once(os.path.join(table_path, man_rel), [entry])
+    _write_json_once(os.path.join(table_path, man_rel), entries)
 
     proto = commit.protocol_for(table_path)
     for _ in range(50):
         meta = read_metadata(table_path)
         if _is_applied(meta, writer_id, batch_id):
-            return None  # another replay of us won
+            _drop_orphans()  # another replay of us won
+            return None
         if int(meta.get("bucket_spec_id", 0)) != spec_id or int(
             meta["num_buckets"]
-        ) != n_buckets:
+        ) != expected_num_buckets:
             raise commit.CommitConflict(
                 "bucket spec changed while staging — recompute and retry"
             )
-        if meta["schema_version"] != entry["schema_version"]:
+        if any(meta["schema_version"] != e["schema_version"] for e in entries):
             raise commit.CommitConflict(
                 "schema changed while staging — recompute and retry"
             )
@@ -952,7 +1041,7 @@ def write_delta_duckdb(
                 os.path.join(table_path, "metadata"), f"v{new_version}.json", payload
             )
             return {
-                "files": 1,
+                "files": len(entries),
                 "upserts": int(n) - int(dels),
                 "deletes": int(dels),
                 "max_seq": int(max_seq),

@@ -284,6 +284,122 @@ def test_stream_starting_latest_skips_history(spark, tmp_path):
     ]
 
 
+def _write(df, path, bid, **opts):
+    w = (
+        df.write.format("deltaspark")
+        .mode("append")
+        .option("path", str(path))
+        .option("writer_id", "fmt")
+        .option("batch_id", bid)
+    )
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save()
+
+
+def test_writer_upsert_delete_exactly_once(spark, tmp_path):
+    """The format write is a CDC delta batch: multi-task staging, ONE
+    snapshot, idempotent replay, engine readers/compaction compose."""
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=8,
+    )
+    ev = (
+        spark.createDataFrame(
+            [(f"c{i}", 0, f"v0 {i}", TS) for i in range(40)], SCHEMA
+        )
+        .withColumn("op", F.lit("INSERT"))
+        .withColumn("seq", F.lit(1).cast("long"))
+        .repartition(4)
+    )
+    _write(ev, tbl.path, "b1")
+    t = LakeTable.load(spark, tbl.path)
+    assert t.read().count() == 40
+    # one snapshot, one (writer, batch) marker, multiple staged files
+    snap = t.metadata["snapshots"][-1]
+    assert snap["summary"]["writer-id"] == "fmt"
+    assert snap["summary"]["batch-id"] == "b1"
+    assert snap["summary"]["upserts"] == 40
+
+    # replay of the same (writer_id, batch_id) is a NO-OP
+    _write(ev.withColumn("text", F.lit("GHOST")), tbl.path, "b1")
+    t2 = LakeTable.load(spark, tbl.path)
+    assert t2.metadata["current_snapshot_id"] == t.metadata["current_snapshot_id"]
+    assert "GHOST" not in {r["text"] for r in t2.read().collect()}
+
+    # upsert + tombstone batch folds like any engine delta
+    ev2 = (
+        spark.createDataFrame(
+            [("c3", 0, "v1 3", TS), ("c5", 0, None, None)], SCHEMA
+        )
+        .withColumn(
+            "op", F.when(F.col("conv_id") == "c5", "DELETE").otherwise("UPDATE")
+        )
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    _write(ev2, tbl.path, "b2")
+    t3 = LakeTable.load(spark, tbl.path)
+    rows = {(r["conv_id"], r["text"]) for r in t3.read().collect()}
+    assert ("c3", "v1 3") in rows and len(rows) == 39
+    assert not any(c == "c5" for c, _ in rows)
+    # format read agrees with the engine read
+    assert _rows(_fmt(spark, tbl.path)) == _rows(t3.read())
+    # compaction absorbs the format-written deltas
+    t3.compact()
+    t4 = LakeTable.load(spark, tbl.path)
+    assert {(r["conv_id"], r["text"]) for r in t4.read().collect()} == rows
+
+
+def test_writer_requires_identity_and_append(spark, tmp_path):
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["conv_id", "turn_idx"]
+    )
+    ev = (
+        spark.createDataFrame([("c0", 0, "x", TS)], SCHEMA)
+        .withColumn("op", F.lit("INSERT"))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    with pytest.raises(Exception, match="writer_id"):
+        ev.write.format("deltaspark").mode("append").option(
+            "path", tbl.path
+        ).save()
+    with pytest.raises(Exception, match="append"):
+        ev.write.format("deltaspark").mode("overwrite").option(
+            "path", tbl.path
+        ).option("writer_id", "w").option("batch_id", "b").save()
+    with pytest.raises(Exception, match="missing columns"):
+        _write(spark.createDataFrame([("c0", 0)], "conv_id string, turn_idx int"), tbl.path, "b1")
+
+
+def test_writer_stages_on_branch(spark, tmp_path):
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["conv_id", "turn_idx"]
+    )
+    ev = (
+        spark.createDataFrame([("c0", 0, "main0", TS)], SCHEMA)
+        .withColumn("op", F.lit("INSERT"))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    _write(ev, tbl.path, "b1")
+    LakeTable.load(spark, tbl.path).create_branch("stage")
+    ev2 = (
+        spark.createDataFrame([("c1", 0, "staged1", TS)], SCHEMA)
+        .withColumn("op", F.lit("INSERT"))
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    _write(ev2, tbl.path, "b2", branch="stage")
+    t = LakeTable.load(spark, tbl.path)
+    assert t.read().count() == 1  # main untouched
+    assert _rows(_fmt(spark, tbl.path, branch="stage")) == _rows(
+        t.read(branch="stage")
+    )
+    t.fast_forward("stage")
+    assert LakeTable.load(spark, tbl.path).read().count() == 2
+
+
 def test_schema_function_matches_feeds(spark, table):
     tbl, _ = table
     ds = LakeDataSource({"path": tbl.path})
