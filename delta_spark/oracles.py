@@ -609,6 +609,25 @@ ALL_ORACLES: dict[str, str] = {
            OR (alive2 AND alive1 AND seq2 <> seq1)
            OR (NOT alive2 AND alive1)
     """,
+    # the format reader (deltaspark DataSource) must land on the same
+    # LWW state as the engine read it wraps — filtered identically to
+    # the pushed predicate
+    "datasource_scan": f"""
+        WITH {_tlog()}
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM log
+        QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
+            AND NOT del AND turn_idx >= 10
+    """,
+    # the exactly-once format writer: double-applied batch or a lost
+    # task file would break this LWW hash
+    "datasource_write_roundtrip": f"""
+        WITH {_tlog()}
+        SELECT conv_id, turn_idx, role, text, ts
+        FROM log
+        QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
+            AND NOT del
+    """,
     # the incrementally-folded view must equal the batch GROUP BY over
     # the final LWW state (count + sum are self-maintainable exactly;
     # sums fold NULL contributions as 0 by design — mirrored here)
@@ -1063,6 +1082,10 @@ ALL_ORACLES: dict[str, str] = {
 # corpus source — no duplicated hash arithmetic to drift.
 # Incremental curation must fold to the batch curation chain on the
 # same closed-form final corpus — the identical packed layout.
+# one definition, two surfaces: the batch format read of the change
+# feed shares table_changes_feed's oracle verbatim
+ALL_ORACLES["datasource_changes"] = ALL_ORACLES["table_changes_feed"]
+
 ALL_ORACLES["incremental_curation"] = f"""
     WITH src AS (
       SELECT doc_id AS id,

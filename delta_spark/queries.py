@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import lww_collapse
 from .functions import curation as cur
@@ -1749,6 +1750,113 @@ def _two_gen_table(spark, sf_dir) -> tuple[str, int, float]:
     return _FIXTURE_CACHE[key]
 
 
+def _register_format(spark):
+    from .lake.datasource import register
+
+    if not getattr(spark, "_deltaspark_registered", False):
+        register(spark)
+        spark._deltaspark_registered = True
+
+
+def datasource_scan(spark, sf_dir):
+    """The lake as a first-class Spark format: the two-generation
+    fixture read back through ``spark.read.format('deltaspark')`` —
+    no engine API in the read path. The planning is O(metadata)
+    driver-side (one task per bucket, per-bucket MoR fold in the
+    Spark-free executor reader) and the ``turn_idx`` predicate is
+    PUSHED (manifest min/max ranges) as well as re-applied by Spark.
+    Oracle: the same LWW collapse DuckDB computes for the replay
+    keys, filtered identically."""
+    _register_format(spark)
+    tbl, _, _ = _two_gen_table(spark, sf_dir)
+    return (
+        spark.read.format("deltaspark")
+        .option("path", tbl)
+        .load()
+        .filter(F.col("turn_idx") >= 10)
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
+def datasource_changes(spark, sf_dir):
+    """The change feed as a batch format read:
+    ``format('deltaspark').option('feed','changes')`` between the
+    fixture's two generations — one Spark task per TOUCHED bucket
+    (driver-side manifest diff), each folding its slice of the diff.
+    Same oracle as ``table_changes_feed``: the two surfaces expose
+    one definition."""
+    _register_format(spark)
+    tbl, mid_sid, _ = _two_gen_table(spark, sf_dir)
+    return (
+        spark.read.format("deltaspark")
+        .option("path", tbl)
+        .option("feed", "changes")
+        .option("from_snapshot_id", mid_sid)
+        .load()
+        .select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "_change_type", "_seq",
+        )
+    )
+
+
+def datasource_write_roundtrip(spark, sf_dir):
+    """The exactly-once format WRITER driven from the driver contract:
+    the events-derived changelog written into a FRESH lake table with
+    ``df.write.format('deltaspark')`` (every task staging its
+    partition, one atomic snapshot, (writer, batch) marker), written
+    AGAIN under the same identity (the replay must be a no-op), then
+    read back through the format. Oracle: the LWW state of the batch
+    — if the replay double-applied or a task's file went missing, the
+    hash breaks."""
+    import tempfile
+
+    from .lake import LakeTable
+
+    _register_format(spark)
+    d = tempfile.mkdtemp(prefix="ds_write_")
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.select(
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("op"),
+        F.col("event_id").cast("long").alias("seq"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    LakeTable.create(
+        spark, f"{d}/t", schema, key_cols=["conv_id", "turn_idx"], num_buckets=8
+    )
+    for _ in range(2):  # second write = exactly-once replay, a no-op
+        (
+            batch.repartition(4)
+            .write.format("deltaspark")
+            .mode("append")
+            .option("path", f"{d}/t")
+            .option("writer_id", "driver-contract")
+            .option("batch_id", "b1")
+            .save()
+        )
+    return (
+        spark.read.format("deltaspark")
+        .option("path", f"{d}/t")
+        .load()
+        .select("conv_id", "turn_idx", "role", "text", "ts")
+    )
+
+
 def table_changes_feed(spark, sf_dir):
     """Incremental change feed (CDC-out) with a SQL oracle: over the
     two-generation fixture (:func:`_two_gen_table`),
@@ -2059,6 +2167,9 @@ ALL_QUERIES = {
     "wap_publish": wap_publish,
     "cdc_replay_stream_lww": cdc_replay_stream_lww,
     "table_changes_feed": table_changes_feed,
+    "datasource_scan": datasource_scan,
+    "datasource_changes": datasource_changes,
+    "datasource_write_roundtrip": datasource_write_roundtrip,
     "matview_rollup": matview_rollup,
     "iceberg_export_read": iceberg_export_read,
     "iceberg_publish_feed": iceberg_publish_feed,
