@@ -15,11 +15,20 @@ other writer uses (the reference's idempotent-consumer contract,
 delta-api EventConsumer.java:39-76; the feed itself is the Delta CDF /
 Iceberg changelog-scan analog).
 
-Only SELF-MAINTAINABLE aggregates are offered: COUNT and SUM fold
-under both inserts and retractions with O(1) state per group. MIN/MAX
-do not — retracting the current extremum forces a rescan of the group
-— so they are deliberately absent rather than silently wrong; a
-caller needing them recomputes touched groups from the base state.
+COUNT and SUM are fully self-maintainable: they fold under both
+inserts and retractions with O(1) state per group. MIN/MAX are only
+HALF-maintainable — an insert can only improve the extremum (O(1)
+``least``/``greatest`` fold), but retracting the CURRENT extremum
+forces a recompute of that group from base state; no per-group O(1)
+state can answer "what was second place". ``mins``/``maxs`` measures
+therefore fold inserts incrementally and, on an extremal retraction,
+recompute ONLY the affected groups: one base-state scan semi-joined
+to the (typically tiny) affected-group list per advance, skipped
+entirely when no retraction touches an extremum. The affected-group
+count is logged loudly — at 100 TB the right deployment puts
+frequently-deleted-from groups behind a SUM-shaped proxy or accepts
+the periodic group recompute; what this module refuses to do is
+drift.
 
 NULL semantics: each measure is summed as ``sum(coalesce(expr, 0))``
 (the view stores 0, not SQL NULL, for all-NULL groups) — incremental
@@ -87,12 +96,28 @@ class MaterializedAggregate:
         group_cols: list[str],
         sums: dict[str, str],
         num_buckets: int = 8,
+        mins: dict[str, str] | None = None,
+        maxs: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.base = base
         self.root = root
         self.group_cols = list(group_cols)
         self.sums = dict(sums)
+        self.mins = dict(mins or {})
+        self.maxs = dict(maxs or {})
+        overlap = (
+            set(self.sums) & set(self.mins)
+            | set(self.sums) & set(self.maxs)
+            | set(self.mins) & set(self.maxs)
+        )
+        if overlap or "n_rows" in (
+            set(self.sums) | set(self.mins) | set(self.maxs)
+        ):
+            raise ValueError(
+                f"measure names must be distinct (and not 'n_rows'): "
+                f"{sorted(overlap) or ['n_rows']}"
+            )
         self.view_path = os.path.join(root, "view")
         if LakeTable.exists(self.view_path):
             self.view = LakeTable.load(spark, self.view_path)
@@ -132,6 +157,8 @@ class MaterializedAggregate:
             "view_path": os.path.abspath(self.view_path),
             "group_cols": self.group_cols,
             "sums": self.sums,
+            **({"mins": self.mins} if self.mins else {}),
+            **({"maxs": self.maxs} if self.maxs else {}),
         }
         if os.path.exists(p):
             try:
@@ -148,10 +175,24 @@ class MaterializedAggregate:
     # ------------------------------------------------------- helpers
 
     def _measures(self) -> list:
-        return [
-            F.sum(F.coalesce(F.expr(e), F.lit(0))).alias(n)
-            for n, e in self.sums.items()
-        ]
+        return (
+            [
+                F.sum(F.coalesce(F.expr(e), F.lit(0))).alias(n)
+                for n, e in self.sums.items()
+            ]
+            + [F.min(F.expr(e)).alias(n) for n, e in self.mins.items()]
+            + [F.max(F.expr(e)).alias(n) for n, e in self.maxs.items()]
+        )
+
+    def _extrema(self) -> dict:
+        """name → (expr, is_min) for every half-maintainable measure."""
+        return {
+            **{n: (e, True) for n, e in self.mins.items()},
+            **{n: (e, False) for n, e in self.maxs.items()},
+        }
+
+    def _all_measure_names(self) -> list[str]:
+        return ["n_rows", *self.sums, *self.mins, *self.maxs]
 
     def _absolute(self, state: DataFrame) -> DataFrame:
         """The batch definition of the view — also the rebootstrap and
@@ -230,7 +271,7 @@ class MaterializedAggregate:
                     *self.group_cols,
                     *[
                         F.lit(None).cast(vschema[n]).alias(n)
-                        for n in ("n_rows", *self.sums)
+                        for n in self._all_measure_names()
                     ],
                     F.lit("DELETE").alias("op"),
                 )
@@ -245,35 +286,34 @@ class MaterializedAggregate:
 
         # contribution delta: +1 for rows entering the TO state,
         # -1 retractions for rows leaving it (update pre-images and
-        # deletes) — one aggregation over O(changed keys) feed rows
-        sign = F.when(
-            F.col("_change_type").isin("insert", "update_post"), F.lit(1)
-        ).otherwise(F.lit(-1))
+        # deletes) — one aggregation over O(changed keys) feed rows.
+        # Half-maintainable extrema additionally track, per group, the
+        # best INSERTED value (_i_: folds in O(1)) and the most
+        # threatening RETRACTED value (_r_: decides whether the
+        # group's extremum may have left and a recompute is due).
+        ext = self._extrema()
+        is_ins = F.col("_change_type").isin("insert", "update_post")
+        sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
+        sel = [*self.group_cols, sign.alias("_sign")]
+        aggs = [F.sum("_sign").alias("_dn")]
+        keep = [F.col("_dn") != 0]
+        for n, e in self.sums.items():
+            sel.append((F.coalesce(F.expr(e), F.lit(0)) * sign).alias(f"_d_{n}"))
+            aggs.append(F.sum(f"_d_{n}").alias(f"_d_{n}"))
+            keep.append(F.col(f"_d_{n}") != 0)
+        for n, (e, is_min) in ext.items():
+            best = F.min if is_min else F.max
+            sel.append(F.when(is_ins, F.expr(e)).alias(f"_iv_{n}"))
+            sel.append(F.when(~is_ins, F.expr(e)).alias(f"_rv_{n}"))
+            aggs.append(best(f"_iv_{n}").alias(f"_i_{n}"))
+            aggs.append(best(f"_rv_{n}").alias(f"_r_{n}"))
+            keep.append(F.col(f"_i_{n}").isNotNull())
+            keep.append(F.col(f"_r_{n}").isNotNull())
         delta = (
-            ch.select(
-                *self.group_cols,
-                sign.alias("_sign"),
-                *[
-                    (F.coalesce(F.expr(e), F.lit(0)) * sign).alias(f"_d_{n}")
-                    for n, e in self.sums.items()
-                ],
-            )
+            ch.select(*sel)
             .groupBy(*self.group_cols)
-            .agg(
-                F.sum("_sign").alias("_dn"),
-                *[F.sum(f"_d_{n}").alias(f"_d_{n}") for n in self.sums],
-            )
-            .filter(
-                (F.col("_dn") != 0)
-                | F.greatest(
-                    *[(F.col(f"_d_{n}") != 0) for n in self.sums], F.lit(False)
-                )
-            )
-            if self.sums
-            else ch.select(*self.group_cols, sign.alias("_sign"))
-            .groupBy(*self.group_cols)
-            .agg(F.sum("_sign").alias("_dn"))
-            .filter(F.col("_dn") != 0)
+            .agg(*aggs)
+            .filter(F.greatest(*keep, F.lit(False)))
         )
 
         # fold into current view values: read ONLY the view buckets the
@@ -290,7 +330,7 @@ class MaterializedAggregate:
         old = self.view.read(buckets=bks).select(
             *self.group_cols,
             F.col("n_rows").alias("_o_n"),
-            *[F.col(n).alias(f"_o_{n}") for n in self.sums],
+            *[F.col(n).alias(f"_o_{n}") for n in (*self.sums, *ext)],
         )
         # no broadcast hint: the pruned view side is USUALLY tiny (AQE
         # promotes it to a broadcast join at runtime), but a delta
@@ -298,7 +338,21 @@ class MaterializedAggregate:
         # shuffle instead of OOMing the driver on a forced broadcast
         j = delta.join(old, self.group_cols, "left")
         new_n = F.coalesce(F.col("_o_n"), F.lit(0)) + F.col("_dn")
-        rows = j.select(
+
+        # a surviving group needs a base-state recompute iff a
+        # retraction may have removed its current extremum: the most
+        # threatening retracted value reaches (or an inconsistency
+        # obscures) the stored one. Inserts never trigger this.
+        threat = F.lit(False)
+        for n, (_, is_min) in ext.items():
+            r, o = F.col(f"_r_{n}"), F.col(f"_o_{n}")
+            reaches = (r <= o) if is_min else (r >= o)
+            threat = threat | (
+                r.isNotNull() & (o.isNull() | F.col("_o_n").isNull() | reaches)
+            )
+        needs = threat & (new_n > 0)
+
+        fold = j.filter(~needs).select(
             *self.group_cols,
             new_n.cast(vschema["n_rows"]).alias("n_rows"),
             *[
@@ -310,10 +364,46 @@ class MaterializedAggregate:
                 .alias(n)
                 for n in self.sums
             ],
+            *[
+                (F.least if is_min else F.greatest)(
+                    F.col(f"_o_{n}"), F.col(f"_i_{n}")
+                )
+                .cast(vschema[n])
+                .alias(n)
+                for n, (_, is_min) in ext.items()
+            ],
             F.when(new_n <= 0, F.lit("DELETE"))
             .otherwise(F.lit("UPSERT"))
             .alias("op"),
         )
+        rows = fold
+        if ext:
+            groups = j.filter(needs).select(*self.group_cols)
+            n_re = groups.count()  # control-plane scalar, O(touched groups)
+            if n_re:
+                # the honest cost of half-maintainable extrema: ONE
+                # base-state scan semi-joined to the affected groups
+                # (stats/row-group pruning applies; the group column is
+                # not the bucket key, so this is O(base files) in the
+                # worst case — which is why it only runs when an
+                # extremum actually left)
+                log.warning(
+                    "matview %s: extremal retraction in %d group(s) — "
+                    "recomputing them from base state", self.root, n_re,
+                )
+                recomp = self._absolute(
+                    self.base.read(snapshot_id=to_id).join(
+                        F.broadcast(groups), self.group_cols, "semi"
+                    )
+                ).select(
+                    *self.group_cols,
+                    *[
+                        F.col(n).cast(vschema[n]).alias(n)
+                        for n in self._all_measure_names()
+                    ],
+                    F.lit("UPSERT").alias("op"),
+                )
+                rows = fold.unionByName(recomp)
         self.view.merge(
             rows.withColumn("seq", F.lit(to_id).cast("long")),
             writer_id="matview",

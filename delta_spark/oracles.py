@@ -649,6 +649,28 @@ ALL_ORACLES: dict[str, str] = {
                CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS sum_chars
         FROM state GROUP BY role
     """,
+    # extrema fold + targeted recompute must equal the batch GROUP BY
+    # (min/max ignore NULL text; n_rows/sum_chars as in matview_rollup)
+    "matview_minmax": """
+        WITH log AS (
+            SELECT 'c' || user_id AS conv_id,
+                   CAST(event_id % 20 AS INT) AS turn_idx,
+                   event_type AS role, props AS text,
+                   event_id AS seq,
+                   (event_type = 'error') AS del
+            FROM events),
+        state AS (
+            SELECT conv_id, turn_idx, role, text
+            FROM log
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
+                AND NOT del)
+        SELECT role, count(*) AS n_rows,
+               CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS sum_chars,
+               CAST(min(length(text)) AS INT) AS min_chars,
+               CAST(max(length(text)) AS INT) AS max_chars
+        FROM state GROUP BY role
+    """,
     "table_ddl_replay": """
         WITH c AS (SELECT 3 * MAX(event_id) // 4 AS cut FROM events)
         SELECT user_id, event_type, value, ts

@@ -1927,6 +1927,46 @@ def matview_rollup(spark, sf_dir):
     return mv.read().select("role", "n_rows", "sum_chars")
 
 
+def matview_minmax(spark, sf_dir):
+    """Half-maintainable extrema (MIN/MAX) in the incrementally-folded
+    view: same two-generation shape as ``matview_rollup``, with
+    per-role min/max text length. Generation 2 carries deletes and
+    updates, so extremal retractions occur and the affected groups are
+    recomputed from base state — the fold + targeted recompute must
+    land exactly on DuckDB's batch GROUP BY over the final LWW state.
+    The view lives in a fresh directory per call; the gen-1 bootstrap
+    is cached like ``matview_rollup``'s (different measures → its own
+    ``mvx0`` directory)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable, MaterializedAggregate
+
+    def _mk(root):
+        return MaterializedAggregate(
+            spark,
+            LakeTable.load(spark, tbl),
+            root,
+            ["role"],
+            {"sum_chars": "length(text)"},
+            mins={"min_chars": "length(text)"},
+            maxs={"max_chars": "length(text)"},
+        )
+
+    tbl, mid_sid, _ = _two_gen_table(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="matview_x_")
+    boot = os.path.join(os.path.dirname(tbl), "mvx0")
+    if not os.path.isdir(boot):
+        _mk(boot).advance(mid_sid)
+    shutil.copytree(boot, f"{d}/mv")
+    mv = _mk(f"{d}/mv")
+    mv.advance()
+    return mv.read().select(
+        "role", "n_rows", "sum_chars", "min_chars", "max_chars"
+    )
+
+
 def media_features(spark, sf_dir):
     """Multimodal decode E2E WITH a SQL oracle: documents → real PPM/
     WAV/RVID binaries (mapInPandas encode) → header-parsing decode
@@ -2171,6 +2211,7 @@ ALL_QUERIES = {
     "datasource_changes": datasource_changes,
     "datasource_write_roundtrip": datasource_write_roundtrip,
     "matview_rollup": matview_rollup,
+    "matview_minmax": matview_minmax,
     "iceberg_export_read": iceberg_export_read,
     "iceberg_publish_feed": iceberg_publish_feed,
     "iceberg_changes_feed": iceberg_changes_feed,

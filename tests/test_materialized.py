@@ -327,3 +327,179 @@ def test_matview_sidecar_tracks_live_definition(spark, tmp_path):
     _mv(spark, t, root)
     with open(p) as f:
         assert json.load(f) == body
+
+
+# ------------------------------------------------ MIN/MAX maintenance
+
+
+def _mv_ext(spark, t, root):
+    return MaterializedAggregate(
+        spark, t, root, ["role"], {"sum_chars": "length(text)"},
+        mins={"min_chars": "length(text)"},
+        maxs={"max_chars": "length(text)"},
+    )
+
+
+def _check_ext(mv, t):
+    got = mv.read().toPandas().sort_values("role").reset_index(drop=True)
+    want = (
+        t.read()
+        .groupBy("role")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("sum_chars"),
+            F.min(F.length("text")).alias("min_chars"),
+            F.max(F.length("text")).alias("max_chars"),
+        )
+        .toPandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    cols = ["role", "n_rows", "sum_chars", "min_chars", "max_chars"]
+    pd.testing.assert_frame_equal(
+        got[cols].astype({c: "Int64" for c in cols[1:]}),
+        want[cols].astype({c: "Int64" for c in cols[1:]}),
+    )
+
+
+def test_extrema_insert_only_fold_no_recompute(spark, tmp_path, caplog):
+    """Inserts fold extrema in O(1) (least/greatest) — no base-state
+    recompute is ever planned for an insert-only epoch."""
+    t = _mk(spark, str(tmp_path / "t"), n=10)
+    mv = _mv_ext(spark, t, str(tmp_path / "mv"))
+    mv.advance()
+    _check_ext(mv, t)
+    t.merge(
+        spark.createDataFrame(
+            [("c100", 0, "user", "y" * 99, "", TS, "INSERT", 200),
+             ("c101", 0, "newrole", "z", "", TS, "INSERT", 201)],
+            DDL,
+        ),
+        "w", "b-ins",
+    )
+    import logging
+    with caplog.at_level(logging.WARNING, logger="delta_spark.materialized"):
+        mv.advance()
+    assert not any("extremal retraction" in r.message for r in caplog.records)
+    _check_ext(mv, t)
+
+
+def test_extrema_nonextremal_retraction_skips_recompute(spark, tmp_path, caplog):
+    """Deleting a row that holds no extremum must not trigger the
+    group recompute — counts and sums fold, extrema stand."""
+    t = _mk(spark, str(tmp_path / "t"), n=10)
+    mv = _mv_ext(spark, t, str(tmp_path / "mv"))
+    mv.advance()
+    # c5 ('user', len 6) is neither min (len 2: c1) nor max (len 10: c9)
+    t.merge(
+        spark.createDataFrame(
+            [("c5", 0, None, None, None, None, "DELETE", 300)], DDL
+        ),
+        "w", "b-del-mid",
+    )
+    import logging
+    with caplog.at_level(logging.WARNING, logger="delta_spark.materialized"):
+        mv.advance()
+    assert not any("extremal retraction" in r.message for r in caplog.records)
+    _check_ext(mv, t)
+
+
+def test_extrema_extremal_retraction_recomputes_group(spark, tmp_path, caplog):
+    """Deleting the current max forces a recompute of JUST that group
+    — and lands exactly on the batch answer (second place found)."""
+    t = _mk(spark, str(tmp_path / "t"), n=10)
+    mv = _mv_ext(spark, t, str(tmp_path / "mv"))
+    mv.advance()
+    # c9 holds the 'user' max (len 10); delete it
+    t.merge(
+        spark.createDataFrame(
+            [("c9", 0, None, None, None, None, "DELETE", 301)], DDL
+        ),
+        "w", "b-del-max",
+    )
+    import logging
+    with caplog.at_level(logging.WARNING, logger="delta_spark.materialized"):
+        mv.advance()
+    msgs = [r.message for r in caplog.records if "extremal retraction" in r.message]
+    assert msgs and "1 group(s)" in msgs[0]
+    _check_ext(mv, t)
+
+
+def test_extrema_update_moves_extremum(spark, tmp_path):
+    """An update whose pre-image held the min retracts it (recompute)
+    while its post-image may set a new max elsewhere — both epochs must
+    land on the batch answer."""
+    t = _mk(spark, str(tmp_path / "t"), n=10)
+    mv = _mv_ext(spark, t, str(tmp_path / "mv"))
+    mv.advance()
+    # c1 is the 'user' min (len 2) → becomes the new max (len 50)
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 0, "user", "w" * 50, "", TS, "UPDATE", 400)], DDL
+        ),
+        "w", "b-upd",
+    )
+    mv.advance()
+    _check_ext(mv, t)
+    # and a tie: two rows share the max; deleting one keeps it
+    t.merge(
+        spark.createDataFrame(
+            [("c200", 0, "user", "q" * 50, "", TS, "INSERT", 401)], DDL
+        ),
+        "w", "b-tie",
+    )
+    mv.advance()
+    t.merge(
+        spark.createDataFrame(
+            [("c200", 0, None, None, None, None, "DELETE", 402)], DDL
+        ),
+        "w", "b-del-tie",
+    )
+    mv.advance()
+    _check_ext(mv, t)
+
+
+def test_extrema_group_vanishes(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=3)  # assistant: c0, c2; user: c1
+    mv = _mv_ext(spark, t, str(tmp_path / "mv"))
+    mv.advance()
+    t.merge(
+        spark.createDataFrame(
+            [("c1", 0, None, None, None, None, "DELETE", 500)], DDL
+        ),
+        "w", "b-gone",
+    )
+    mv.advance()
+    assert {r["role"] for r in mv.read().collect()} == {"assistant"}
+    _check_ext(mv, t)
+
+
+def test_extrema_rebootstrap_after_expiry(spark, tmp_path):
+    """Expired cursor → the absolute rebootstrap path carries the
+    extrema too."""
+    t = _mk(spark, str(tmp_path / "t"), n=8)
+    mv = _mv_ext(spark, t, str(tmp_path / "mv"))
+    mv.advance()
+    t.merge(
+        spark.createDataFrame(
+            [("c0", 0, None, None, None, None, "DELETE", 600),
+             ("c50", 0, "user", "long" * 30, "", TS, "INSERT", 601)],
+            DDL,
+        ),
+        "w", "b-x",
+    )
+    t.expire_snapshots(keep_last=1)
+    t2 = LakeTable.load(mv.spark, t.path)
+    mv2 = _mv_ext(spark, t2, str(tmp_path / "mv"))
+    mv2.advance()
+    _check_ext(mv2, t2)
+
+
+def test_extrema_measure_name_collisions_refused(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=3)
+    import pytest
+    with pytest.raises(ValueError, match="distinct"):
+        MaterializedAggregate(
+            spark, t, str(tmp_path / "mv"), ["role"],
+            {"m": "length(text)"}, mins={"m": "length(text)"},
+        )
