@@ -64,6 +64,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -189,7 +190,23 @@ def _cast_batches(rel, spark_schema: StructType, rows_per_batch: int):
 
 @dataclass
 class _BucketPart(InputPartition):
-    bucket: int | None  # None = unsliced whole read (empty/fallback)
+    buckets: list | None  # None = unsliced whole read (empty/fallback)
+
+
+def _group_buckets(cand: list, max_tasks: int | None) -> list:
+    """One partition per bucket by default; with ``max_tasks`` set,
+    round-robin buckets into at most that many partitions (a
+    4096-bucket table does not need 4096 Python worker spin-ups when
+    32 slots exist — each task then folds K buckets sequentially,
+    still shuffle-free)."""
+    if not cand:
+        return []
+    if not max_tasks or max_tasks >= len(cand):
+        return [_BucketPart([b]) for b in cand]
+    groups: list[list] = [[] for _ in range(max_tasks)]
+    for i, b in enumerate(cand):
+        groups[i % max_tasks].append(b)
+    return [_BucketPart(g) for g in groups if g]
 
 
 class LakeDataSource(DataSource):
@@ -204,6 +221,9 @@ class LakeDataSource(DataSource):
     starting             streaming start: "latest" (default),
                          "earliest", or a snapshot id
     rows_per_batch       Arrow batch size (default 65536)
+    max_tasks            cap read partitions: round-robin buckets into
+                         at most this many tasks (default: one task
+                         per bucket)
     """
 
     @classmethod
@@ -266,6 +286,9 @@ class LakeDataSource(DataSource):
             )
         return LakeDeltaWriter(self._path(), self.options, schema)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return LakeDeltaStreamWriter(self._path(), self.options, schema)
+
 
 def _pushdown_enabled() -> bool:
     """Spark refuses a reader that merely DEFINES pushFilters unless
@@ -294,6 +317,7 @@ class _LakeBatchReaderBase(DataSourceReader):
         self.path = path
         self.schema = schema
         self.rows_per_batch = int(options.get("rows_per_batch") or 65536)
+        self.max_tasks = int(options.get("max_tasks") or 0) or None
         meta = _meta(path)
         self.sid = _resolve_pin(meta, path, options)
         # a head read speaks CURRENT column names even when the head
@@ -323,7 +347,7 @@ class _LakeBatchReaderBase(DataSourceReader):
             cand = sorted(set(cand) & set(self._pruned_buckets))
         if not cand:
             return [_BucketPart(None)]  # empty scan, one no-op task
-        return [_BucketPart(b) for b in cand]
+        return _group_buckets(cand, self.max_tasks)
 
     # -- execution (executor) ----------------------------------------
     def read(self, partition: _BucketPart) -> Iterator:
@@ -331,13 +355,13 @@ class _LakeBatchReaderBase(DataSourceReader):
 
         from .interop import read_duckdb
 
-        if partition.bucket is None and self.sid is None:
+        if partition.buckets is None and self.sid is None:
             return
         con = duckdb.connect()
         rel = read_duckdb(
             self.path,
             con=con,
-            buckets=None if partition.bucket is None else [partition.bucket],
+            buckets=partition.buckets,
             snapshot_id=self.sid,
             ranges=self._ranges or None,
             align_schema_version=self.align_sv,
@@ -419,11 +443,12 @@ class LakeChangesBatchReader(DataSourceReader):
         frm = options.get("from_snapshot_id")
         to = options.get("to_snapshot_id")
         self.frm = int(frm) if frm else None
+        self.max_tasks = int(options.get("max_tasks") or 0) or None
         meta = _meta(path)
         self.to = int(to) if to else meta["current_snapshot_id"]
 
     def partitions(self) -> Sequence[InputPartition]:
-        return _change_partitions(self.path, self.frm, self.to)
+        return _change_partitions(self.path, self.frm, self.to, self.max_tasks)
 
     def read(self, partition: _BucketPart) -> Iterator:
         yield from _read_changes_part(
@@ -431,7 +456,9 @@ class LakeChangesBatchReader(DataSourceReader):
         )
 
 
-def _change_partitions(path: str, frm: int | None, to: int | None):
+def _change_partitions(
+    path: str, frm: int | None, to: int | None, max_tasks: int | None = None
+):
     from .interop import resolve_snapshot, touched_buckets
 
     if to is None:
@@ -445,7 +472,7 @@ def _change_partitions(path: str, frm: int | None, to: int | None):
             cand = _candidate_buckets(meta, resolve_snapshot(meta, path, to))
     if not cand:
         return [_BucketPart(None)]
-    return [_BucketPart(b) for b in cand]
+    return _group_buckets(cand, max_tasks)
 
 
 def _read_changes_part(
@@ -460,7 +487,7 @@ def _read_changes_part(
 
     from .interop import changes_duckdb
 
-    if partition.bucket is None and to is None:
+    if partition.buckets is None and to is None:
         return
     con = duckdb.connect()
     rel = changes_duckdb(
@@ -468,7 +495,7 @@ def _read_changes_part(
         con=con,
         from_snapshot_id=frm,
         to_snapshot_id=to,
-        buckets=None if partition.bucket is None else [partition.bucket],
+        buckets=partition.buckets,
     )
     yield from _cast_batches(rel, schema, rows_per_batch)
 
@@ -477,7 +504,7 @@ def _read_changes_part(
 class _ChangeRangePart(InputPartition):
     frm: int | None
     to: int
-    bucket: int | None
+    buckets: list | None
 
 
 class LakeChangesStreamReader(DataSourceStreamReader):
@@ -495,6 +522,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         self.path = path
         self.schema = schema
         self.rows_per_batch = int(options.get("rows_per_batch") or 65536)
+        self.max_tasks = int(options.get("max_tasks") or 0) or None
         starting = str(options.get("starting") or "latest").lower()
         head = _meta(path)["current_snapshot_id"]
         if starting == "latest":
@@ -517,8 +545,8 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             return [_ChangeRangePart(None, -1, None)]  # no-op batch
         frm = None if s == -1 else s
         return [
-            _ChangeRangePart(frm, e, p.bucket)
-            for p in _change_partitions(self.path, frm, e)
+            _ChangeRangePart(frm, e, p.buckets)
+            for p in _change_partitions(self.path, frm, e, self.max_tasks)
         ]
 
     def read(self, partition: _ChangeRangePart) -> Iterator:
@@ -528,7 +556,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             self.path,
             partition.frm,
             partition.to,
-            _BucketPart(partition.bucket),
+            _BucketPart(partition.buckets),
             self.schema,
             self.rows_per_batch,
         )
@@ -566,16 +594,26 @@ class LakeDeltaWriter(DataSourceArrowWriter):
     Spark write format.
     """
 
-    def __init__(self, path: str, options: dict, schema: StructType):
+    def __init__(
+        self,
+        path: str,
+        options: dict,
+        schema: StructType,
+        _need_batch_id: bool = True,
+    ):
         self.path = path
         self.writer_id = options.get("writer_id")
         self.batch_id = options.get("batch_id")
-        if not self.writer_id or not self.batch_id:
+        if not self.writer_id or (_need_batch_id and not self.batch_id):
             raise ValueError(
                 "deltaspark writes are exactly-once and need their "
                 "identity: .option('writer_id', ...) and "
-                ".option('batch_id', ...) (a replay of the same pair "
-                "is a no-op)"
+                + (
+                    ".option('batch_id', ...) (a replay of the same pair "
+                    "is a no-op)"
+                    if _need_batch_id
+                    else "for streams the micro-batch epoch is the batch id"
+                )
             )
         self.op_col = options.get("op_col") or "op"
         self.seq_col = options.get("seq_col") or "seq"
@@ -642,3 +680,41 @@ class LakeDeltaWriter(DataSourceArrowWriter):
                 os.rmdir(os.path.dirname(p))
             except OSError:
                 pass
+
+
+class LakeDeltaStreamWriter(LakeDeltaWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("deltaspark")`` — the streaming sink
+    face of the same delta writer: every micro-batch commits as one
+    exactly-once snapshot whose batch id IS the stream epoch
+    (``{batch_id_prefix|'stream'}-{batchId}``), so a checkpointed
+    restart that replays an epoch hits the (writer-id, batch-id)
+    marker and commits nothing — the engine's idempotent-consumer
+    contract, straight from the format API. ``writer_id`` is required
+    (name the stream!); ``batch_id`` must NOT be set (the epoch is
+    the identity). Inherits staging/validation/abort from the batch
+    writer."""
+
+    def __init__(self, path: str, options: dict, schema: StructType):
+        if options.get("batch_id"):
+            raise ValueError(
+                "streaming deltaspark writes derive batch_id from the "
+                "micro-batch epoch — set batch_id_prefix instead"
+            )
+        super().__init__(path, options, schema, _need_batch_id=False)
+        self.prefix = options.get("batch_id_prefix") or "stream"
+
+    def commit(self, messages, batchId: int) -> None:
+        from .interop import commit_delta_staged
+
+        commit_delta_staged(
+            self.path,
+            [m.staged for m in messages if m is not None],
+            writer_id=self.writer_id,
+            batch_id=f"{self.prefix}-{int(batchId)}",
+            expected_spec=self.expected_spec,
+            expected_num_buckets=self.expected_num_buckets,
+            branch=self.branch,
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        super().abort(messages)

@@ -135,7 +135,7 @@ def test_bucket_pruning_pushdown_plans_one_task(spark, table):
     assert len(parts) == 1
     from delta_spark.lake.xxh import bucket_of
 
-    assert parts[0].bucket == bucket_of("c7", 8, coltype="string")
+    assert parts[0].buckets == [bucket_of("c7", 8, coltype="string")]
 
 
 def test_range_pushdown_recorded_and_correct(spark, table):
@@ -149,6 +149,21 @@ def test_range_pushdown_recorded_and_correct(spark, table):
     assert rdr._ranges["turn_idx"] == (1, 2)
     got = _fmt(spark, tbl.path).filter("turn_idx >= 1 and turn_idx < 2")
     assert _rows(got) == _rows(tbl.read().filter("turn_idx = 1"))
+
+
+def test_max_tasks_coalesces_partitions(spark, table):
+    """max_tasks bounds the fan-out (a 4096-bucket table must not cost
+    4096 Python worker spin-ups) without changing the result."""
+    tbl, _ = table
+    rdr = LakeBatchReader(tbl.path, {"max_tasks": "3"}, tbl.read().schema)
+    parts = rdr.partitions()
+    assert len(parts) <= 3
+    assert sorted(b for p in parts for b in p.buckets) == sorted(
+        b for p in LakeBatchReader(tbl.path, {}, tbl.read().schema).partitions()
+        for b in p.buckets
+    )
+    got = _fmt(spark, tbl.path, max_tasks="3")
+    assert _rows(got) == _rows(tbl.read())
 
 
 def test_rename_then_read_uses_current_names(spark, table):
@@ -398,6 +413,142 @@ def test_writer_stages_on_branch(spark, tmp_path):
     )
     t.fast_forward("stage")
     assert LakeTable.load(spark, tbl.path).read().count() == 2
+
+
+def test_stream_sink_epoch_exactly_once(spark, tmp_path):
+    """writeStream.format('deltaspark'): each micro-batch commits one
+    snapshot whose batch id is the stream epoch; a checkpointed rerun
+    replays no epoch twice."""
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=8,
+    )
+    ev = (
+        spark.createDataFrame(
+            [(f"c{i}", 0, f"v0 {i}", TS) for i in range(12)], SCHEMA
+        )
+        .withColumn("op", F.lit("INSERT"))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    log = tmp_path / "log"
+    ev.repartition(3).write.parquet(str(log))
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(log))
+    )
+
+    def run():
+        q = (
+            sdf.writeStream.format("deltaspark")
+            .option("path", tbl.path)
+            .option("writer_id", "stream-w")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    t = LakeTable.load(spark, tbl.path)
+    assert t.read().count() == 12
+    bids = {
+        s["summary"]["batch-id"]
+        for s in t.metadata["snapshots"]
+        if s["summary"].get("writer-id") == "stream-w"
+    }
+    assert bids == {"stream-0", "stream-1", "stream-2"}
+    run()  # same checkpoint: every epoch already committed
+    assert (
+        LakeTable.load(spark, tbl.path).metadata["current_snapshot_id"]
+        == t.metadata["current_snapshot_id"]
+    )
+
+    with pytest.raises(Exception, match="batch_id_prefix"):
+        q = (
+            sdf.writeStream.format("deltaspark")
+            .option("path", tbl.path)
+            .option("writer_id", "w")
+            .option("batch_id", "explicit")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+
+def test_lake_to_lake_replication_through_format_only(spark, tmp_path):
+    """The whole CDC loop with NO engine API in the pipe: source lake
+    table → readStream(feed=changes) → writeStream(deltaspark) →
+    replica lake table. After two rounds (including updates and a
+    delete), the replica equals the source exactly."""
+    src = LakeTable.create(
+        spark,
+        str(tmp_path / "src"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=8,
+    )
+    dst = LakeTable.create(
+        spark,
+        str(tmp_path / "dst"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=4,  # different bucketing: replication is logical
+    )
+    _commit(
+        spark,
+        src,
+        [(f"c{i}", 0, f"v0 {i}", TS) for i in range(10)],
+        "INSERT",
+        1,
+        "b1",
+    )
+
+    sdf = (
+        spark.readStream.format("deltaspark")
+        .option("path", src.path)
+        .option("feed", "changes")
+        .option("starting", "earliest")
+        .load()
+    )
+    piped = sdf.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        "ts",
+        F.when(F.col("_change_type") == "delete", "DELETE")
+        .otherwise("UPSERT")
+        .alias("op"),
+        F.col("_seq").alias("seq"),
+    )
+
+    def run():
+        q = (
+            piped.writeStream.format("deltaspark")
+            .option("path", dst.path)
+            .option("writer_id", "replica")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    a = _rows(LakeTable.load(spark, dst.path).read().select("conv_id", "turn_idx", "text"))
+    b = _rows(src.read().select("conv_id", "turn_idx", "text"))
+    assert a == b and len(a) == 10
+
+    _commit(spark, src, [("c3", 0, "v1 3", TS)], "UPDATE", 2, "b2")
+    _commit(spark, src, [("c5", 0, None, None)], "DELETE", 3, "b3")
+    run()
+    a = _rows(LakeTable.load(spark, dst.path).read().select("conv_id", "turn_idx", "text"))
+    b = _rows(LakeTable.load(spark, src.path).read().select("conv_id", "turn_idx", "text"))
+    assert a == b and len(a) == 9
+    assert ("c3", 0, "v1 3") in a
 
 
 def test_schema_function_matches_feeds(spark, table):
