@@ -37,7 +37,10 @@ BENCH_QUERIES = [
     "region_customer_rollup",
     "order_priority_revenue",
     "table_changes_feed",
+    "datasource_scan",
+    "datasource_changes",
     "matview_rollup",
+    "matview_minmax",
     "stats_pruned_scan",
     "clustered_scan",
     "sketch_pruned_scan",

@@ -551,6 +551,25 @@ def test_lake_to_lake_replication_through_format_only(spark, tmp_path):
     assert ("c3", 0, "v1 3") in a
 
 
+def test_stream_expired_offset_fails_loudly(spark, tmp_path):
+    """A checkpointed offset whose snapshot has been expired by
+    retention must fail at planning (the consume_changes resync
+    contract) — never silently emit a wrong diff."""
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["conv_id", "turn_idx"]
+    )
+    _commit(spark, tbl, [("c0", 0, "v0", TS)], "INSERT", 1, "b1")
+    s1 = tbl.metadata["current_snapshot_id"]
+    _commit(spark, tbl, [("c1", 0, "v0", TS)], "INSERT", 2, "b2")
+    _commit(spark, tbl, [("c2", 0, "v0", TS)], "INSERT", 3, "b3")
+    tbl.expire_snapshots(keep_last=1)
+    from delta_spark.lake.datasource import _change_partitions
+
+    head = LakeTable.load(spark, tbl.path).metadata["current_snapshot_id"]
+    with pytest.raises(Exception):
+        _change_partitions(tbl.path, s1, head)
+
+
 def test_schema_function_matches_feeds(spark, table):
     tbl, _ = table
     ds = LakeDataSource({"path": tbl.path})
