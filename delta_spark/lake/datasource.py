@@ -212,8 +212,10 @@ def _group_buckets(cand: list, max_tasks: int | None) -> list:
 class LakeDataSource(DataSource):
     """``format("deltaspark")`` — options:
 
-    path (required)      lake table root (reachable from executors,
-                         like any Spark path)
+    path                 lake table root (reachable from executors,
+                         like any Spark path) — or address by name:
+    catalog + table      catalog root + table name (resolved from the
+                         catalog document, Spark-free)
     feed                 "state" (default) | "changes"
     snapshot_id/tag/branch   batch time travel (state feed)
     from_snapshot_id/to_snapshot_id   batch change-feed range
@@ -232,8 +234,32 @@ class LakeDataSource(DataSource):
 
     def _path(self) -> str:
         p = self.options.get("path")
+        cat = self.options.get("catalog")
+        name = self.options.get("table")
+        if p and (cat or name):
+            raise ValueError("pass either path OR catalog+table, not both")
+        if cat or name:
+            if not (cat and name):
+                raise ValueError(
+                    "catalog reads need BOTH .option('catalog', <root>) "
+                    "and .option('table', <name>)"
+                )
+            from ..catalog import Catalog
+
+            meta = Catalog._read_meta(os.path.abspath(cat))
+            if name not in meta["tables"]:
+                raise ValueError(
+                    f"no table {name!r} in catalog {cat} "
+                    f"(have {sorted(meta['tables'])})"
+                )
+            return os.path.abspath(
+                os.path.join(cat, meta["tables"][name]["dir"])
+            )
         if not p:
-            raise ValueError("deltaspark requires .option('path', <table root>)")
+            raise ValueError(
+                "deltaspark requires .option('path', <table root>) or "
+                ".option('catalog', <root>).option('table', <name>)"
+            )
         return os.path.abspath(p)
 
     def _feed(self) -> str:

@@ -551,6 +551,40 @@ def test_lake_to_lake_replication_through_format_only(spark, tmp_path):
     assert ("c3", 0, "v1 3") in a
 
 
+def test_catalog_by_name_resolution(spark, tmp_path):
+    """format('deltaspark').option('catalog', root).option('table', n)
+    resolves through the catalog document (Spark-free) — including
+    after a RENAME."""
+    from delta_spark.catalog import Catalog
+
+    cat = Catalog.load_or_create(spark, str(tmp_path / "cat"))
+    cat.create_table("conv", SCHEMA, key_cols=["conv_id", "turn_idx"])
+    tbl = cat.table("conv")
+    _commit(spark, tbl, [("c0", 0, "x", TS)], "INSERT", 2, "b1")
+    got = (
+        spark.read.format("deltaspark")
+        .option("catalog", str(tmp_path / "cat"))
+        .option("table", "conv")
+        .load()
+    )
+    assert _rows(got) == _rows(tbl.read())
+    with pytest.raises(Exception, match="no table"):
+        (
+            spark.read.format("deltaspark")
+            .option("catalog", str(tmp_path / "cat"))
+            .option("table", "nope")
+            .load()
+        )
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("deltaspark")
+            .option("catalog", str(tmp_path / "cat"))
+            .option("table", "conv")
+            .option("path", tbl.path)
+            .load()
+        )
+
+
 def test_stream_expired_offset_fails_loudly(spark, tmp_path):
     """A checkpointed offset whose snapshot has been expired by
     retention must fail at planning (the consume_changes resync
