@@ -551,6 +551,42 @@ def test_lake_to_lake_replication_through_format_only(spark, tmp_path):
     assert ("c3", 0, "v1 3") in a
 
 
+@pytest.mark.parametrize(
+    "case",
+    [
+        dict(n_events=2500, n_convs=25, seed=101, update_frac=0.6, delete_frac=0.02),
+        dict(n_events=2500, n_convs=30, seed=105, include_ddl=True, dup_frac=0.1),
+    ],
+    ids=["heavy_updates", "ddl_with_dups"],
+)
+def test_format_read_equals_engine_property(spark, tmp_path, case):
+    """Property sweep over the generator stress cases: after a REAL
+    pipeline replay (MoR deltas, DDL, dup injection), the format read
+    equals the engine read row-for-row — and the format CHANGE FEED
+    from the empty table equals the state as inserts."""
+    from delta_spark.changelog import ChangelogSpec, generate_and_write
+    from delta_spark.pipeline import Pipeline, PipelineConfig
+
+    generate_and_write(str(tmp_path / "log"), ChangelogSpec(**case))
+    cfg = PipelineConfig(
+        changelog_path=str(tmp_path / "log"),
+        table_path=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        generation=1,
+        num_buckets=4,
+    )
+    Pipeline(spark, cfg).run_batch()
+    tbl = LakeTable.load(spark, cfg.table_path)
+    eng = tbl.read()
+    got = _fmt(spark, cfg.table_path)
+    assert sorted(got.columns) == sorted(eng.columns)
+    cols = sorted(eng.columns)
+    assert _rows(got.select(*cols)) == _rows(eng.select(*cols))
+    feed = _fmt(spark, cfg.table_path, feed="changes")
+    assert feed.count() == eng.count()
+    assert {r["_change_type"] for r in feed.select("_change_type").distinct().collect()} == {"insert"}
+
+
 def test_catalog_by_name_resolution(spark, tmp_path):
     """format('deltaspark').option('catalog', root).option('table', n)
     resolves through the catalog document (Spark-free) — including
