@@ -17,6 +17,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _export_package_path() -> None:
+    """Make ``delta_spark`` importable to EVERY python worker the JVM
+    spawns, however the package was shipped. ``spark-submit
+    --py-files delta_spark.zip`` puts the zip on the DRIVER's sys.path
+    and ships it to executor task workers, but the driver-side
+    streaming PLANNING worker (python_streaming_source_runner, used by
+    the deltaspark DataSource's stream reader) receives no python
+    includes from the JVM — it falls back to the PYTHONPATH it
+    inherited. The Python driver launches the JVM, so exporting the
+    package's own location into PYTHONPATH BEFORE session creation
+    reaches every descendant worker. No-op when the JVM already exists
+    (in-process test sessions import from the checkout anyway)."""
+    import delta_spark
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(delta_spark.__file__)))
+    # zipimport: __file__ is "<...>/delta_spark.zip/delta_spark/__init__.py"
+    # and the dirname chain lands on the zip itself — exactly what
+    # PYTHONPATH needs in that case too.
+    existing = os.environ.get("PYTHONPATH", "")
+    if root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{root}{os.pathsep}{existing}" if existing else root
+        )
+
+
 def build_session(
     cpus: int | None = None,
     app_name: str = "delta_spark",
@@ -25,6 +50,7 @@ def build_session(
     extra: dict | None = None,
 ) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    _export_package_path()
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

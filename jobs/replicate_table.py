@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""spark-submit entry point: continuous lake→lake replication through
+the ``deltaspark`` format ALONE — the change-feed streaming source
+piped into the exactly-once streaming sink. No engine API touches the
+data path; this is the reference's replicator loop (EventReader →
+EventConsumer, delta-api/.../EventReader.java:22-51 /
+EventConsumer.java:39-76) expressed as one Structured Streaming query
+over a registered Spark data source.
+
+Offsets are the SOURCE table's snapshot ids held in the Spark
+checkpoint; each micro-batch commits into the destination as one
+snapshot whose batch id is the stream epoch — a restart replays no
+epoch twice (the sink's (writer-id, batch-id) markers), and a
+destination created with different bucketing replicates fine
+(replication is logical, the sink re-buckets).
+
+Cluster usage (the north rule's deployment shape). NOTE the
+``PYTHONPATH`` export: Spark's driver-side STREAMING planning worker
+(python_streaming_source_runner) receives no ``--py-files`` includes
+from the JVM, so the streaming source additionally needs the zip on
+the inherited PYTHONPATH (on YARN: ``spark.yarn.appMasterEnv
+.PYTHONPATH``; on k8s: ``spark.kubernetes.driverEnv.PYTHONPATH``).
+Batch format reads/writes need only ``--py-files``:
+
+    PYTHONPATH=delta_spark.zip \
+    spark-submit --py-files delta_spark.zip jobs/replicate_table.py \
+        --source /mnt/shared/transcripts --dest /mnt/replica/transcripts \
+        --checkpoint /mnt/replica/_ck --writer-id replica-east
+
+One-shot local smoke (drain whatever is new, then exit):
+
+    python jobs/replicate_table.py --source /tmp/src --dest /tmp/dst \
+        --checkpoint /tmp/ck --once
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True, help="source lake table root")
+    ap.add_argument("--dest", required=True, help="destination lake table root")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--writer-id", default="replicator")
+    ap.add_argument(
+        "--starting",
+        default="earliest",
+        help="earliest | latest | <snapshot id> (first run only; "
+        "afterwards the checkpoint wins)",
+    )
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--once",
+        action="store_true",
+        help="drain available changes (Trigger.AvailableNow) and exit",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from delta_spark.lake import LakeTable
+    from delta_spark.lake.datasource import register
+    from delta_spark.session import build_session
+
+    spark = build_session(cpus=args.cpus, app_name="deltaspark-replicate")
+    register(spark)
+
+    if not LakeTable.exists(args.dest):
+        # bootstrap the replica with the SOURCE's logical schema/keys
+        # (bucketing is the replica's own physical choice — kept equal
+        # to the source's here for symmetric scan parallelism)
+        src = LakeTable.load(spark, args.source)
+        LakeTable.create(
+            spark,
+            args.dest,
+            src.schema,
+            key_cols=src.key_cols,
+            bucket_col=src.bucket_col,
+            num_buckets=src.num_buckets,
+        )
+
+    dst_cols = [f.name for f in LakeTable.load(spark, args.dest).schema.fields]
+    feed = (
+        spark.readStream.format("deltaspark")
+        .option("path", args.source)
+        .option("feed", "changes")
+        .option("starting", args.starting)
+        .load()
+    )
+    piped = feed.select(
+        *dst_cols,
+        F.when(F.col("_change_type") == "delete", "DELETE")
+        .otherwise("UPSERT")
+        .alias("op"),
+        F.col("_seq").alias("seq"),
+    )
+    w = (
+        piped.writeStream.format("deltaspark")
+        .option("path", args.dest)
+        .option("writer_id", args.writer_id)
+        .option("checkpointLocation", args.checkpoint)
+    )
+    if args.once:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = w.start()
+        q.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

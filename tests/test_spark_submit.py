@@ -249,3 +249,90 @@ def test_spark_submit_fleet_wap_publish(spark, tmp_path):
         ).collect()
     )
     assert got == want_mv
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit binary")
+def test_spark_submit_format_replication(spark, tmp_path):
+    """The deltaspark DataSource under the real deployment shape: the
+    replicate_table job runs through spark-submit --py-files from
+    OUTSIDE the checkout, so the format class (and its executor-side
+    reader/writer halves) must unpickle from the shipped zip. The
+    replica must equal the source exactly, across a second run with
+    updates and a delete."""
+    from delta_spark.lake import LakeTable
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), schema,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8,
+    )
+
+    def commit(rows, op, seq, bid):
+        src.merge(
+            spark.createDataFrame(rows, schema)
+            .withColumn("op", F.lit(op))
+            .withColumn("seq", F.lit(seq).cast("long")),
+            writer_id="w",
+            batch_id=bid,
+        )
+
+    commit([(f"c{i}", 0, f"v0 {i}") for i in range(15)], "INSERT", 1, "b1")
+
+    zpath = _build_zip(str(tmp_path))
+    job = str(tmp_path / "replicate_table.py")
+    shutil.copy(os.path.join(REPO, "jobs", "replicate_table.py"), job)
+    env = dict(os.environ)
+    # the STREAMING source's planning worker (python_streaming_source
+    # _runner) receives no python includes from the JVM, so the
+    # deltaspark streaming source's documented deployment contract is:
+    # export PYTHONPATH to the shipped zip alongside --py-files (on a
+    # cluster: spark.yarn.appMasterEnv.PYTHONPATH / kubernetes
+    # driverEnv). Batch reads/writes need no such help — the
+    # run_pipeline test above strips PYTHONPATH entirely.
+    env["PYTHONPATH"] = zpath
+    env["PYSPARK_PYTHON"] = sys.executable
+
+    def run_job():
+        out = subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[4]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--py-files", zpath,
+                job,
+                "--source", str(tmp_path / "src"),
+                "--dest", str(tmp_path / "dst"),
+                "--checkpoint", str(tmp_path / "ck"),
+                "--once",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=str(tmp_path),
+            env=env,
+            timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+
+    run_job()
+
+    def rows(path):
+        return sorted(
+            map(tuple, LakeTable.load(spark, path).read().collect())
+        )
+
+    assert rows(str(tmp_path / "dst")) == rows(str(tmp_path / "src"))
+    assert len(rows(str(tmp_path / "dst"))) == 15
+
+    commit([("c3", 0, "v1 3")], "UPDATE", 2, "b2")
+    commit([("c5", 0, None)], "DELETE", 3, "b3")
+    run_job()
+    assert rows(str(tmp_path / "dst")) == rows(str(tmp_path / "src"))
+    assert len(rows(str(tmp_path / "dst"))) == 14
