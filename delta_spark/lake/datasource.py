@@ -184,7 +184,22 @@ def _cast_batches(rel, spark_schema: StructType, rows_per_batch: int):
     )
     reader = rel.fetch_arrow_reader(rows_per_batch)
     for batch in reader:
-        tbl = pa.Table.from_batches([batch]).select(target.names).cast(target)
+        tbl = pa.Table.from_batches([batch])
+        missing = set(target.names) - set(tbl.schema.names)
+        if missing:
+            # a rename landed after this scan/stream pinned its output
+            # schema (Spark pins source schemas at query start): the
+            # feed now speaks the new names. Fail with the remedy —
+            # a restarted stream re-pins from current metadata and the
+            # whole range re-emits under the new names.
+            raise RuntimeError(
+                f"deltaspark: columns {sorted(missing)} are gone from "
+                f"the table (renamed after this query pinned its "
+                f"schema; the scan now yields {tbl.schema.names}). "
+                f"Restart the query — it resumes from the checkpoint "
+                f"and re-reads under the current names."
+            )
+        tbl = tbl.select(target.names).cast(target)
         yield from tbl.to_batches()
 
 

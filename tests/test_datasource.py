@@ -621,6 +621,51 @@ def test_catalog_by_name_resolution(spark, tmp_path):
         )
 
 
+def test_midstream_rename_fails_with_remedy_then_restart_works(spark, tmp_path):
+    """A rename landing between stream start and the next micro-batch
+    makes the feed speak new names while the query's schema is pinned:
+    the failure names the remedy, and a RESTART (fresh pin from
+    current metadata) drains the same range under the new names."""
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["conv_id", "turn_idx"]
+    )
+    _commit(spark, tbl, [("c0", 0, "v0", TS)], "INSERT", 1, "b1")
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _run_available_now(spark, tbl.path, out, ck)  # drain pre-rename
+
+    sdf = (
+        spark.readStream.format("deltaspark")
+        .option("path", tbl.path)
+        .option("feed", "changes")
+        .load()
+    )  # schema pinned NOW (text)
+    tbl.apply_ddl({"op": "RENAME_COLUMN", "column": "text", "new_name": "body"})
+    post = spark.createDataFrame(
+        [("c1", 0, "v1", TS, "INSERT", 2)],
+        "conv_id string, turn_idx int, body string, ts timestamp, "
+        "op string, seq long",
+    )
+    LakeTable.load(spark, tbl.path).merge(post, writer_id="w", batch_id="b2")
+    with pytest.raises(Exception, match="[Rr]estart"):
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    # restart: a FRESH load() re-pins from current metadata and drains
+    # the same range under the new names (same checkpoint + sink)
+    _run_available_now(spark, tbl.path, out, ck)
+    rows = (
+        spark.read.option("mergeSchema", "true").parquet(str(out)).collect()
+    )
+    assert [(r["conv_id"], r["body"]) for r in rows if r["conv_id"] == "c1"] == [
+        ("c1", "v1")
+    ]
+
+
 def test_stream_expired_offset_fails_loudly(spark, tmp_path):
     """A checkpointed offset whose snapshot has been expired by
     retention must fail at planning (the consume_changes resync
