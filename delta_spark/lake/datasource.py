@@ -435,7 +435,10 @@ class LakeBatchReader(_LakeBatchReaderBase):
             if (
                 vals is not None
                 and col == bname
-                and all(isinstance(v, (str, int)) for v in vals)
+                and all(
+                    isinstance(v, (str, int)) and not isinstance(v, bool)
+                    for v in vals
+                )
                 and None not in vals
             ):
                 try:
@@ -451,8 +454,10 @@ class LakeBatchReader(_LakeBatchReaderBase):
                         else set(self._pruned_buckets) & set(ids)
                     )
                     self._pruned_buckets = sorted(cur)
-            if col in self._stats_names and isinstance(
-                getattr(f, "value", None), (str, int, float)
+            if (
+                col in self._stats_names
+                and isinstance(getattr(f, "value", None), (str, int, float))
+                and not isinstance(getattr(f, "value", None), bool)
             ):
                 lo, hi = self._ranges.get(col, (None, None))
                 v = f.value
