@@ -205,7 +205,30 @@ def _cast_batches(rel, spark_schema: StructType, rows_per_batch: int):
 
 @dataclass
 class _BucketPart(InputPartition):
-    buckets: list | None  # None = unsliced whole read (empty/fallback)
+    # list of bucket ids to read; [] = planned-empty no-op task;
+    # None = unsliced whole read (unprunable fallback)
+    buckets: list | None
+    # bucket spec the ids were planned under (None = skip the check):
+    # a rebucket committing between planning and execution would make
+    # executor-side pruning reinterpret the ids under the NEW spec and
+    # silently drop rows — each task re-checks and fails loudly instead
+    spec: int | None = None
+    nb: int | None = None
+
+
+def _check_spec(path: str, partition) -> None:
+    if getattr(partition, "spec", None) is None or partition.buckets in ([], None):
+        return
+    meta = _meta(path)
+    if (
+        int(meta.get("bucket_spec_id", 0)) != partition.spec
+        or int(meta["num_buckets"]) != partition.nb
+    ):
+        raise RuntimeError(
+            "deltaspark: the table was rebucketed between query "
+            "planning and task execution — the planned bucket slices "
+            "no longer mean the same rows. Rerun the query."
+        )
 
 
 def _group_buckets(cand: list, max_tasks: int | None) -> list:
@@ -387,8 +410,14 @@ class _LakeBatchReaderBase(DataSourceReader):
         if self._pruned_buckets is not None:
             cand = sorted(set(cand) & set(self._pruned_buckets))
         if not cand:
-            return [_BucketPart(None)]  # empty scan, one no-op task
-        return _group_buckets(cand, self.max_tasks)
+            # nothing to read (empty snapshot, or every bucket pruned
+            # away): ONE planned-empty task — never an unsliced scan
+            return [_BucketPart([])]
+        parts = _group_buckets(cand, self.max_tasks)
+        for part in parts:
+            part.spec = int(meta.get("bucket_spec_id", 0))
+            part.nb = int(meta["num_buckets"])
+        return parts
 
     # -- execution (executor) ----------------------------------------
     def read(self, partition: _BucketPart) -> Iterator:
@@ -396,8 +425,11 @@ class _LakeBatchReaderBase(DataSourceReader):
 
         from .interop import read_duckdb
 
-        if partition.buckets is None and self.sid is None:
+        if partition.buckets == [] or (
+            partition.buckets is None and self.sid is None
+        ):
             return
+        _check_spec(self.path, partition)
         con = duckdb.connect()
         rel = read_duckdb(
             self.path,
@@ -492,13 +524,24 @@ class LakeChangesBatchReader(DataSourceReader):
         self.max_tasks = int(options.get("max_tasks") or 0) or None
         meta = _meta(path)
         self.to = int(to) if to else meta["current_snapshot_id"]
+        # `to` omitted = a HEAD feed read: speak CURRENT column names
+        # even when the head snapshot predates a metadata-only rename
+        # (matches schema() and the engine's read_changes); explicit
+        # `to` keeps its snapshot's names (time-travel semantics)
+        self.align_sv = None if to else meta["schema_version"]
 
     def partitions(self) -> Sequence[InputPartition]:
         return _change_partitions(self.path, self.frm, self.to, self.max_tasks)
 
     def read(self, partition: _BucketPart) -> Iterator:
         yield from _read_changes_part(
-            self.path, self.frm, self.to, partition, self.schema, self.rows_per_batch
+            self.path,
+            self.frm,
+            self.to,
+            partition,
+            self.schema,
+            self.rows_per_batch,
+            align_sv=self.align_sv,
         )
 
 
@@ -517,8 +560,12 @@ def _change_partitions(
         if cand is None:  # unprunable (rebucket + unsupported type)
             cand = _candidate_buckets(meta, resolve_snapshot(meta, path, to))
     if not cand:
-        return [_BucketPart(None)]
-    return _group_buckets(cand, max_tasks)
+        return [_BucketPart([])]  # planned-empty: DDL-only/no-op range
+    parts = _group_buckets(cand, max_tasks)
+    for part in parts:
+        part.spec = int(meta.get("bucket_spec_id", 0))
+        part.nb = int(meta["num_buckets"])
+    return parts
 
 
 def _read_changes_part(
@@ -528,13 +575,15 @@ def _read_changes_part(
     partition: _BucketPart,
     schema: StructType,
     rows_per_batch: int,
+    align_sv: int | None = None,
 ):
     import duckdb
 
     from .interop import changes_duckdb
 
-    if partition.buckets is None and to is None:
+    if partition.buckets == [] or (partition.buckets is None and to is None):
         return
+    _check_spec(path, partition)
     con = duckdb.connect()
     rel = changes_duckdb(
         path,
@@ -542,6 +591,7 @@ def _read_changes_part(
         from_snapshot_id=frm,
         to_snapshot_id=to,
         buckets=partition.buckets,
+        align_schema_version=align_sv,
     )
     yield from _cast_batches(rel, schema, rows_per_batch)
 
@@ -551,6 +601,8 @@ class _ChangeRangePart(InputPartition):
     frm: int | None
     to: int
     buckets: list | None
+    spec: int | None = None
+    nb: int | None = None
 
 
 class LakeChangesStreamReader(DataSourceStreamReader):
@@ -570,7 +622,14 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         self.rows_per_batch = int(options.get("rows_per_batch") or 65536)
         self.max_tasks = int(options.get("max_tasks") or 0) or None
         starting = str(options.get("starting") or "latest").lower()
-        head = _meta(path)["current_snapshot_id"]
+        meta0 = _meta(path)
+        head = meta0["current_snapshot_id"]
+        # the output schema is pinned at query start (like every Spark
+        # source); pin the NAMING epoch with it so a metadata-only
+        # rename mid-stream keeps the feed speaking the pinned names
+        # (columns are mapped by field id underneath) — a restart
+        # re-pins from current metadata and switches to the new names
+        self.align_sv = int(meta0["schema_version"])
         if starting == "latest":
             self._initial = -1 if head is None else int(head)
         elif starting == "earliest":
@@ -591,7 +650,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             return [_ChangeRangePart(None, -1, None)]  # no-op batch
         frm = None if s == -1 else s
         return [
-            _ChangeRangePart(frm, e, p.buckets)
+            _ChangeRangePart(frm, e, p.buckets, p.spec, p.nb)
             for p in _change_partitions(self.path, frm, e, self.max_tasks)
         ]
 
@@ -602,9 +661,10 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             self.path,
             partition.frm,
             partition.to,
-            _BucketPart(partition.buckets),
+            _BucketPart(partition.buckets, partition.spec, partition.nb),
             self.schema,
             self.rows_per_batch,
+            align_sv=self.align_sv,
         )
 
     def commit(self, end: dict) -> None:

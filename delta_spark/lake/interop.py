@@ -483,6 +483,7 @@ def changes_sql(
     to_snapshot_id: int | None = None,
     con=None,
     buckets: list[int] | None = None,
+    align_schema_version: int | None = None,
 ) -> str:
     """One DuckDB SQL statement equivalent to
     ``LakeTable.read_changes(from, to)`` — Spark-free CDC-out. A
@@ -526,6 +527,11 @@ def changes_sql(
         if to_snap is not None and to_snapshot_id is not None
         else meta["schema_version"]
     )
+    if align_schema_version is not None:
+        # caller pins the OUTPUT naming epoch (columns are mapped by
+        # field id underneath): a reader that pinned its schema before
+        # a metadata-only rename keeps getting the names it promised
+        sv_to = align_schema_version
     fields = meta["schemas"][str(sv_to)]
     by_id = {f["id"]: f["name"] for f in fields}
     keys = [by_id[i] for i in meta["key_ids"]]
@@ -707,6 +713,7 @@ def changes_duckdb(
     from_snapshot_id: int | None = None,
     to_snapshot_id: int | None = None,
     buckets: list[int] | None = None,
+    align_schema_version: int | None = None,
 ):
     """``changes_sql`` executed through DuckDB; returns a relation.
     The ``buckets`` slice makes this the executor half of a fan-out:
@@ -721,6 +728,7 @@ def changes_duckdb(
         to_snapshot_id=to_snapshot_id,
         con=c,
         buckets=buckets,
+        align_schema_version=align_schema_version,
     )
     return c.sql(sql)
 
@@ -950,6 +958,13 @@ def commit_delta_staged(
                 os.rmdir(os.path.dirname(p))
             except OSError:
                 pass
+
+    # already-applied check BEFORE writing the manifest: the replay
+    # path is routine (every restart replays its last epoch), and it
+    # should leave no orphan m-*.json behind on each pass
+    if _is_applied(read_metadata(table_path), writer_id, batch_id):
+        _drop_orphans()
+        return None
 
     mdir = os.path.join(table_path, "metadata", "manifests")
     os.makedirs(mdir, exist_ok=True)

@@ -337,6 +337,12 @@ class MaterializedAggregate:
         # touching every bucket of a wide view must be allowed to
         # shuffle instead of OOMing the driver on a forced broadcast
         j = delta.join(old, self.group_cols, "left")
+        if ext:
+            # the extrema path consults j THREE times (threat count,
+            # fold, recompute-group list) — cache the O(touched
+            # groups) join result instead of re-running the feed
+            # aggregation per consumer
+            j = j.persist()
         new_n = F.coalesce(F.col("_o_n"), F.lit(0)) + F.col("_dn")
 
         # a surviving group needs a base-state recompute iff a
@@ -404,12 +410,16 @@ class MaterializedAggregate:
                     F.lit("UPSERT").alias("op"),
                 )
                 rows = fold.unionByName(recomp)
-        self.view.merge(
-            rows.withColumn("seq", F.lit(to_id).cast("long")),
-            writer_id="matview",
-            batch_id=f"{frm}->{to_id}",
-            mode="auto",
-        )
+        try:
+            self.view.merge(
+                rows.withColumn("seq", F.lit(to_id).cast("long")),
+                writer_id="matview",
+                batch_id=f"{frm}->{to_id}",
+                mode="auto",
+            )
+        finally:
+            if ext:
+                j.unpersist()
         return to_id
 
 

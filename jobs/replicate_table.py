@@ -93,17 +93,26 @@ def main() -> int:
         .option("starting", args.starting)
         .load()
     )
+    # a feed DELETE carries the retracted row's own _seq (its
+    # last-known identity), so in the replica the tombstone TIES the
+    # live row on _seq — order them explicitly: deletes sort after
+    # upserts at equal seq (sort_col below), making the fold
+    # deterministic in every reader (engine, format, DuckDB)
     piped = feed.select(
         *dst_cols,
         F.when(F.col("_change_type") == "delete", "DELETE")
         .otherwise("UPSERT")
         .alias("op"),
         F.col("_seq").alias("seq"),
+        F.when(F.col("_change_type") == "delete", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_ord"),
     )
     w = (
         piped.writeStream.format("deltaspark")
         .option("path", args.dest)
         .option("writer_id", args.writer_id)
+        .option("sort_col", "_ord")
         .option("checkpointLocation", args.checkpoint)
     )
     if args.once:

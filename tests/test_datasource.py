@@ -515,6 +515,8 @@ def test_lake_to_lake_replication_through_format_only(spark, tmp_path):
         .option("starting", "earliest")
         .load()
     )
+    # deletes tie their retracted row on _seq in the replica: the
+    # _ord sort column makes the tombstone win deterministically
     piped = sdf.select(
         "conv_id",
         "turn_idx",
@@ -524,6 +526,9 @@ def test_lake_to_lake_replication_through_format_only(spark, tmp_path):
         .otherwise("UPSERT")
         .alias("op"),
         F.col("_seq").alias("seq"),
+        F.when(F.col("_change_type") == "delete", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_ord"),
     )
 
     def run():
@@ -531,6 +536,7 @@ def test_lake_to_lake_replication_through_format_only(spark, tmp_path):
             piped.writeStream.format("deltaspark")
             .option("path", dst.path)
             .option("writer_id", "replica")
+            .option("sort_col", "_ord")
             .option("checkpointLocation", str(tmp_path / "ck"))
             .trigger(availableNow=True)
             .start()
@@ -549,6 +555,11 @@ def test_lake_to_lake_replication_through_format_only(spark, tmp_path):
     b = _rows(LakeTable.load(spark, src.path).read().select("conv_id", "turn_idx", "text"))
     assert a == b and len(a) == 9
     assert ("c3", 0, "v1 3") in a
+    # the replica must ALSO fold correctly through the format/DuckDB
+    # reader (the tombstone ties its row on _seq; the _ord sort column
+    # decides the tie deterministically in every reader)
+    f = _rows(_fmt(spark, dst.path).select("conv_id", "turn_idx", "text"))
+    assert f == b
 
 
 @pytest.mark.parametrize(
@@ -621,11 +632,12 @@ def test_catalog_by_name_resolution(spark, tmp_path):
         )
 
 
-def test_midstream_rename_fails_with_remedy_then_restart_works(spark, tmp_path):
-    """A rename landing between stream start and the next micro-batch
-    makes the feed speak new names while the query's schema is pinned:
-    the failure names the remedy, and a RESTART (fresh pin from
-    current metadata) drains the same range under the new names."""
+def test_midstream_rename_keeps_pinned_names(spark, tmp_path):
+    """A metadata-only rename mid-stream must not break (or silently
+    re-shape) a running query: the stream's naming epoch is pinned at
+    query start — post-rename commits keep arriving under the pinned
+    names (field-id mapping underneath) — while a FRESH batch read
+    speaks the new names."""
     tbl = LakeTable.create(
         spark, str(tmp_path / "t"), SCHEMA, key_cols=["conv_id", "turn_idx"]
     )
@@ -633,12 +645,18 @@ def test_midstream_rename_fails_with_remedy_then_restart_works(spark, tmp_path):
     out, ck = tmp_path / "out", tmp_path / "ck"
     _run_available_now(spark, tbl.path, out, ck)  # drain pre-rename
 
-    sdf = (
-        spark.readStream.format("deltaspark")
-        .option("path", tbl.path)
-        .option("feed", "changes")
-        .load()
-    )  # schema pinned NOW (text)
+    # a LIVE stream pins its naming epoch at query start: model it by
+    # creating the reader object pre-rename and driving a micro-batch
+    # planned after the rename landed
+    from delta_spark.lake.datasource import (
+        LakeChangesStreamReader,
+        LakeDataSource,
+    )
+
+    pinned_schema = LakeDataSource({"path": tbl.path, "feed": "changes"}).schema()
+    rdr = LakeChangesStreamReader(tbl.path, {}, pinned_schema)
+    start = rdr.latestOffset()
+
     tbl.apply_ddl({"op": "RENAME_COLUMN", "column": "text", "new_name": "body"})
     post = spark.createDataFrame(
         [("c1", 0, "v1", TS, "INSERT", 2)],
@@ -646,24 +664,26 @@ def test_midstream_rename_fails_with_remedy_then_restart_works(spark, tmp_path):
         "op string, seq long",
     )
     LakeTable.load(spark, tbl.path).merge(post, writer_id="w", batch_id="b2")
-    with pytest.raises(Exception, match="[Rr]estart"):
-        q = (
-            sdf.writeStream.format("parquet")
-            .option("path", str(out))
-            .option("checkpointLocation", str(ck))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-    # restart: a FRESH load() re-pins from current metadata and drains
-    # the same range under the new names (same checkpoint + sink)
-    _run_available_now(spark, tbl.path, out, ck)
-    rows = (
-        spark.read.option("mergeSchema", "true").parquet(str(out)).collect()
-    )
-    assert [(r["conv_id"], r["body"]) for r in rows if r["conv_id"] == "c1"] == [
-        ("c1", "v1")
-    ]
+
+    end = rdr.latestOffset()
+    parts = rdr.partitions(start, end)
+    batches = [b for p in parts for b in rdr.read(p)]
+    assert batches, "post-rename commit must still stream"
+    names = set(batches[0].schema.names)
+    assert "text" in names and "body" not in names  # pinned epoch
+    import pyarrow as pa
+
+    t = pa.Table.from_batches(batches)
+    got = set(zip(t["conv_id"].to_pylist(), t["text"].to_pylist()))
+    assert ("c1", "v1") in got
+
+    # a FRESH head feed read (and a fresh stream pin) speaks new names
+    head_feed = _fmt(spark, tbl.path, feed="changes")
+    assert "body" in head_feed.columns and "text" not in head_feed.columns
+    assert {(r["conv_id"], r["body"]) for r in head_feed.collect()} == {
+        ("c0", "v0"),
+        ("c1", "v1"),
+    }
 
 
 def test_stream_expired_offset_fails_loudly(spark, tmp_path):
