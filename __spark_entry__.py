@@ -26,7 +26,16 @@ incrementally-MAINTAINED derived states: ``incremental_curation``
 (per-doc verdict status table, O(changed docs) per epoch) and
 ``incremental_vocab`` (token count + doc frequency retraction-folded
 from Delta-CDF pre-images), each pinned equal to its batch operator
-over the final corpus).
+over the final corpus). The lake is also a first-class Spark FORMAT
+(``deltaspark``, PySpark 4 Python DataSource): ``datasource_scan``
+(state read with pushed-filter bucket/stats pruning),
+``datasource_changes`` (change-feed batch read sharing
+``table_changes_feed``'s oracle verbatim), and
+``datasource_write_roundtrip`` (exactly-once format writer — a
+double-write under one identity is a no-op under the LWW hash);
+``matview_minmax`` adds half-maintainable MIN/MAX view maintenance
+(extremal retraction → targeted group recompute) to the incremental
+``matview_rollup``.
 """
 
 from __future__ import annotations
