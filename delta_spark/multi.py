@@ -478,7 +478,8 @@ class MultiPipelineConfig:
     # published epoch — the single-table publish_iceberg_dest, fleet-wide
     publish_every: int = 1                  # publish every N micro-batches
     matview_specs: dict = field(default_factory=dict)  # table -> spec
-    # dict {dest, group_cols, sums} OR a list of them: materialized
+    # dict {dest, group_cols, sums[, mins, maxs]} OR a list of them:
+    # materialized
     # aggregates maintained in lockstep per routed table; N views over
     # one table share a single pre-image change-feed scan (advance_all)
     matview_every: int = 1                  # advance every N micro-batches
@@ -615,6 +616,8 @@ class MultiTablePipeline:
                         s["dest"],
                         list(s["group_cols"]),
                         dict(s.get("sums") or {}),
+                        mins=dict(s.get("mins") or {}),
+                        maxs=dict(s.get("maxs") or {}),
                     )
                     for s in specs
                 ])

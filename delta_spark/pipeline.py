@@ -115,7 +115,8 @@ class PipelineConfig:
     matview_sums: object = None            # dict: out col -> SQL expr
     matview_every: int = 1                 # advance every N micro-batches
     matview_specs: tuple = ()              # ADDITIONAL views over the same
-    # sink, each a dict {dest, group_cols, sums} — all views (including
+    # sink, each a dict {dest, group_cols, sums[, mins, maxs]} — all
+    # views (including
     # the matview_dest one) advance through lake.materialized.advance_all,
     # which shares ONE pre-image change-feed scan across the set instead
     # of N identical scans per micro-batch
@@ -335,6 +336,8 @@ class Pipeline:
                         s["dest"],
                         list(s["group_cols"]),
                         dict(s.get("sums") or {}),
+                        mins=dict(s.get("mins") or {}),
+                        maxs=dict(s.get("maxs") or {}),
                     )
                     for s in specs
                 ])

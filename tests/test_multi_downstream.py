@@ -200,6 +200,64 @@ def test_pipeline_matview_specs_multiple_views(spark, tmp_path):
         _check_view(mv, t)
 
 
+def test_pipeline_matview_spec_with_extrema(spark, tmp_path):
+    """A matview_specs view carrying mins/maxs maintains MIN/MAX in
+    lockstep with the streaming sink — deletes in the changelog
+    exercise the extremal-retraction recompute path mid-stream, and
+    the view still equals the batch GROUP BY over the final state."""
+    from pyspark.sql import functions as F
+
+    from delta_spark.pipeline import Pipeline, PipelineConfig
+
+    spec = ChangelogSpec(
+        n_events=1200, n_convs=20, seed=79, n_files=4, delete_frac=0.05
+    )
+    generate_and_write(str(tmp_path / "log"), spec)
+    cfg = PipelineConfig(
+        changelog_path=str(tmp_path / "log"),
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        generation=1,
+        max_files_per_trigger=2,
+        matview_specs=(
+            {"dest": str(tmp_path / "mvx"), "group_cols": ("role",),
+             "sums": {"sum_chars": "length(text)"},
+             "mins": {"min_chars": "length(text)"},
+             "maxs": {"max_chars": "length(text)"}},
+        ),
+    )
+    Pipeline(spark, cfg).run_stream_to_completion()
+    t = LakeTable.load(spark, cfg.table_path)
+    mv = MaterializedAggregate(
+        spark, t, str(tmp_path / "mvx"), ["role"],
+        {"sum_chars": "length(text)"},
+        mins={"min_chars": "length(text)"},
+        maxs={"max_chars": "length(text)"},
+    )
+    assert mv._cursor() == t.metadata["current_snapshot_id"]
+    import pandas as pd
+
+    got = mv.read().toPandas().sort_values("role").reset_index(drop=True)
+    want = (
+        t.read()
+        .groupBy("role")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("sum_chars"),
+            F.min(F.length("text")).alias("min_chars"),
+            F.max(F.length("text")).alias("max_chars"),
+        )
+        .toPandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    cols = ["role", "n_rows", "sum_chars", "min_chars", "max_chars"]
+    pd.testing.assert_frame_equal(
+        got[cols].astype({c: "Int64" for c in cols[1:]}),
+        want[cols].astype({c: "Int64" for c in cols[1:]}),
+    )
+
+
 # ------------------------------------------------ fleet downstream hooks
 
 
