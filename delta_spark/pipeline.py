@@ -113,6 +113,10 @@ class PipelineConfig:
     # corpus cannot afford to recompute by rescanning the base
     matview_group_cols: tuple = ("role",)
     matview_sums: object = None            # dict: out col -> SQL expr
+    matview_mins: object = None            # dict: out col -> SQL expr —
+    matview_maxs: object = None            # half-maintainable extrema
+    # (lake/materialized.py: O(1) insert fold, extremal retraction →
+    # targeted group recompute)
     matview_every: int = 1                 # advance every N micro-batches
     matview_specs: tuple = ()              # ADDITIONAL views over the same
     # sink, each a dict {dest, group_cols, sums[, mins, maxs]} — all
@@ -327,6 +331,8 @@ class Pipeline:
                         "dest": self.cfg.matview_dest,
                         "group_cols": self.cfg.matview_group_cols,
                         "sums": self.cfg.matview_sums,
+                        "mins": self.cfg.matview_mins,
+                        "maxs": self.cfg.matview_maxs,
                     })
                 base = main_view.refresh()
                 advance_all([

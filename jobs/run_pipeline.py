@@ -71,6 +71,13 @@ def main() -> None:
                     help='JSON dict of measure -> SQL expr, e.g. '
                     '\'{"sum_chars": "length(text)"}\' (count(*) is '
                     "always maintained)")
+    ap.add_argument("--matview-mins", default="",
+                    help="JSON dict of measure -> SQL expr maintained "
+                    "as MIN (extremal retraction recomputes only the "
+                    "affected groups)")
+    ap.add_argument("--matview-maxs", default="",
+                    help="JSON dict of measure -> SQL expr maintained "
+                    "as MAX")
     ap.add_argument("--branch", default=None, metavar="NAME",
                     help="write-audit-publish: stage every epoch on this "
                     "branch instead of main; after the run the built-in "
@@ -170,6 +177,8 @@ def main() -> None:
             x for x in args.matview_group_cols.split(",") if x
         ),
         matview_sums=json.loads(args.matview_sums) if args.matview_sums else None,
+        matview_mins=json.loads(args.matview_mins) if args.matview_mins else None,
+        matview_maxs=json.loads(args.matview_maxs) if args.matview_maxs else None,
         vocab_root=args.vocab_root,
         curation_root=args.curation_root,
         curation_top_cap=args.curation_top_cap,
@@ -241,6 +250,8 @@ def main() -> None:
             args.matview,
             list(cfg.matview_group_cols),
             dict(cfg.matview_sums or {}),
+            mins=dict(cfg.matview_mins or {}),
+            maxs=dict(cfg.matview_maxs or {}),
         ).advance()
         print(json.dumps({"matview": args.matview, "matview_epoch": epoch}))
 

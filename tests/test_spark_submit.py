@@ -67,6 +67,7 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
             "--publish-iceberg", str(tmp_path / "ice"),
             "--matview", str(tmp_path / "mv"),
             "--matview-sums", '{"sum_chars": "length(text)"}',
+            "--matview-mins", '{"min_chars": "length(text)"}',
             # scrub-at-ingest wiring: the generator text is PII-free so
             # the oracle comparison below still holds exactly; the
             # redaction itself (that the chain bites) is hash-checked by
@@ -98,6 +99,8 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     assert ccur["conv_curation_convs"] > 0
     pub = next(d for d in lines if "published_iceberg_metadata" in d)
     assert os.path.exists(pub["published_iceberg_metadata"])
+    mvd = next(d for d in lines if "matview_epoch" in d)
+    assert mvd["matview_epoch"] > 0
 
     # final state equals the replay oracle (checked back in-process)
     from delta_spark.lake import LakeTable
