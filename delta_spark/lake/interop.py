@@ -99,7 +99,17 @@ def resolve_snapshot(meta: dict, table_path: str, snapshot_id: int | None = None
     sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
     if sid is None:
         return None
-    snap = next(s for s in meta["snapshots"] if s["id"] == sid)
+    snap = next((s for s in meta["snapshots"] if s["id"] == sid), None)
+    if snap is None:
+        # a raw StopIteration here would surface as a generator
+        # protocol error three frames up; name the actual problem
+        raise ValueError(
+            f"snapshot {sid} is unknown at {table_path} — expired by "
+            f"retention or never committed (known: "
+            f"{sorted(s['id'] for s in meta['snapshots'])[-5:]}...). "
+            f"Consumers holding an expired cursor must rebootstrap "
+            f"(the consume_changes / matview contract)."
+        )
     if "files" in snap:  # legacy inline manifest
         return {**snap, "files": list(snap["files"])}
     files: list[dict] = []
