@@ -142,11 +142,18 @@ def _resolve_pin(meta: dict, path: str, opts: dict) -> int | None:
     return meta["current_snapshot_id"]
 
 
-def _fields_at(meta: dict, path: str, sid: int | None) -> list[dict]:
+def _fields_at(
+    meta: dict, path: str, sid: int | None, explicit: bool = False
+) -> list[dict]:
+    """Fields a read of ``sid`` speaks. EXPLICIT time travel always
+    uses the snapshot's recorded schema version — even when the id
+    equals the current head, which may predate a metadata-only rename
+    (engine ``read(snapshot_id=)`` semantics); a default head read
+    speaks current names."""
     from .interop import resolve_snapshot
 
     sv = meta["schema_version"]
-    if sid is not None and sid != meta["current_snapshot_id"]:
+    if sid is not None and explicit:
         snap = resolve_snapshot(meta, os.path.abspath(path), sid)
         if snap is not None:
             sv = snap.get("schema_version", sv)
@@ -216,19 +223,27 @@ class _BucketPart(InputPartition):
     nb: int | None = None
 
 
-def _check_spec(path: str, partition) -> None:
-    if getattr(partition, "spec", None) is None or partition.buckets in ([], None):
-        return
+def _validated_meta(path: str, partition) -> dict:
+    """Executor-side: ONE metadata read, validated against the spec
+    the partition's bucket ids were planned under, and returned so the
+    SQL generation runs from the SAME document (atomic — a rebucket
+    committing after this read cannot reinterpret the planned ids,
+    because the generated SQL never re-reads metadata)."""
     meta = _meta(path)
     if (
-        int(meta.get("bucket_spec_id", 0)) != partition.spec
-        or int(meta["num_buckets"]) != partition.nb
+        getattr(partition, "spec", None) is not None
+        and partition.buckets not in ([], None)
+        and (
+            int(meta.get("bucket_spec_id", 0)) != partition.spec
+            or int(meta["num_buckets"]) != partition.nb
+        )
     ):
         raise RuntimeError(
             "deltaspark: the table was rebucketed between query "
             "planning and task execution — the planned bucket slices "
             "no longer mean the same rows. Rerun the query."
         )
+    return meta
 
 
 def _group_buckets(cand: list, max_tasks: int | None) -> list:
@@ -313,11 +328,16 @@ class LakeDataSource(DataSource):
         meta = _meta(path)
         if self._feed() == "changes":
             to = self.options.get("to_snapshot_id")
-            fields = _fields_at(meta, path, int(to) if to else None)
+            fields = _fields_at(
+                meta, path, int(to) if to else None, explicit=bool(to)
+            )
             cols = [(f["name"], f["type"]) for f in fields] + list(_CHANGE_COLS)
         else:
             sid = _resolve_pin(meta, path, self.options)
-            fields = _fields_at(meta, path, sid)
+            explicit = any(
+                self.options.get(k) for k in ("snapshot_id", "tag", "branch")
+            )
+            fields = _fields_at(meta, path, sid, explicit=explicit)
             cols = [(f["name"], f["type"]) for f in fields]
         # all-nullable, matching LakeTable.read() (a parquet scan):
         # the metadata's not-null flags are WRITE constraints; readers
@@ -390,13 +410,14 @@ class _LakeBatchReaderBase(DataSourceReader):
         explicit = any(options.get(k) for k in ("snapshot_id", "tag", "branch"))
         self.align_sv = None if explicit else meta["schema_version"]
         # pushdown planning state (driver-only; cheap to pickle anyway)
-        fields = _fields_at(meta, path, self.sid)
+        fields = _fields_at(meta, path, self.sid, explicit=explicit)
         by_id = {f["id"]: f for f in fields}
         self._bucket_field = by_id.get(meta["bucket_id"], {})
         self._stats_names = {
             by_id[i]["name"] for i in meta.get("stats_ids", []) if i in by_id
         }
         self._num_buckets = int(meta["num_buckets"])
+        self._init_spec = int(meta.get("bucket_spec_id", 0))
         self._pruned_buckets: list[int] | None = None
         self._ranges: dict[str, tuple] = {}
 
@@ -405,6 +426,18 @@ class _LakeBatchReaderBase(DataSourceReader):
         from .interop import resolve_snapshot
 
         meta = _meta(self.path)
+        if self._pruned_buckets is not None and (
+            int(meta.get("bucket_spec_id", 0)) != self._init_spec
+            or int(meta["num_buckets"]) != self._num_buckets
+        ):
+            # the pushed-filter bucket ids were hashed under the spec
+            # seen at reader construction; planning them against a
+            # rebucketed table would silently miss rows
+            raise RuntimeError(
+                "deltaspark: the table was rebucketed while this query "
+                "was being planned (pushed filters were hashed under "
+                "the old bucket spec). Rerun the query."
+            )
         snap = resolve_snapshot(meta, self.path, self.sid)
         cand = _candidate_buckets(meta, snap)
         if self._pruned_buckets is not None:
@@ -429,7 +462,7 @@ class _LakeBatchReaderBase(DataSourceReader):
             partition.buckets is None and self.sid is None
         ):
             return
-        _check_spec(self.path, partition)
+        meta = _validated_meta(self.path, partition)
         con = duckdb.connect()
         rel = read_duckdb(
             self.path,
@@ -438,6 +471,7 @@ class _LakeBatchReaderBase(DataSourceReader):
             snapshot_id=self.sid,
             ranges=self._ranges or None,
             align_schema_version=self.align_sv,
+            meta=meta,
         )
         yield from _cast_batches(rel, self.schema, self.rows_per_batch)
 
@@ -583,7 +617,7 @@ def _read_changes_part(
 
     if partition.buckets == [] or (partition.buckets is None and to is None):
         return
-    _check_spec(path, partition)
+    meta = _validated_meta(path, partition)
     con = duckdb.connect()
     rel = changes_duckdb(
         path,
@@ -592,6 +626,7 @@ def _read_changes_part(
         to_snapshot_id=to,
         buckets=partition.buckets,
         align_schema_version=align_sv,
+        meta=meta,
     )
     yield from _cast_batches(rel, schema, rows_per_batch)
 

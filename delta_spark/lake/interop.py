@@ -201,6 +201,7 @@ def read_sql(
     ranges: dict[str, tuple] | None = None,
     bucket_udf: str | None = None,
     branch: str | None = None,
+    meta: dict | None = None,
 ) -> str:
     """Return one DuckDB SQL statement equivalent to
     ``LakeTable.read(buckets, include_system, snapshot_id, ranges)``.
@@ -222,7 +223,8 @@ def read_sql(
     also opens only the files whose bounds intersect the predicate;
     key-column row filters apply pre-fold, non-key post-fold."""
     table_path = os.path.abspath(table_path)
-    meta = read_metadata(table_path)
+    if meta is None:
+        meta = read_metadata(table_path)
     if branch is not None:
         # Spark-free audit read of a WAP staging branch: resolve the
         # ref to its head exactly like LakeTable.read(branch=)
@@ -494,6 +496,7 @@ def changes_sql(
     con=None,
     buckets: list[int] | None = None,
     align_schema_version: int | None = None,
+    meta: dict | None = None,
 ) -> str:
     """One DuckDB SQL statement equivalent to
     ``LakeTable.read_changes(from, to)`` — Spark-free CDC-out. A
@@ -516,6 +519,11 @@ def changes_sql(
     on both sides by construction, so pruning never changes the
     emitted set.
 
+    ``meta`` pins the metadata document every decision (and both
+    read_sql sides) is made from — a caller that validated the bucket
+    spec against a metadata read passes that same read here, closing
+    the check-then-act window against a concurrent rebucket.
+
     Explicit ``buckets`` restricts BOTH sides to those current-spec
     bucket ids instead of auto-computing the touched set — the
     fan-out path (``touched_buckets`` names the ids driver-side, one
@@ -523,7 +531,8 @@ def changes_sql(
     partition of the auto-pruned diff: key state is bucket-local, so
     the union over the touched ids equals the unrestricted feed."""
     table_path = os.path.abspath(table_path)
-    meta = read_metadata(table_path)
+    if meta is None:
+        meta = read_metadata(table_path)
     to_sid = (
         meta["current_snapshot_id"] if to_snapshot_id is None else to_snapshot_id
     )
@@ -575,6 +584,7 @@ def changes_sql(
     b_sql = read_sql(
         table_path, snapshot_id=to_sid, include_system=True,
         align_schema_version=sv_to, buckets=buckets, bucket_udf=udf,
+        meta=meta,
     )
     if to_snap is None:
         # empty table: no changes
@@ -594,6 +604,7 @@ def changes_sql(
     a_sql = read_sql(
         table_path, snapshot_id=from_snapshot_id, include_system=True,
         align_schema_version=sv_to, buckets=buckets, bucket_udf=udf,
+        meta=meta,
     )
     on = " AND ".join(f"a.{_q(k)} = b.{_q(k)}" for k in keys)
     key_sel = ", ".join(
@@ -680,6 +691,7 @@ def read_duckdb(
     ranges: dict[str, tuple] | None = None,
     branch: str | None = None,
     align_schema_version: int | None = None,
+    meta: dict | None = None,
 ):
     """Read a lake table through DuckDB; returns a DuckDB relation
     (``.df()`` / ``.fetchall()`` to materialize). Unlike the pure-SQL
@@ -689,7 +701,8 @@ def read_duckdb(
 
     bucket_udf = None
     if buckets is not None:
-        meta = read_metadata(os.path.abspath(table_path))
+        if meta is None:
+            meta = read_metadata(os.path.abspath(table_path))
         sid = snapshot_id
         if branch is not None and branch in meta.get("branches", {}):
             sid = branch_ref(meta, branch)[0]
@@ -709,6 +722,7 @@ def read_duckdb(
         bucket_udf=bucket_udf,
         branch=branch,
         align_schema_version=align_schema_version,
+        meta=meta,
     )
     if con is not None:
         return con.sql(sql)
@@ -724,6 +738,7 @@ def changes_duckdb(
     to_snapshot_id: int | None = None,
     buckets: list[int] | None = None,
     align_schema_version: int | None = None,
+    meta: dict | None = None,
 ):
     """``changes_sql`` executed through DuckDB; returns a relation.
     The ``buckets`` slice makes this the executor half of a fan-out:
@@ -739,6 +754,7 @@ def changes_duckdb(
         con=c,
         buckets=buckets,
         align_schema_version=align_schema_version,
+        meta=meta,
     )
     return c.sql(sql)
 

@@ -121,6 +121,21 @@ class MaterializedAggregate:
         self.view_path = os.path.join(root, "view")
         if LakeTable.exists(self.view_path):
             self.view = LakeTable.load(spark, self.view_path)
+            have = {f.name for f in self.view.schema.fields}
+            missing = [n for n in self._all_measure_names() if n not in have]
+            if missing:
+                # adding measures to a LIVE view cannot be an implicit
+                # schema patch: their history is unknown (the fold is
+                # incremental), so the only honest states are "absent"
+                # or "bootstrapped from base" — demand the explicit one
+                raise ValueError(
+                    f"view at {self.view_path} was created without "
+                    f"measure(s) {missing}; an existing view cannot "
+                    f"grow measures in place (their past contributions "
+                    f"were never folded). Point the new definition at "
+                    f"a fresh root, or delete the view directory to "
+                    f"rebootstrap it with the full definition."
+                )
         else:
             # infer the view schema analysis-only (no job): the exact
             # types Spark's own sum() would give a batch recompute
@@ -341,8 +356,17 @@ class MaterializedAggregate:
             # the extrema path consults j THREE times (threat count,
             # fold, recompute-group list) — cache the O(touched
             # groups) join result instead of re-running the feed
-            # aggregation per consumer
+            # aggregation per consumer; everything downstream runs
+            # under the unpersist guard (a failing count() must not
+            # leak cached partitions into a long-running sink driver)
             j = j.persist()
+        try:
+            return self._advance_fold(j, ext, vschema, frm, to_id)
+        finally:
+            if ext:
+                j.unpersist()
+
+    def _advance_fold(self, j, ext, vschema, frm, to_id) -> int:
         new_n = F.coalesce(F.col("_o_n"), F.lit(0)) + F.col("_dn")
 
         # a surviving group needs a base-state recompute iff a
@@ -410,16 +434,12 @@ class MaterializedAggregate:
                     F.lit("UPSERT").alias("op"),
                 )
                 rows = fold.unionByName(recomp)
-        try:
-            self.view.merge(
-                rows.withColumn("seq", F.lit(to_id).cast("long")),
-                writer_id="matview",
-                batch_id=f"{frm}->{to_id}",
-                mode="auto",
-            )
-        finally:
-            if ext:
-                j.unpersist()
+        self.view.merge(
+            rows.withColumn("seq", F.lit(to_id).cast("long")),
+            writer_id="matview",
+            batch_id=f"{frm}->{to_id}",
+            mode="auto",
+        )
         return to_id
 
 

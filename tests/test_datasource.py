@@ -686,6 +686,33 @@ def test_midstream_rename_keeps_pinned_names(spark, tmp_path):
     }
 
 
+def test_explicit_head_after_rename_uses_snapshot_names(spark, tmp_path):
+    """Explicit time travel to an id that HAPPENS to be the current
+    head still speaks the snapshot's recorded (pre-rename) names —
+    matching the engine's read(snapshot_id=) — while the default head
+    read speaks current names. Both read, neither crashes."""
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["conv_id", "turn_idx"]
+    )
+    _commit(spark, tbl, [("c0", 0, "v0", TS)], "INSERT", 1, "b1")
+    head = tbl.metadata["current_snapshot_id"]
+    tbl.apply_ddl({"op": "RENAME_COLUMN", "column": "text", "new_name": "body"})
+
+    default_read = _fmt(spark, tbl.path)
+    assert "body" in default_read.columns
+    assert default_read.count() == 1
+
+    pinned = _fmt(spark, tbl.path, snapshot_id=head)
+    assert "text" in pinned.columns and "body" not in pinned.columns
+    assert [r["text"] for r in pinned.collect()] == ["v0"]
+    assert pinned.columns == LakeTable.load(spark, tbl.path).read(
+        snapshot_id=head
+    ).columns
+
+    feed = _fmt(spark, tbl.path, feed="changes", to_snapshot_id=head)
+    assert "text" in feed.columns and feed.count() == 1
+
+
 def test_stream_expired_offset_fails_loudly(spark, tmp_path):
     """A checkpointed offset whose snapshot has been expired by
     retention must fail at planning (the consume_changes resync
