@@ -43,7 +43,9 @@ Streaming offsets are snapshot ids — the lake's own commit points —
 so a checkpointed restart replays exactly the committed range
 deterministically (same manifest diff → same rows). An offset that
 has been expired by ``expire_snapshots`` fails loudly at planning,
-the same resync contract as jobs/consume_changes.py.
+the same resync contract as jobs/consume_changes.py — or, with
+``expired_offset="rebootstrap"``, re-emits the full current state as
+inserts and continues (see LakeChangesStreamReader).
 
 Reference analog: the reference exposes its target tables to ANY
 downstream consumer through the EventConsumer contract
@@ -56,6 +58,7 @@ snapshot id, the consumer is any Spark query.
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass
 from typing import Iterator, Sequence
@@ -76,6 +79,8 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
+
+logger = logging.getLogger(__name__)
 
 FORMAT_NAME = "deltaspark"
 
@@ -649,13 +654,37 @@ class LakeChangesStreamReader(DataSourceStreamReader):
     deterministic by construction. DDL-only / compaction-only commits
     yield a no-op micro-batch (the diff is empty, as read_changes
     promises). The output schema is pinned at query start, like every
-    Spark streaming source."""
+    Spark streaming source.
+
+    ``expired_offset`` controls what happens when the checkpointed
+    offset's snapshot has been expired by retention (a deterministic
+    replay of the lost diff is impossible — the data is gone):
+
+    - ``"fail"`` (default): planning raises, naming the resync
+      contract — the operator decides (the consume_changes default).
+    - ``"rebootstrap"``: the batch re-emits the FULL current state as
+      inserts pinned at the end snapshot (exactly what a
+      ``starting="earliest"`` initial batch emits) and the stream
+      continues incrementally from there. Deletes that happened inside
+      the lost window emit no tombstones — an upsert-only sink keeps
+      those keys until it reconciles against the re-emitted full set,
+      the same caveat consume_changes documents (it drops its feed
+      before rebootstrapping; an arbitrary streaming sink cannot be
+      dropped from here, so the wider emission is explicitly opt-in)."""
 
     def __init__(self, path: str, options: dict, schema: StructType):
         self.path = path
         self.schema = schema
         self.rows_per_batch = int(options.get("rows_per_batch") or 65536)
         self.max_tasks = int(options.get("max_tasks") or 0) or None
+        self.expired_offset = str(
+            options.get("expired_offset") or "fail"
+        ).lower()
+        if self.expired_offset not in ("fail", "rebootstrap"):
+            raise ValueError(
+                "deltaspark: expired_offset must be 'fail' or "
+                f"'rebootstrap', got {self.expired_offset!r}"
+            )
         starting = str(options.get("starting") or "latest").lower()
         meta0 = _meta(path)
         head = meta0["current_snapshot_id"]
@@ -680,14 +709,33 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         return {"snapshot_id": -1 if head is None else int(head)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from .interop import ExpiredSnapshotError
+
         s, e = int(start["snapshot_id"]), int(end["snapshot_id"])
         if e == -1 or s == e:
             return [_ChangeRangePart(None, -1, None)]  # no-op batch
         frm = None if s == -1 else s
-        return [
-            _ChangeRangePart(frm, e, p.buckets, p.spec, p.nb)
-            for p in _change_partitions(self.path, frm, e, self.max_tasks)
-        ]
+        try:
+            return [
+                _ChangeRangePart(frm, e, p.buckets, p.spec, p.nb)
+                for p in _change_partitions(self.path, frm, e, self.max_tasks)
+            ]
+        except ExpiredSnapshotError:
+            if self.expired_offset != "rebootstrap" or frm is None:
+                raise
+            # checkpointed offset expired: re-emit the full state at
+            # `e` as the bootstrap batch (content still deterministic
+            # for this offset range — pinned at `e`) and continue
+            logger.warning(
+                "deltaspark stream at %s: offset snapshot %d expired "
+                "by retention — rebootstrapping (full state at %d "
+                "re-emitted as inserts; in-window deletes carry no "
+                "tombstones)", self.path, frm, e,
+            )
+            return [
+                _ChangeRangePart(None, e, p.buckets, p.spec, p.nb)
+                for p in _change_partitions(self.path, None, e, self.max_tasks)
+            ]
 
     def read(self, partition: _ChangeRangePart) -> Iterator:
         if partition.to == -1:

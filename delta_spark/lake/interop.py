@@ -95,6 +95,15 @@ def branch_ref(meta: dict, name: str) -> tuple[int, int | None]:
     return int(v), None
 
 
+class ExpiredSnapshotError(ValueError):
+    """A referenced snapshot id is not in the metadata — expired by
+    retention or never committed. Subclasses ValueError so existing
+    rebootstrap catchers (consume_changes, matview cursors) keep
+    working; typed so callers offering an automatic resync (the
+    ``deltaspark`` stream reader's ``expired_offset`` option) can
+    catch exactly this case and nothing else."""
+
+
 def resolve_snapshot(meta: dict, table_path: str, snapshot_id: int | None = None) -> dict | None:
     sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
     if sid is None:
@@ -103,7 +112,7 @@ def resolve_snapshot(meta: dict, table_path: str, snapshot_id: int | None = None
     if snap is None:
         # a raw StopIteration here would surface as a generator
         # protocol error three frames up; name the actual problem
-        raise ValueError(
+        raise ExpiredSnapshotError(
             f"snapshot {sid} is unknown at {table_path} — expired by "
             f"retention or never committed (known: "
             f"{sorted(s['id'] for s in meta['snapshots'])[-5:]}...). "

@@ -36,10 +36,70 @@ One-shot local smoke (drain whatever is new, then exit):
 from __future__ import annotations
 
 import argparse
+import glob
+import json
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def checkpointed_offset(ck: str) -> int | None:
+    """The SOURCE offset a restarted stream resumes FROM (None = no
+    committed batch / unreadable): the end offset of the last
+    COMMITTED batch — an in-flight batch in ``<ck>/offsets`` with no
+    matching ``<ck>/commits`` entry replays starting from exactly this
+    value, so it (not the newest offsets file) is what source
+    retention must still cover. Spark's offset log is text files named
+    by batch id: a version header line, one stream-metadata line, then
+    one line per source carrying its JSON offset — ours is
+    ``{"snapshot_id": N}``."""
+    committed = [
+        int(os.path.basename(f))
+        for f in glob.glob(os.path.join(ck, "commits", "*"))
+        if os.path.basename(f).isdigit()
+    ]
+    if not committed:
+        return None
+    try:
+        with open(os.path.join(ck, "offsets", str(max(committed)))) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        return int(json.loads(lines[-1])["snapshot_id"])
+    except (OSError, ValueError, KeyError, IndexError):
+        return None
+
+
+def rebuild_if_offset_expired(source: str, dest: str, ck: str) -> bool:
+    """Full-resync preflight (``--on-expired-offset rebuild``): if the
+    checkpointed source offset's snapshot has been expired by
+    retention, the incremental diff the stream would need is gone —
+    and the stream-source ``expired_offset=rebootstrap`` option is NOT
+    enough for a replica (re-emitted full state carries no tombstones,
+    so keys deleted inside the lost window would live in the replica
+    forever). The honest resync is the consume_changes contract: drop
+    the derived state — replica AND checkpoint — and rebuild from the
+    source's full current state. Returns True if a rebuild happened."""
+    from delta_spark.lake.interop import read_metadata
+
+    sid = checkpointed_offset(ck)
+    if sid is None or sid == -1:
+        return False
+    try:
+        meta = read_metadata(os.path.abspath(source))
+    except FileNotFoundError:
+        return False
+    if any(s["id"] == sid for s in meta["snapshots"]):
+        return False
+    print(
+        f"replicate_table: checkpointed offset snapshot {sid} expired "
+        f"by retention at {source} — rebuilding the replica from the "
+        f"full current state (dest + checkpoint dropped)",
+        file=sys.stderr,
+    )
+    shutil.rmtree(dest, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return True
 
 
 def main() -> int:
@@ -60,7 +120,19 @@ def main() -> int:
         action="store_true",
         help="drain available changes (Trigger.AvailableNow) and exit",
     )
+    ap.add_argument(
+        "--on-expired-offset",
+        choices=["fail", "rebuild"],
+        default="fail",
+        help="checkpointed offset expired by source retention: 'fail' "
+        "(default) stops loudly; 'rebuild' DROPS the replica and the "
+        "checkpoint and re-replicates from the source's full current "
+        "state (the only resync that also clears in-window deletes)",
+    )
     args = ap.parse_args()
+
+    if args.on_expired_offset == "rebuild":
+        rebuild_if_offset_expired(args.source, args.dest, args.checkpoint)
 
     from pyspark.sql import functions as F
 

@@ -223,14 +223,16 @@ def test_stream_requires_changes_feed(spark, table, tmp_path):
         q.awaitTermination(60)
 
 
-def _run_available_now(spark, src_path, out, ck, starting="earliest"):
-    sdf = (
+def _run_available_now(spark, src_path, out, ck, starting="earliest", **opts):
+    r = (
         spark.readStream.format("deltaspark")
         .option("path", str(src_path))
         .option("feed", "changes")
         .option("starting", starting)
-        .load()
     )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    sdf = r.load()
     q = (
         sdf.writeStream.format("parquet")
         .option("path", str(out))
@@ -730,6 +732,141 @@ def test_stream_expired_offset_fails_loudly(spark, tmp_path):
     head = LakeTable.load(spark, tbl.path).metadata["current_snapshot_id"]
     with pytest.raises(Exception):
         _change_partitions(tbl.path, s1, head)
+
+
+def test_replication_rebuild_on_expired_offset(spark, tmp_path):
+    """jobs/replicate_table.py --on-expired-offset rebuild: when the
+    checkpointed source offset has been expired by retention, the
+    preflight DROPS replica + checkpoint so the next run re-replicates
+    the source's full current state — including clearing keys deleted
+    inside the lost window, which no in-stream rebootstrap can retract
+    (the stream-source option's documented caveat)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "replicate_table_job",
+        os.path.join(os.path.dirname(__file__), "..", "jobs", "replicate_table.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8,
+    )
+    dst_path, ck = str(tmp_path / "dst"), str(tmp_path / "ck")
+
+    def replicate():
+        if not LakeTable.exists(dst_path):  # the job's bootstrap
+            LakeTable.create(
+                spark, dst_path, SCHEMA,
+                key_cols=["conv_id", "turn_idx"], num_buckets=4,
+            )
+        sdf = (
+            spark.readStream.format("deltaspark")
+            .option("path", src.path)
+            .option("feed", "changes")
+            .option("starting", "earliest")
+            .load()
+        )
+        piped = sdf.select(
+            "conv_id", "turn_idx", "text", "ts",
+            F.when(F.col("_change_type") == "delete", "DELETE")
+            .otherwise("UPSERT").alias("op"),
+            F.col("_seq").alias("seq"),
+            F.when(F.col("_change_type") == "delete", F.lit(1))
+            .otherwise(F.lit(0)).alias("_ord"),
+        )
+        q = (
+            piped.writeStream.format("deltaspark")
+            .option("path", dst_path)
+            .option("writer_id", "replica")
+            .option("sort_col", "_ord")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # no checkpoint yet → preflight is a no-op
+    assert job.rebuild_if_offset_expired(src.path, dst_path, ck) is False
+
+    _commit(
+        spark, src, [(f"c{i}", 0, f"v0 {i}", TS) for i in range(4)], "INSERT", 1, "b1"
+    )
+    replicate()
+    assert job.checkpointed_offset(ck) == 1
+    # live offset → no-op
+    assert job.rebuild_if_offset_expired(src.path, dst_path, ck) is False
+
+    # the lost window: a delete, a new insert, then offset expiry
+    _commit(spark, src, [("c2", 0, None, None)], "DELETE", 2, "b2")
+    _commit(spark, src, [("c9", 9, "new", TS)], "INSERT", 3, "b3")
+    src_reloaded = LakeTable.load(spark, src.path)
+    src_reloaded.expire_snapshots(keep_last=1)
+
+    assert job.rebuild_if_offset_expired(src.path, dst_path, ck) is True
+    assert not os.path.exists(dst_path) and not os.path.exists(ck)
+
+    replicate()  # fresh replica from the full current state
+    a = _rows(LakeTable.load(spark, dst_path).read().select("conv_id", "turn_idx", "text"))
+    b = _rows(LakeTable.load(spark, src.path).read().select("conv_id", "turn_idx", "text"))
+    assert a == b and len(a) == 4  # c2 gone, c9 present
+    assert not any(r[0] == "c2" for r in a)
+
+
+def test_stream_expired_offset_rebootstrap(spark, tmp_path):
+    """``expired_offset='rebootstrap'``: a checkpointed stream whose
+    offset snapshot was expired by retention re-emits the FULL current
+    state as inserts (the consume_changes rebootstrap contract made
+    opt-in on the source) and keeps streaming incrementally after; the
+    default keeps failing loudly."""
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["conv_id", "turn_idx"]
+    )
+    _commit(
+        spark, tbl, [(f"c{i}", 0, f"v0 {i}", TS) for i in range(4)], "INSERT", 1, "b1"
+    )
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _run_available_now(spark, tbl.path, out, ck)  # offset now at snapshot 1
+    assert spark.read.parquet(str(out)).count() == 4
+
+    # the lost window: an update, a delete, then expiry of the offset
+    _commit(spark, tbl, [("c1", 0, "v1 1", TS)], "UPDATE", 2, "b2")
+    _commit(spark, tbl, [("c2", 0, None, None)], "DELETE", 3, "b3")
+    tbl.expire_snapshots(keep_last=1)
+
+    # default: the checkpointed resume fails loudly at planning
+    with pytest.raises(Exception, match="expired|rebootstrap"):
+        _run_available_now(spark, tbl.path, out, ck)
+
+    # opt-in: the resume emits the full head state (3 live rows) as
+    # inserts — c1 at its post-update text, c2 absent (no tombstone,
+    # as documented)
+    _run_available_now(spark, tbl.path, out, ck, expired_offset="rebootstrap")
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 4 + 3
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    # c1 appears at both its pre- and post-update text (old batch +
+    # bootstrap); c2 only once (deleted before the bootstrap)
+    assert {r["text"] for r in rows if r["conv_id"] == "c1"} == {"v0 1", "v1 1"}
+    assert sum(r["conv_id"] == "c2" for r in rows) == 1
+
+    # ... and the stream is incremental again afterwards
+    _commit(spark, tbl, [("c9", 9, "new", TS)], "INSERT", 4, "b4")
+    _run_available_now(spark, tbl.path, out, ck, expired_offset="rebootstrap")
+    rows2 = spark.read.parquet(str(out)).collect()
+    assert len(rows2) == 8
+    assert ("c9", 9, "insert") in {
+        (r["conv_id"], r["turn_idx"], r["_change_type"]) for r in rows2
+    }
+
+    # bad option value is refused up front
+    with pytest.raises(Exception, match="expired_offset"):
+        _run_available_now(
+            spark, tbl.path, tmp_path / "o2", tmp_path / "c2",
+            expired_offset="ignore",
+        )
 
 
 def test_schema_function_matches_feeds(spark, table):
