@@ -709,7 +709,11 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         return {"snapshot_id": -1 if head is None else int(head)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        from .interop import ExpiredSnapshotError
+        from .interop import (
+            ExpiredSnapshotError,
+            resolve_snapshot,
+            snapshot_was_expired,
+        )
 
         s, e = int(start["snapshot_id"]), int(end["snapshot_id"])
         if e == -1 or s == e:
@@ -723,6 +727,26 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         except ExpiredSnapshotError:
             if self.expired_offset != "rebootstrap" or frm is None:
                 raise
+            meta = _meta(self.path)
+            if not snapshot_was_expired(meta, frm):
+                # the id can never have been a committed snapshot (a
+                # typo'd `starting`, a checkpoint replayed against the
+                # wrong table, a rolled-back head) — a configuration
+                # error a silent full-state emission would mask
+                raise
+            # the replayed batch's WAL'd END offset must itself still
+            # resolve, or the retry below would crash AFTER promising
+            # a rebootstrap — name that state instead
+            try:
+                resolve_snapshot(meta, self.path, e)
+            except ExpiredSnapshotError:
+                raise ExpiredSnapshotError(
+                    f"deltaspark stream at {self.path}: both the resume "
+                    f"offset ({frm}) and the in-flight batch's end "
+                    f"offset ({e}) have been expired by retention — "
+                    f"automatic rebootstrap cannot replay this batch. "
+                    f"Delete the checkpoint and restart the stream."
+                ) from None
             # checkpointed offset expired: re-emit the full state at
             # `e` as the bootstrap batch (content still deterministic
             # for this offset range — pinned at `e`) and continue

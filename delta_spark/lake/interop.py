@@ -104,6 +104,19 @@ class ExpiredSnapshotError(ValueError):
     catch exactly this case and nothing else."""
 
 
+def snapshot_was_expired(meta: dict, sid: int) -> bool:
+    """Classify a MISSING snapshot id: True = it was committed and
+    then removed by retention (automatic resync is legitimate), False
+    = it can never have been a committed snapshot this consumer read
+    (a typo'd ``starting`` id, a checkpoint replayed against the wrong
+    table — configuration errors that must stay loud, not be masked
+    by a silent full-state re-emission). Ids are allocated from one
+    monotonic sequence shared by every ref, so any id at or below the
+    current head existed; ids above the head never did."""
+    head = meta.get("current_snapshot_id")
+    return head is not None and 0 <= sid <= int(head)
+
+
 def resolve_snapshot(meta: dict, table_path: str, snapshot_id: int | None = None) -> dict | None:
     sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
     if sid is None:

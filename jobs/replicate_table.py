@@ -79,8 +79,13 @@ def rebuild_if_offset_expired(source: str, dest: str, ck: str) -> bool:
     so keys deleted inside the lost window would live in the replica
     forever). The honest resync is the consume_changes contract: drop
     the derived state — replica AND checkpoint — and rebuild from the
-    source's full current state. Returns True if a rebuild happened."""
-    from delta_spark.lake.interop import read_metadata
+    source's full current state. Returns True if a rebuild happened.
+
+    Only an id the source certainly committed-then-expired triggers
+    the rebuild (``snapshot_was_expired``): a checkpoint replayed
+    against the WRONG source, or a rolled-back head, must fail loudly
+    in the stream rather than silently destroy the replica."""
+    from delta_spark.lake.interop import read_metadata, snapshot_was_expired
 
     sid = checkpointed_offset(ck)
     if sid is None or sid == -1:
@@ -91,14 +96,20 @@ def rebuild_if_offset_expired(source: str, dest: str, ck: str) -> bool:
         return False
     if any(s["id"] == sid for s in meta["snapshots"]):
         return False
+    if not snapshot_was_expired(meta, sid):
+        return False
     print(
         f"replicate_table: checkpointed offset snapshot {sid} expired "
         f"by retention at {source} — rebuilding the replica from the "
         f"full current state (dest + checkpoint dropped)",
         file=sys.stderr,
     )
-    shutil.rmtree(dest, ignore_errors=True)
-    shutil.rmtree(ck, ignore_errors=True)
+    # rmtree must RAISE on partial failure: proceeding with a
+    # half-deleted replica (metadata intact, data gone) would let the
+    # bootstrap skip table creation and append into a torn state
+    for p in (dest, ck):
+        if os.path.exists(p):
+            shutil.rmtree(p)
     return True
 
 
@@ -132,7 +143,12 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.on_expired_offset == "rebuild":
-        rebuild_if_offset_expired(args.source, args.dest, args.checkpoint)
+        if rebuild_if_offset_expired(args.source, args.dest, args.checkpoint):
+            # the checkpoint is gone, so --starting applies again —
+            # anything but "earliest" here would leave the rebuilt
+            # replica missing the full state the rebuild promised
+            # (latest → permanently empty; a pinned id → expired too)
+            args.starting = "earliest"
 
     from pyspark.sql import functions as F
 

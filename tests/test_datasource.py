@@ -814,6 +814,20 @@ def test_replication_rebuild_on_expired_offset(spark, tmp_path):
     assert a == b and len(a) == 4  # c2 gone, c9 present
     assert not any(r[0] == "c2" for r in a)
 
+    # a checkpoint whose offset the source can NEVER have committed
+    # (wrong-table mixup / rolled-back head) must not destroy the
+    # replica — the preflight declines and the stream stays loud
+    ck2 = str(tmp_path / "ck_wrong")
+    os.makedirs(os.path.join(ck2, "commits"))
+    os.makedirs(os.path.join(ck2, "offsets"))
+    open(os.path.join(ck2, "commits", "0"), "w").write("v1\n{}")
+    open(os.path.join(ck2, "offsets", "0"), "w").write(
+        'v1\n{"batchWatermarkMs":0}\n{"snapshot_id": 999}'
+    )
+    assert job.checkpointed_offset(ck2) == 999
+    assert job.rebuild_if_offset_expired(src.path, dst_path, ck2) is False
+    assert os.path.exists(dst_path)  # untouched
+
 
 def test_stream_expired_offset_rebootstrap(spark, tmp_path):
     """``expired_offset='rebootstrap'``: a checkpointed stream whose
@@ -867,6 +881,37 @@ def test_stream_expired_offset_rebootstrap(spark, tmp_path):
             spark, tbl.path, tmp_path / "o2", tmp_path / "c2",
             expired_offset="ignore",
         )
+
+    # a NEVER-COMMITTED starting id (typo / wrong-table checkpoint) is
+    # a configuration error — rebootstrap must NOT mask it
+    with pytest.raises(Exception, match="unknown|expired"):
+        _run_available_now(
+            spark, tbl.path, tmp_path / "o3", tmp_path / "c3",
+            starting="999", expired_offset="rebootstrap",
+        )
+
+
+def test_stream_rebootstrap_end_offset_also_expired(spark, tmp_path):
+    """The guarded retry: when the replayed batch's WAL'd END offset
+    has been expired too, the reader names that state instead of
+    promising a rebootstrap and then crashing inside the retry."""
+    from delta_spark.lake.datasource import LakeChangesStreamReader
+    from delta_spark.lake.interop import ExpiredSnapshotError
+
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["conv_id", "turn_idx"]
+    )
+    for i in range(1, 4):
+        _commit(spark, tbl, [(f"c{i}", 0, f"v{i}", TS)], "INSERT", i, f"b{i}")
+    LakeTable.load(spark, tbl.path).expire_snapshots(keep_last=1)  # keeps id 3
+
+    r = LakeChangesStreamReader(tbl.path, {"expired_offset": "rebootstrap"}, None)
+    # both ends expired → the named both-expired error, not a raw retry crash
+    with pytest.raises(ExpiredSnapshotError, match="end\\s+offset|Delete the checkpoint"):
+        r.partitions({"snapshot_id": 1}, {"snapshot_id": 2})
+    # end still live → rebootstrap plans full-state partitions
+    parts = r.partitions({"snapshot_id": 1}, {"snapshot_id": 3})
+    assert parts and all(p.frm is None and p.to == 3 for p in parts)
 
 
 def test_schema_function_matches_feeds(spark, table):
