@@ -352,9 +352,19 @@ class LakeDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         if self._feed() == "changes":
             return LakeChangesBatchReader(self._path(), self.options, schema)
-        if _pushdown_enabled():
-            return LakeBatchReader(self._path(), self.options, schema)
-        return _LakeBatchReaderNoPushdown(self._path(), self.options, schema)
+        # Decide from OPTIONS, not from the session: reader() executes in
+        # PySpark's sessionless planner worker where getActiveSession() is
+        # None, so a conf probe here always saw "off" and silently returned
+        # the no-pushdown reader — bucket/stats pruning was dead end-to-end
+        # even for sessions that enabled it (round-4 ADVICE, medium).
+        # Default = the pushdown reader; a session that has not enabled
+        # spark.sql.python.filterPushdown.enabled then fails LOUDLY with
+        # Spark's DATA_SOURCE_PUSHDOWN_DISABLED error naming the conf,
+        # instead of quietly scanning every bucket. Escape hatch for
+        # sessions that cannot flip the conf: .option("pushdown", "false").
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            return _LakeBatchReaderNoPushdown(self._path(), self.options, schema)
+        return LakeBatchReader(self._path(), self.options, schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         if self._feed() != "changes":
@@ -377,25 +387,6 @@ class LakeDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         return LakeDeltaStreamWriter(self._path(), self.options, schema)
-
-
-def _pushdown_enabled() -> bool:
-    """Spark refuses a reader that merely DEFINES pushFilters unless
-    spark.sql.python.filterPushdown.enabled is on (build_session sets
-    it); fall back to the same reader minus the hook so plain sessions
-    still read — Spark re-applies all filters either way, only the
-    partition/file pruning is lost."""
-    from pyspark.sql import SparkSession
-
-    s = SparkSession.getActiveSession()
-    try:
-        return (
-            s is not None
-            and s.conf.get("spark.sql.python.filterPushdown.enabled", "false").lower()
-            == "true"
-        )
-    except Exception:
-        return False
 
 
 class _LakeBatchReaderBase(DataSourceReader):
@@ -596,8 +587,15 @@ def _change_partitions(
         cand = _candidate_buckets(meta, resolve_snapshot(meta, path, to))
     else:
         cand = touched_buckets(path, frm, to)
-        if cand is None:  # unprunable (rebucket + unsupported type)
-            cand = _candidate_buckets(meta, resolve_snapshot(meta, path, to))
+        if cand is None:
+            # Unprunable (range crosses a rebucket and the bucket-column
+            # type has no DuckDB hash UDF): plan the FULL bucket domain,
+            # not the TO snapshot's buckets — if TO is file-empty while
+            # FROM held rows, planning from TO alone would emit zero
+            # partitions and silently drop the delete events; full-domain
+            # tasks instead fail loudly on the unsupported hash, matching
+            # the other unprunable paths (round-4 ADVICE).
+            cand = list(range(int(meta["num_buckets"])))
     if not cand:
         return [_BucketPart([])]  # planned-empty: DDL-only/no-op range
     parts = _group_buckets(cand, max_tasks)
@@ -728,6 +726,26 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             if self.expired_offset != "rebootstrap" or frm is None:
                 raise
             meta = _meta(self.path)
+            # Which id actually failed to resolve? The initial error may
+            # have come from `e`, not `frm` (e.g. frm pinned by a tag
+            # while the WAL'd end offset expired) — re-resolve each so
+            # the diagnosis names the right one (round-4 ADVICE: the old
+            # handler blamed frm unconditionally).
+            frm_ok = True
+            try:
+                resolve_snapshot(meta, self.path, frm)
+            except ExpiredSnapshotError:
+                frm_ok = False
+            if frm_ok:
+                raise ExpiredSnapshotError(
+                    f"deltaspark stream at {self.path}: the in-flight "
+                    f"batch's end offset ({e}) has been expired by "
+                    f"retention while the resume offset ({frm}) still "
+                    f"resolves — the committed batch's content can no "
+                    f"longer be reproduced, so automatic rebootstrap "
+                    f"cannot replay it. Delete the checkpoint and "
+                    f"restart the stream."
+                ) from None
             if not snapshot_was_expired(meta, frm):
                 # the id can never have been a committed snapshot (a
                 # typo'd `starting`, a checkpoint replayed against the

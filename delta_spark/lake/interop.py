@@ -111,10 +111,12 @@ def snapshot_was_expired(meta: dict, sid: int) -> bool:
     (a typo'd ``starting`` id, a checkpoint replayed against the wrong
     table — configuration errors that must stay loud, not be masked
     by a silent full-state re-emission). Ids are allocated from one
-    monotonic sequence shared by every ref, so any id at or below the
-    current head existed; ids above the head never did."""
+    monotonic sequence shared by every ref STARTING AT 1 (the writer
+    allocates ``1 + max(existing, 0)``), so any id in [1, head]
+    existed; 0 and negatives never did (a typo'd ``starting='0'`` must
+    stay loud, round-4 ADVICE), and ids above the head never did."""
     head = meta.get("current_snapshot_id")
-    return head is not None and 0 <= sid <= int(head)
+    return head is not None and 1 <= sid <= int(head)
 
 
 def resolve_snapshot(meta: dict, table_path: str, snapshot_id: int | None = None) -> dict | None:

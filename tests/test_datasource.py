@@ -927,3 +927,124 @@ def test_schema_function_matches_feeds(spark, table):
         LakeDataSource(
             {"path": tbl.path, "snapshot_id": "1", "tag": "x"}
         ).schema()
+
+
+# -- round-5 ADVICE regressions --------------------------------------
+
+
+def test_pushdown_decided_from_options_e2e(spark, table):
+    """reader() executes in PySpark's sessionless planner worker, so the
+    pushdown choice must come from OPTIONS, not getActiveSession() (which
+    is None there — the old conf probe silently disabled pruning for
+    every real read). E2E through the registered format: an equality
+    filter on the full key plans exactly ONE scan task; the unfiltered
+    read plans one per populated bucket."""
+    tbl, _ = table
+    got = _fmt(spark, tbl.path).filter(
+        (F.col("conv_id") == "c7") & (F.col("turn_idx") == 2)
+    )
+    assert got.rdd.getNumPartitions() == 1
+    assert [r["text"] for r in got.collect()] == ["v0 7/2"]
+    assert _fmt(spark, tbl.path).rdd.getNumPartitions() > 1
+
+
+def test_pushdown_conf_off_fails_loudly_with_escape_hatch(spark, table):
+    """A session without spark.sql.python.filterPushdown.enabled gets
+    Spark's DATA_SOURCE_PUSHDOWN_DISABLED error naming the conf (not a
+    silent full scan); .option('pushdown','false') is the explicit
+    opt-out for sessions that cannot flip it."""
+    tbl, _ = table
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="filterPushdown"):
+            _fmt(spark, tbl.path).collect()
+        got = _fmt(spark, tbl.path, pushdown="false")
+        assert _rows(got) == _rows(tbl.read())
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def test_snapshot_was_expired_rejects_id_zero(spark, tmp_path):
+    """Snapshot ids are allocated from 1; sid=0 (a typo'd starting='0',
+    a corrupt checkpoint) can never have been committed, so it must be
+    classified as a configuration error — rebootstrap/rebuild paths
+    must NOT silently resync over it."""
+    from delta_spark.lake.datasource import LakeChangesStreamReader
+    from delta_spark.lake.interop import (
+        ExpiredSnapshotError,
+        read_metadata,
+        snapshot_was_expired,
+    )
+
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["conv_id", "turn_idx"]
+    )
+    _commit(spark, tbl, [("c1", 0, "v", TS)], "INSERT", 1, "b1")
+    meta = read_metadata(tbl.path)
+    assert snapshot_was_expired(meta, 0) is False
+    assert snapshot_was_expired(meta, 1) is True
+    assert snapshot_was_expired(meta, meta["current_snapshot_id"] + 1) is False
+    # the stream reader refuses to rebootstrap over sid=0
+    r = LakeChangesStreamReader(tbl.path, {"expired_offset": "rebootstrap"}, None)
+    with pytest.raises(ExpiredSnapshotError):
+        r.partitions(
+            {"snapshot_id": 0},
+            {"snapshot_id": int(meta["current_snapshot_id"])},
+        )
+
+
+def test_stream_rebootstrap_diagnosis_when_only_end_expired(spark, tmp_path):
+    """When the resume offset still resolves (pinned by a tag) but the
+    WAL'd end offset expired, the handler must name the END offset as
+    the failure — not claim both were expired (round-4 ADVICE: wrong
+    diagnosis, frm is fine)."""
+    from delta_spark.lake.datasource import LakeChangesStreamReader
+    from delta_spark.lake.interop import ExpiredSnapshotError
+
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["conv_id", "turn_idx"]
+    )
+    for i in range(1, 5):
+        _commit(spark, tbl, [(f"c{i}", 0, f"v{i}", TS)], "INSERT", i, f"b{i}")
+    tbl = LakeTable.load(spark, tbl.path)
+    tbl.tag("pin", snapshot_id=1)
+    LakeTable.load(spark, tbl.path).expire_snapshots(keep_last=1)
+    # snapshot 1 retained (tagged), 2 and 3 expired, 4 = head
+    r = LakeChangesStreamReader(tbl.path, {"expired_offset": "rebootstrap"}, None)
+    with pytest.raises(
+        ExpiredSnapshotError, match="end offset \\(2\\).*resume offset \\(1\\) still"
+    ):
+        r.partitions({"snapshot_id": 1}, {"snapshot_id": 2})
+    # a range whose both ends resolve still replays normally
+    parts = r.partitions({"snapshot_id": 1}, {"snapshot_id": 4})
+    assert parts and all(p.to == 4 for p in parts)
+
+
+def test_change_partitions_unprunable_empty_to_plans_full_domain(
+    spark, tmp_path, monkeypatch
+):
+    """touched_buckets=None (unprunable range) with a file-empty TO
+    snapshot must plan the FULL bucket domain, not TO's (zero) buckets:
+    planning from TO alone would silently emit no partitions and drop
+    the range's delete events (round-4 ADVICE)."""
+    from delta_spark.lake import interop
+    from delta_spark.lake.datasource import _change_partitions
+
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=4,
+    )
+    _commit(spark, tbl, [("c1", 0, "v", TS)], "INSERT", 1, "b1")
+    _commit(spark, tbl, [("c1", 0, None, None)], "DELETE", 2, "b2")
+    tbl = LakeTable.load(spark, tbl.path)
+    tbl.compact()  # fold the delete: TO state holds zero rows
+    tbl = LakeTable.load(spark, tbl.path)
+    head = tbl.metadata["current_snapshot_id"]
+    assert tbl.read().count() == 0
+    monkeypatch.setattr(interop, "touched_buckets", lambda *a, **k: None)
+    parts = _change_partitions(tbl.path, 1, head)
+    got = sorted(b for p in parts for b in (p.buckets or []))
+    assert got == [0, 1, 2, 3]
