@@ -92,6 +92,7 @@ class NearDupIndexer:
         k: int = 3,
         threshold: float = 0.4,
         num_buckets: int = 16,
+        max_bucket_rows: int | None = 1024,
     ):
         self.spark = spark
         self.docs = docs
@@ -99,6 +100,7 @@ class NearDupIndexer:
         self.id_col, self.text_col = id_col, text_col
         self.num_hashes, self.band_size, self.k = num_hashes, band_size, k
         self.threshold = threshold
+        self.max_bucket_rows = max_bucket_rows
         self.n_bands = num_hashes // band_size
         self.index_path = os.path.join(root, "index")
         self.feed_path = os.path.join(root, "feed")
@@ -222,6 +224,11 @@ class NearDupIndexer:
                 )
             )
 
+        # pre-merge index snapshot id, pinned BEFORE the merge so the
+        # hot-bucket lifecycle repair below can diff rep/size per bucket
+        pre_cur = self.index.current_snapshot
+        pre_sid = pre_cur["id"] if pre_cur else None
+
         # 1) index maintenance — O(changed docs): upsert changed docs'
         #    band rows, tombstone deleted docs' (every band enumerated
         #    declaratively, no driver-side id list)
@@ -261,7 +268,86 @@ class NearDupIndexer:
         #    The index read is the epoch's big scan (O(live docs ×
         #    bands) rows of a few bytes); the join output is bounded by
         #    LSH collisions, never |corpus|².
+        #    Hot-band cap (mirrors lsh_candidate_pairs): an index
+        #    bucket over ``max_bucket_rows`` would fan every delta doc
+        #    out to the whole bucket (quadratic in degenerate
+        #    boilerplate mass), so over-cap buckets collapse to their
+        #    min-doc_id representative — a delta doc joins the rep, the
+        #    verifier checks (delta, rep), and connectivity through the
+        #    rep keeps clustering semantics. Bucket sizes are O(buckets)
+        #    rows, broadcast back, so the index is never shuffled; it
+        #    costs two extra scans of the slim index table, not a
+        #    shuffle.
+        #
+        #    Lifecycle repair: a star is only equal to the batch answer
+        #    while its center is stable, so any bucket whose HOT status
+        #    flipped (crossed the cap either way) or whose rep (min
+        #    doc_id) changed this epoch — center deleted, smaller id
+        #    arrived, mass deletion shrank it under the cap — gets its
+        #    CURRENT members fully REVIVED: retracted and re-verified
+        #    through the same capped candidate join, O(bucket) once per
+        #    transition, never per epoch. With that, fold == batch
+        #    (same cap) holds across the whole lifecycle for
+        #    single-signature degenerate mass; mixed-signature over-cap
+        #    buckets keep bounded connectivity-preserving candidates on
+        #    both sides but not pairwise equality (the persisted index
+        #    carries no full signatures to split them by).
         idx = self.index.read()
+        revived_ids = None
+        if self.max_bucket_rows:
+            cap = self.max_bucket_rows
+            idx_full = idx
+            stats = idx_full.groupBy("band", "bh").agg(
+                F.count("*").alias("n_post"), F.min("doc_id").alias("rep_post")
+            )
+            hot = F.broadcast(
+                stats.filter(F.col("n_post") > cap).select("band", "bh")
+            )
+            idx_small = idx_full.join(hot, ["band", "bh"], "left_anti")
+            idx_reps = (
+                idx_full.join(hot, ["band", "bh"], "left_semi")
+                .groupBy("band", "bh")
+                .agg(F.min("doc_id").alias("doc_id"))
+            )
+            idx = idx_small.select("doc_id", "band", "bh").unionByName(
+                idx_reps.select("doc_id", "band", "bh")
+            )
+            if pre_sid is not None:
+                pre = self.index.read(snapshot_id=pre_sid)
+                pre_stats = pre.groupBy("band", "bh").agg(
+                    F.count("*").alias("n_pre"), F.min("doc_id").alias("rep_pre")
+                )
+                j = stats.join(pre_stats, ["band", "bh"], "full_outer").fillna(
+                    {"n_post": 0, "n_pre": 0}
+                )
+            else:
+                j = stats.withColumn("n_pre", F.lit(0)).withColumn(
+                    "rep_pre", F.lit(None).cast("long")
+                )
+            was_hot, is_hot = F.col("n_pre") > cap, F.col("n_post") > cap
+            repair = j.filter(
+                (was_hot != is_hot)
+                | (
+                    is_hot
+                    & (
+                        F.col("rep_pre").isNull()
+                        | (F.col("rep_pre") != F.col("rep_post"))
+                    )
+                )
+            ).select("band", "bh")
+            revived_ids = (
+                idx_full.join(F.broadcast(repair), ["band", "bh"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            revive_bands = idx_full.join(
+                revived_ids, "doc_id", "left_semi"
+            ).select("doc_id", "band", "bh")
+            delta_sigs = (
+                delta_sigs.select("doc_id", "band", "bh")
+                .unionByName(revive_bands)
+                .distinct()
+            )
         d = delta_sigs.alias("d")
         if bcast_delta:
             d = F.broadcast(d)
@@ -294,6 +380,12 @@ class NearDupIndexer:
         touched = changed.select(
             F.col(self.id_col).cast("long").alias("id_a")
         ).unionByName(deleted.select(F.col("doc_id").alias("id_a")))
+        if revived_ids is not None:
+            # hot-bucket lifecycle repair: revived docs are retracted and
+            # re-added in the same epoch (the fold keeps same-epoch adds)
+            touched = touched.unionByName(
+                revived_ids.select(F.col("doc_id").alias("id_a"))
+            )
         retracts = touched.distinct().select(
             F.lit("retract_doc").alias("op"),
             "id_a",
