@@ -404,9 +404,14 @@ def test_extrema_nonextremal_retraction_skips_recompute(spark, tmp_path, caplog)
     _check_ext(mv, t)
 
 
-def test_extrema_extremal_retraction_recomputes_group(spark, tmp_path, caplog):
-    """Deleting the current max forces a recompute of JUST that group
-    — and lands exactly on the batch answer (second place found)."""
+def test_extrema_extremal_retraction_absorbed_by_reservoir(
+    spark, tmp_path, caplog
+):
+    """Deleting the current max is ABSORBED by the per-group top-K
+    reservoir — second place is already in the view row, no base-state
+    recompute runs, and the answer lands exactly on the batch one.
+    (Pre-reservoir behavior: every extremal retraction forced a
+    recompute of the group — the round-4 perf-weak finding.)"""
     t = _mk(spark, str(tmp_path / "t"), n=10)
     mv = _mv_ext(spark, t, str(tmp_path / "mv"))
     mv.advance()
@@ -420,8 +425,9 @@ def test_extrema_extremal_retraction_recomputes_group(spark, tmp_path, caplog):
     import logging
     with caplog.at_level(logging.WARNING, logger="delta_spark.materialized"):
         mv.advance()
-    msgs = [r.message for r in caplog.records if "extremal retraction" in r.message]
-    assert msgs and "1 group(s)" in msgs[0]
+    assert not any(
+        "extremal retraction" in r.message for r in caplog.records
+    )
     _check_ext(mv, t)
 
 
@@ -503,3 +509,141 @@ def test_extrema_measure_name_collisions_refused(spark, tmp_path):
             spark, t, str(tmp_path / "mv"), ["role"],
             {"m": "length(text)"}, mins={"m": "length(text)"},
         )
+
+
+def test_reservoir_absorbs_k_retractions_then_drains(
+    spark, tmp_path, caplog, monkeypatch
+):
+    """The reservoir contract end-to-end on a group BIGGER than K
+    (incomplete reservoir): K-1 extremal retractions are absorbed with
+    ZERO base-state scans (spied), the K-th drains the reservoir and
+    triggers exactly one logged recompute that refills it, after which
+    absorption resumes — and every epoch lands on the batch answer."""
+    import logging
+
+    K = 4
+    t = _mk(spark, str(tmp_path / "t"), n=30)  # 'user': 15 rows, lens 2..30
+    mv = MaterializedAggregate(
+        spark, t, str(tmp_path / "mv"), ["role"], {},
+        maxs={"max_chars": "length(text)"}, reservoir_k=K,
+    )
+    mv.advance()
+
+    # _with_res is the refill path: it runs ONLY on recompute (and
+    # rebootstrap) — an absorbed retraction must never reach it
+    base_reads = []
+    orig_res = MaterializedAggregate._with_res
+
+    def spy(self, state):
+        base_reads.append(1)
+        return orig_res(self, state)
+
+    monkeypatch.setattr(MaterializedAggregate, "_with_res", spy)
+
+    # delete the top K-1 'user' rows one epoch each: absorbed, no scan
+    seq = 800
+    tops = [29, 27, 25]  # lens 30, 28, 26 — the current top-3
+    with caplog.at_level(logging.WARNING, logger="delta_spark.materialized"):
+        for i, c in enumerate(tops):
+            t.merge(
+                spark.createDataFrame(
+                    [(f"c{c}", 0, None, None, None, None, "DELETE", seq + i)],
+                    DDL,
+                ),
+                "w", f"b-abs-{i}",
+            )
+            mv.advance()
+            _check_reservoir_max(mv, t)
+    assert not any("extremal retraction" in r.message for r in caplog.records)
+    assert base_reads == []  # K-1 extremal retractions, zero base scans
+
+    # the K-th extremal retraction drains the reservoir → ONE recompute
+    t.merge(
+        spark.createDataFrame(
+            [("c23", 0, None, None, None, None, "DELETE", 810)], DDL
+        ),
+        "w", "b-drain",
+    )
+    with caplog.at_level(logging.WARNING, logger="delta_spark.materialized"):
+        mv.advance()
+    msgs = [r.message for r in caplog.records if "extremal retraction" in r.message]
+    assert msgs and "1 group(s)" in msgs[-1]
+    assert len(base_reads) == 1  # exactly the one refill scan
+    _check_reservoir_max(mv, t)
+
+    # refilled: the next extremal retraction is absorbed again
+    caplog.clear()
+    t.merge(
+        spark.createDataFrame(
+            [("c21", 0, None, None, None, None, "DELETE", 811)], DDL
+        ),
+        "w", "b-post",
+    )
+    with caplog.at_level(logging.WARNING, logger="delta_spark.materialized"):
+        mv.advance()
+    assert not any("extremal retraction" in r.message for r in caplog.records)
+    assert len(base_reads) == 1
+    _check_reservoir_max(mv, t)
+
+
+def _check_reservoir_max(mv, t):
+    got = {
+        r["role"]: (r["n_rows"], r["max_chars"])
+        for r in mv.read().collect()
+    }
+    want = {
+        r["role"]: (r["n_rows"], r["max_chars"])
+        for r in t.read()
+        .groupBy("role")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max(F.length("text")).alias("max_chars"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_reservoir_complete_group_never_recomputes(spark, tmp_path, caplog):
+    """A group with at most K live values carries a COMPLETE reservoir:
+    deleting every row one by one — always the current extremum — never
+    scans base state, and the group vanishes cleanly at zero."""
+    import logging
+
+    t = _mk(spark, str(tmp_path / "t"), n=6)  # 'user': c1,c3,c5 (3 rows)
+    mv = MaterializedAggregate(
+        spark, t, str(tmp_path / "mv"), ["role"], {},
+        mins={"min_chars": "length(text)"}, reservoir_k=8,
+    )
+    mv.advance()
+    with caplog.at_level(logging.WARNING, logger="delta_spark.materialized"):
+        for i, c in enumerate([1, 3, 5]):  # always the current 'user' min
+            t.merge(
+                spark.createDataFrame(
+                    [(f"c{c}", 0, None, None, None, None, "DELETE", 900 + i)],
+                    DDL,
+                ),
+                "w", f"b-{i}",
+            )
+            mv.advance()
+    assert not any("extremal retraction" in r.message for r in caplog.records)
+    assert {r["role"] for r in mv.read().collect()} == {"assistant"}
+
+
+def test_reservoir_update_churn_stays_exact(spark, tmp_path):
+    """Update churn (retract pre-image + insert post-image in one
+    epoch) across the extremes keeps the view on the batch answer."""
+    t = _mk(spark, str(tmp_path / "t"), n=12)
+    mv = _mv_ext(spark, t, str(tmp_path / "mv"))
+    mv.advance()
+    # shrink the max, grow the min, twice over
+    for i, (c, ln) in enumerate([(11, 3), (1, 40), (9, 1), (3, 2)]):
+        t.merge(
+            spark.createDataFrame(
+                [(f"c{c}", 0, "user", "y" * ln, "", TS, "UPDATE", 950 + i)],
+                DDL,
+            ),
+            "w", f"b-u{i}",
+        )
+        mv.advance()
+        _check_ext(mv, t)
