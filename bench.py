@@ -152,6 +152,10 @@ def run_cdc_stream(spark, log_dir: str, n_events: int, work_dir: str) -> dict:
             generation=1,
             num_buckets=max(2 * CPUS, 32),
             max_files_per_trigger=max(16, CPUS) // 4,  # 4 micro-batches
+            # sustained-throughput MoR shape: per-bucket delta files
+            # (fanout writer) — parallel encode + per-bucket compaction
+            # pressure; the spanning shape is for low-rate trickles
+            mor_fanout=True,
         )
         p = Pipeline(spark, cfg)
         t0 = time.time()

@@ -184,6 +184,7 @@ def apply_batch(
     merge_mode: str = "cow",
     sort_key_col=None,  # str | tuple — composite sortKeys supported
     column_whitelist: tuple[str, ...] | None = None,
+    mor_fanout: bool = False,
 ) -> ApplyStats:
     """Apply one micro-batch of changelog rows to ``table``.
 
@@ -295,6 +296,7 @@ def apply_batch(
             mode=merge_mode,
             precommit=precommit,
             sort_col=sort_key_col,
+            fanout=mor_fanout,
         )
         if res is not None and not res.get("aborted"):
             stats.upserts += res["upserts"]

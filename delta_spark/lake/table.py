@@ -1623,6 +1623,7 @@ class LakeTable:
         mode: str = "cow",
         precommit=None,
         sort_col=None,  # str | tuple — composite sortKeys pack to array<bigint>
+        fanout: bool = False,  # MoR only: per-bucket delta files (see _merge_mor)
     ) -> dict | None:
         """Copy-on-write MERGE keyed on ``key_cols``, guarded by seq.
 
@@ -1669,7 +1670,7 @@ class LakeTable:
         if mode == "mor":
             return self._merge_mor(
                 batch, writer_id, batch_id, payload, op_col, seq_col, delete_op,
-                summary, precommit, sort_col,
+                summary, precommit, sort_col, fanout=fanout,
             )
         if has_files:
             cur_spec = self.bucket_spec_id
@@ -1796,14 +1797,30 @@ class LakeTable:
 
     def _merge_mor(
         self, batch, writer_id, batch_id, payload, op_col, seq_col, delete_op,
-        summary, precommit=None, sort_col=None,
+        summary, precommit=None, sort_col=None, fanout=False,
     ) -> dict:
         """Merge-on-read apply: append the batch's rows (with ``_seq``
-        version guard + ``_deleted`` tombstones) as SPANNING delta
-        files. The target is never read or rewritten and the write is
-        SHUFFLE-FREE — the whole apply is ONE narrow job over the
-        batch, so a micro-batch costs O(batch), not O(touched buckets
-        of table) and not even a repartition of the batch.
+        version guard + ``_deleted`` tombstones) as delta files. The
+        target is never read or rewritten — a micro-batch costs
+        O(batch), not O(touched buckets of table). Two write shapes:
+
+        * default (``fanout=False``): SPANNING delta files — one
+          narrow shuffle-free job writing the batch as partitioned by
+          the source. Cheapest per-epoch cost for a TRICKLE, but every
+          spanning file taxes every bucket read until ``compact()``
+          absorbs it, and absorption is O(table) — at a steady high
+          rate the amortized compaction cost grows with the table.
+        * ``fanout=True``: per-BUCKET delta files (Iceberg's fanout
+          writer) — one repartition of the BATCH on ``_bucket``, then
+          bucket-pure files marked with their real bucket id. Costs a
+          (batch-sized, cheap) shuffle and more files per epoch, buys
+          parquet-encode parallelism = cluster width, bucket-pruned
+          delta reads (no spanning tax), and per-bucket compaction
+          pressure — buckets compact independently and proportionally
+          to their churn, which is the shape that stays bounded at
+          100 TB. Pick fanout for sustained throughput, spanning for
+          low-rate trickles (``PipelineConfig.mor_fanout``).
+
         Read-time argmax-by-_seq folds deltas against base (same
         semantics as the CoW path — out-of-order events across
         micro-batches can never regress a row, DELETEs tombstone);
@@ -1827,7 +1844,10 @@ class LakeTable:
             F.max("_seq").alias("max_seq"),
         )
         snap_tag = f"delta-{uuid.uuid4().hex[:12]}"
-        files_new = self._write_data_spanning(batch_sys, snap_tag)
+        if fanout:
+            files_new = self._write_data(batch_sys, snap_tag, kind="delta")
+        else:
+            files_new = self._write_data_spanning(batch_sys, snap_tag)
         if precommit is not None and not precommit():
             self._discard_uncommitted(snap_tag)
             return {"aborted": True}
@@ -1848,7 +1868,31 @@ class LakeTable:
             # metrics recovered from the parquet footers read at write
             # time (rows exact, max_seq from row-group stats; the
             # delete count is unobservable here → reported as 0 with
-            # a degraded marker, never affects correctness)
+            # a degraded marker, never affects correctness). Fanout
+            # entries skip footers on the hot path — open them ONLY on
+            # this rare Observation-timeout fallback.
+            if any(f["rows"] is None for f in files_new):
+                import pyarrow.parquet as pq
+
+                for f in files_new:
+                    if f["rows"] is not None:
+                        continue
+                    md = pq.ParquetFile(
+                        os.path.join(self.path, f["path"])
+                    ).metadata
+                    f["rows"] = md.num_rows
+                    idx = {
+                        md.schema.column(i).name: i
+                        for i in range(md.num_columns)
+                    }
+                    if "_seq" in idx:
+                        mx = None
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(idx["_seq"]).statistics
+                            if st is not None and st.has_min_max:
+                                mx = st.max if mx is None else max(mx, st.max)
+                        if mx is not None:
+                            f["max_seq"] = mx
             n_batch = sum(f["rows"] or 0 for f in files_new)
             n_del = 0
             seqs = [f["max_seq"] for f in files_new if f.get("max_seq") is not None]

@@ -87,6 +87,12 @@ class PipelineConfig:
     # batches by BYTES so throughput doesn't depend on source file sizing
     merge_mode: str = "auto"               # cow | mor | auto (cow while
     # empty — snapshot load — then merge-on-read for the streaming trickle)
+    mor_fanout: bool = False               # MoR delta shape: False =
+    # spanning files (shuffle-free narrow write, cheapest trickle);
+    # True = per-bucket delta files (Iceberg fanout writer: one
+    # batch-sized shuffle buys full encode parallelism, bucket-pruned
+    # delta reads, and per-bucket compaction pressure — the sustained-
+    # throughput shape; see LakeTable._merge_mor)
     sort_key_col: object = None            # UN_ORDERED-source tiebreak (str |
     # tuple — composite SortKey list, reference SortKey.java:26-41):
     # equal-seq events resolve by this column (e.g. "ingest_ts" — the
@@ -227,6 +233,7 @@ class Pipeline:
             merge_mode=self.cfg.merge_mode,
             sort_key_col=self.cfg.sort_key_col,
             column_whitelist=self.cfg.column_whitelist,
+            mor_fanout=self.cfg.mor_fanout,
         )
         self.stats.append(st)
         return st
@@ -277,6 +284,7 @@ class Pipeline:
                     merge_mode=self.cfg.merge_mode,
                     sort_key_col=self.cfg.sort_key_col,
                     column_whitelist=self.cfg.column_whitelist,
+                    mor_fanout=self.cfg.mor_fanout,
                 )
             except Exception as e:
                 self.state.set_table_failing(name)

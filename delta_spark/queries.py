@@ -1931,12 +1931,14 @@ def matview_minmax(spark, sf_dir):
     """Half-maintainable extrema (MIN/MAX) in the incrementally-folded
     view: same two-generation shape as ``matview_rollup``, with
     per-role min/max text length. Generation 2 carries deletes and
-    updates, so extremal retractions occur and the affected groups are
-    recomputed from base state — the fold + targeted recompute must
-    land exactly on DuckDB's batch GROUP BY over the final LWW state.
-    The view lives in a fresh directory per call; the gen-1 bootstrap
-    is cached like ``matview_rollup``'s (different measures → its own
-    ``mvx0`` directory)."""
+    updates, so extremal retractions occur; the per-group top-K
+    reservoir (lake/materialized.py) absorbs them in O(K) — falling
+    back to a targeted group recompute only if a reservoir drains —
+    and the result must land exactly on DuckDB's batch GROUP BY over
+    the final LWW state either way. The view lives in a fresh
+    directory per call; the gen-1 bootstrap is cached like
+    ``matview_rollup``'s (different measures → its own ``mvx0``
+    directory)."""
     import os
     import shutil
     import tempfile

@@ -67,6 +67,17 @@ def build_session(
         # difference between spilling reducers and right-sized ones.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce INSIDE cached plans too: with the default
+        # (false), any .persist() subtree compiles without AQE and its
+        # shuffles run at the full initialPartitionNum — every action
+        # over the cache then pays ~1024-task scheduling for
+        # kilobyte-sized control-plane frames (matview advance folds,
+        # recompute refills). The flag only lets a cached plan's output
+        # partitioning differ from the uncached one, which nothing in
+        # this engine relies on.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         .config(
             "spark.sql.files.maxPartitionBytes",
             max_partition_bytes
