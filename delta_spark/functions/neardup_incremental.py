@@ -224,10 +224,36 @@ class NearDupIndexer:
                 )
             )
 
-        # pre-merge index snapshot id, pinned BEFORE the merge so the
-        # hot-bucket lifecycle repair below can diff rep/size per bucket
-        pre_cur = self.index.current_snapshot
-        pre_sid = pre_cur["id"] if pre_cur else None
+        # pre-merge index snapshot, resolved DETERMINISTICALLY so a
+        # crash replay sees the same pre/post diff (the hot-bucket
+        # lifecycle repair below depends on it): if this epoch's index
+        # merge already committed (crash between merge and feed/cursor
+        # — the documented window), the live head already CONTAINS it
+        # and a head-vs-head diff would silently skip the repair. The
+        # applying snapshot is found by its exactly-once marker and its
+        # PARENT is the pre state; a folded marker whose snapshot was
+        # expired meanwhile yields "unknown", which the repair treats
+        # as "repair every hot bucket" (bounded, conservative).
+        index_bid = f"{frm}->{to_id}"
+        applied_snap = next(
+            (
+                s
+                for s in self.index.metadata.get("snapshots", [])
+                if s.get("summary", {}).get("writer-id") == "neardup-index"
+                and s.get("summary", {}).get("batch-id") == index_bid
+                and not s.get("rolled_back")
+            ),
+            None,
+        )
+        if applied_snap is not None:
+            pre_sid, pre_unknown = applied_snap.get("parent"), False
+        elif self.index.is_applied("neardup-index", index_bid):
+            pre_sid, pre_unknown = None, True  # marker outlived snapshot
+        else:
+            pre_cur = self.index.current_snapshot
+            pre_sid, pre_unknown = (
+                pre_cur["id"] if pre_cur else None
+            ), False
 
         # 1) index maintenance — O(changed docs): upsert changed docs'
         #    band rows, tombstone deleted docs' (every band enumerated
@@ -275,9 +301,10 @@ class NearDupIndexer:
         #    min-doc_id representative — a delta doc joins the rep, the
         #    verifier checks (delta, rep), and connectivity through the
         #    rep keeps clustering semantics. Bucket sizes are O(buckets)
-        #    rows, broadcast back, so the index is never shuffled; it
-        #    costs two extra scans of the slim index table, not a
-        #    shuffle.
+        #    rows, broadcast back, so the candidate join never shuffles
+        #    the index (the small/reps split costs extra scans of the
+        #    slim index table; the revive semi-join below may shuffle
+        #    it on a repair epoch).
         #
         #    Lifecycle repair: a star is only equal to the batch answer
         #    while its center is stable, so any bucket whose HOT status
@@ -312,29 +339,45 @@ class NearDupIndexer:
             idx = idx_small.select("doc_id", "band", "bh").unionByName(
                 idx_reps.select("doc_id", "band", "bh")
             )
-            if pre_sid is not None:
-                pre = self.index.read(snapshot_id=pre_sid)
-                pre_stats = pre.groupBy("band", "bh").agg(
-                    F.count("*").alias("n_pre"), F.min("doc_id").alias("rep_pre")
-                )
-                j = stats.join(pre_stats, ["band", "bh"], "full_outer").fillna(
-                    {"n_post": 0, "n_pre": 0}
+            if not pre_unknown and pre_sid is not None:
+                try:
+                    pre = self.index.read(snapshot_id=pre_sid)
+                except ValueError:
+                    pre, pre_unknown = None, True  # parent expired
+            else:
+                pre = None
+            if pre_unknown:
+                # no reproducible pre state: conservatively re-center
+                # every hot bucket (bounded by the hot mass; only
+                # reachable on a crash replay whose applying snapshot
+                # was ALSO expired before the retry)
+                repair = stats.filter(F.col("n_post") > cap).select(
+                    "band", "bh"
                 )
             else:
-                j = stats.withColumn("n_pre", F.lit(0)).withColumn(
-                    "rep_pre", F.lit(None).cast("long")
-                )
-            was_hot, is_hot = F.col("n_pre") > cap, F.col("n_post") > cap
-            repair = j.filter(
-                (was_hot != is_hot)
-                | (
-                    is_hot
-                    & (
-                        F.col("rep_pre").isNull()
-                        | (F.col("rep_pre") != F.col("rep_post"))
+                if pre is not None:
+                    pre_stats = pre.groupBy("band", "bh").agg(
+                        F.count("*").alias("n_pre"),
+                        F.min("doc_id").alias("rep_pre"),
                     )
-                )
-            ).select("band", "bh")
+                    j = stats.join(
+                        pre_stats, ["band", "bh"], "full_outer"
+                    ).fillna({"n_post": 0, "n_pre": 0})
+                else:
+                    j = stats.withColumn("n_pre", F.lit(0)).withColumn(
+                        "rep_pre", F.lit(None).cast("long")
+                    )
+                was_hot, is_hot = F.col("n_pre") > cap, F.col("n_post") > cap
+                repair = j.filter(
+                    (was_hot != is_hot)
+                    | (
+                        is_hot
+                        & (
+                            F.col("rep_pre").isNull()
+                            | (F.col("rep_pre") != F.col("rep_post"))
+                        )
+                    )
+                ).select("band", "bh")
             revived_ids = (
                 idx_full.join(F.broadcast(repair), ["band", "bh"], "left_semi")
                 .select("doc_id")
@@ -349,7 +392,13 @@ class NearDupIndexer:
                 .distinct()
             )
         d = delta_sigs.alias("d")
-        if bcast_delta:
+        if bcast_delta and self.max_bucket_rows is None:
+            # only FORCE the broadcast when no repair can widen the
+            # delta: a lifecycle-repair epoch unions the revived hot
+            # bucket's band rows into d (O(bucket x bands)), and a
+            # forced broadcast of a degenerate million-doc bucket is
+            # exactly the OOM the cap exists to avoid. With the cap on,
+            # AQE still broadcasts small deltas by measured size.
             d = F.broadcast(d)
         cand = (
             d.join(

@@ -135,11 +135,24 @@ class MaterializedAggregate:
         if LakeTable.exists(self.view_path):
             self.view = LakeTable.load(spark, self.view_path)
             have = {f.name for f in self.view.schema.fields}
-            missing = [
-                n
-                for n in (*self._all_measure_names(), *self._res_names())
-                if n not in have
-            ]
+            # reservoir columns are MAINTENANCE state, not measures: a
+            # pre-reservoir view (or one created with a smaller extrema
+            # set... no — _res_ mirrors mins/maxs 1:1) upgrades in
+            # place with a metadata-only ADD_COLUMN; its rows then hold
+            # NULL reservoirs, which the fold classifies as
+            # needs-recompute and refills lazily per touched group
+            probe = self._with_res(base.read().limit(0))
+            probe_types = {f.name: f.dataType for f in probe.schema.fields}
+            for rn in self._res_names():
+                if rn not in have:
+                    self.view.apply_ddl(
+                        {
+                            "op": "ADD_COLUMN",
+                            "column": rn,
+                            "new_type": probe_types[rn].simpleString(),
+                        }
+                    )
+            missing = [n for n in self._all_measure_names() if n not in have]
             if missing:
                 # adding measures to a LIVE view cannot be an implicit
                 # schema patch: their history is unknown (the fold is
@@ -156,11 +169,10 @@ class MaterializedAggregate:
         else:
             # infer the view schema analysis-only (no job): the exact
             # types Spark's own sum() would give a batch recompute
-            probe = self._with_res(base.read().limit(0))
             self.view = LakeTable.create(
                 spark,
                 self.view_path,
-                probe.schema,
+                self._with_res(base.read().limit(0)).schema,
                 key_cols=self.group_cols,
                 num_buckets=num_buckets,
             )
@@ -244,53 +256,67 @@ class MaterializedAggregate:
     def _with_res(self, state: DataFrame) -> DataFrame:
         """``_absolute`` plus the per-group top-K reservoirs — the
         refill path (view creation probe, rebootstrap, group
-        recompute). Each reservoir is built with a window top-K
-        (bounded memory — never a per-group collect of the whole
-        group): the K best non-null values sorted best-first, and a
-        completeness bit set when the group holds at most K non-null
-        values (a complete reservoir IS the group: no retraction can
-        ever drain it into a recompute)."""
+        recompute). Reservoirs are built with a manual two-phase
+        top-K (bounded memory — never a per-group collect of the
+        whole group): phase 1 keeps the K best non-null values PER
+        INPUT PARTITION (collect_list has no native partial-combine;
+        grouping by spark_partition_id() makes one bounded, K-element
+        partial per partition), phase 2 merges the partials. Two
+        exchanges total for ALL measures — stage count independent of
+        the measure list. The completeness bit is set when the group
+        holds at most K non-null values (a complete reservoir IS the
+        group: no retraction can ever drain it into a recompute)."""
         out = self._absolute(state)
         ext = self._extrema()
         if not ext:
             return out
-        from pyspark.sql import Window
-
         K = self.reservoir_k
-        for n, (e, is_min) in ext.items():
-            proj = state.select(*self.group_cols, F.expr(e).alias("_v")).filter(
-                F.col("_v").isNotNull()
-            )
-            arr_t = f"array<{proj.schema['_v'].dataType.simpleString()}>"
-            w = Window.partitionBy(*self.group_cols).orderBy(
-                F.col("_v").asc() if is_min else F.col("_v").desc()
-            )
-            wc = Window.partitionBy(*self.group_cols)
-            topk = (
-                proj.withColumn("_rn", F.row_number().over(w))
-                .withColumn("_tot", F.count("_v").over(wc))
-                .filter(F.col("_rn") <= K)
-                .groupBy(*self.group_cols)
-                .agg(
-                    F.struct(
-                        F.sort_array(F.collect_list("_v"), asc=is_min).alias("v"),
-                        (F.max("_tot") <= K).alias("c"),
-                    ).alias(f"_res_{n}")
-                )
-            )
-            out = out.join(topk, self.group_cols, "left").withColumn(
-                f"_res_{n}",
-                F.coalesce(
-                    F.col(f"_res_{n}"),
-                    # all-NULL group: empty AND complete (there is no
-                    # non-null value to know about)
-                    F.struct(
-                        F.expr(f"cast(array() as {arr_t})").alias("v"),
-                        F.lit(True).alias("c"),
+        proj = state.select(
+            *self.group_cols,
+            F.spark_partition_id().alias("_pid"),
+            *[F.expr(e).alias(f"_v_{n}") for n, (e, _) in ext.items()],
+        )
+        arr_t = {
+            n: f"array<{proj.schema[f'_v_{n}'].dataType.simpleString()}>"
+            for n in ext
+        }
+        partial = proj.groupBy(*self.group_cols, "_pid").agg(
+            *[
+                F.slice(
+                    F.sort_array(F.collect_list(f"_v_{n}"), asc=is_min), 1, K
+                ).alias(f"_pa_{n}")
+                for n, (_, is_min) in ext.items()
+            ],
+            *[F.count(f"_v_{n}").alias(f"_pc_{n}") for n in ext],
+        )
+        res = partial.groupBy(*self.group_cols).agg(
+            *[
+                F.slice(
+                    F.sort_array(
+                        F.flatten(F.collect_list(f"_pa_{n}")), asc=is_min
                     ),
+                    1,
+                    K,
+                ).alias(f"_rv_{n}")
+                for n, (_, is_min) in ext.items()
+            ],
+            *[F.sum(f"_pc_{n}").alias(f"_rc_{n}") for n in ext],
+        )
+        out = out.join(res, self.group_cols, "left")
+        for n in ext:
+            out = out.withColumn(
+                f"_res_{n}",
+                F.struct(
+                    F.coalesce(
+                        F.col(f"_rv_{n}"),
+                        # all-NULL group: empty AND complete (there is
+                        # no non-null value to know about)
+                        F.expr(f"cast(array() as {arr_t[n]})"),
+                    ).alias("v"),
+                    (F.coalesce(F.col(f"_rc_{n}"), F.lit(0)) <= K).alias("c"),
                 ),
             )
-        return out
+        return out.drop(*[f"_rv_{n}" for n in ext], *[f"_rc_{n}" for n in ext])
 
     def _cursor(self) -> int | None:
         """Last base-snapshot folded into the view — derived from the
@@ -507,9 +533,13 @@ class MaterializedAggregate:
                 .when(F.size(v) == 0, mk(v, c, F.lit(True)))
                 .when(
                     c | within(v, r),
-                    F.when(pos > 0, mk(removed, c, F.lit(False)))
-                    .when(~c & (r == last(v)), acc)  # boundary dup beyond
-                    .otherwise(mk(v, c, F.lit(True))),
+                    # within the bound and absent ⇒ the prefix is
+                    # exhausted there (or inconsistent) — recompute.
+                    # (A duplicate of the boundary value is always
+                    # present, so it removes via pos > 0.)
+                    F.when(pos > 0, mk(removed, c, F.lit(False))).otherwise(
+                        mk(v, c, F.lit(True))
+                    ),
                 )
                 .otherwise(acc)
             )
@@ -627,13 +657,22 @@ class MaterializedAggregate:
                     ],
                     F.lit("UPSERT").alias("op"),
                 )
+                # the merge below runs TWO actions over its input
+                # (bucket probe + write); cache the O(recomputed
+                # groups) result so the base-state scan behind it runs
+                # once, not per action
+                recomp = recomp.persist()
                 rows = fold.unionByName(recomp)
-        self.view.merge(
-            rows.withColumn("seq", F.lit(to_id).cast("long")),
-            writer_id="matview",
-            batch_id=f"{frm}->{to_id}",
-            mode="auto",
-        )
+        try:
+            self.view.merge(
+                rows.withColumn("seq", F.lit(to_id).cast("long")),
+                writer_id="matview",
+                batch_id=f"{frm}->{to_id}",
+                mode="auto",
+            )
+        finally:
+            if rows is not fold:
+                recomp.unpersist()
         return to_id
 
 

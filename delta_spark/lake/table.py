@@ -1845,7 +1845,14 @@ class LakeTable:
         )
         snap_tag = f"delta-{uuid.uuid4().hex[:12]}"
         if fanout:
-            files_new = self._write_data(batch_sys, snap_tag, kind="delta")
+            # read_footers=True: per-file row counts are part of the
+            # manifest contract every other producer honors (service
+            # delta-row gauges, interop consumers) — same threaded
+            # local footer pass the spanning writer does; on a real
+            # cluster these come from task commit messages
+            files_new = self._write_data(
+                batch_sys, snap_tag, kind="delta", read_footers=True
+            )
         else:
             files_new = self._write_data_spanning(batch_sys, snap_tag)
         if precommit is not None and not precommit():
@@ -1869,13 +1876,16 @@ class LakeTable:
             # time (rows exact, max_seq from row-group stats; the
             # delete count is unobservable here → reported as 0 with
             # a degraded marker, never affects correctness). Fanout
-            # entries skip footers on the hot path — open them ONLY on
-            # this rare Observation-timeout fallback.
-            if any(f["rows"] is None for f in files_new):
+            # entries carry rows but not max_seq — open their footers
+            # ONLY on this rare Observation-timeout fallback.
+            if any(
+                f["rows"] is None or f.get("max_seq") is None
+                for f in files_new
+            ):
                 import pyarrow.parquet as pq
 
                 for f in files_new:
-                    if f["rows"] is not None:
+                    if f["rows"] is not None and f.get("max_seq") is not None:
                         continue
                     md = pq.ParquetFile(
                         os.path.join(self.path, f["path"])

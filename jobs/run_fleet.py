@@ -90,6 +90,13 @@ def main() -> None:
                     "uniqueness, non-null keys) and fast-forward the "
                     "whole fleet when every table is clean; any dirty "
                     "table exits 3 with mains untouched")
+    ap.add_argument("--skip-self-audit", action="store_true",
+                    help="with --branch and WITHOUT "
+                    "--publish-on-clean-audit: skip the per-instance "
+                    "observability audit of the routed tables (a "
+                    "separate publisher instance will audit the whole "
+                    "fleet before fast-forwarding — staging instances "
+                    "then exit as soon as their epochs land)")
     args = ap.parse_args()
 
     from delta_spark.lake.commit import ObjectStoreCommit, protocol_for
@@ -199,7 +206,7 @@ def main() -> None:
         },
     }))
 
-    if args.branch:
+    if args.branch and not (args.skip_self_audit and not args.publish_on_clean_audit):
         cat = p.catalog.refresh()
         audits = {}
         # the publish gate must cover everything fast_forward_all will

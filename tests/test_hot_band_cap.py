@@ -197,3 +197,33 @@ def test_incremental_hot_bucket_fold_equals_batch(spark, tmp_path):
     assert live == {
         (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
     }
+
+
+def test_incremental_repair_survives_crash_replay(spark, tmp_path):
+    """The documented crash window — index merge committed, feed epoch
+    and cursor not yet written — must not lose the lifecycle repair on
+    replay: the pre state is resolved from the merge's own exactly-once
+    marker (parent snapshot), not from the live head (which already
+    contains the merge and would diff to 'nothing changed')."""
+    import os
+    import shutil
+
+    tbl, ix = _mk_world(spark, tmp_path)
+    _commit(tbl, spark, [(i, TXT) for i in range(30)], "INSERT", 1, "b1")
+    ix.advance()
+    cur1 = ix._cursor()
+
+    # epoch 2: delete the star CENTER, advance fully...
+    _commit(tbl, spark, [(0, None)], "DELETE", 2, "b2")
+    ix.advance()
+    to_id = ix._cursor()
+    # ...then rewind to the crash window: feed epoch + cursor rolled
+    # back, the index merge (already committed) stays
+    shutil.rmtree(os.path.join(ix.feed_path, f"epoch-{to_id}"))
+    ix._commit_cursor(cur1)
+
+    # replay: must re-emit the repair (star re-centered on doc 1)
+    ix.advance()
+    live = _pairs_set(ix.live_pairs())
+    assert live == _pairs_set(_batch(LakeTable.load(spark, tbl.path)))
+    assert live == {(1, i) for i in range(2, 30)}

@@ -647,3 +647,31 @@ def test_reservoir_update_churn_stays_exact(spark, tmp_path):
         )
         mv.advance()
         _check_ext(mv, t)
+
+
+def test_legacy_view_without_reservoirs_upgrades_in_place(spark, tmp_path):
+    """A pre-reservoir extrema view (no _res_ columns) must not brick
+    on reopen: the maintenance columns are schema-patched in place
+    (metadata-only ADD_COLUMN), legacy rows read as NULL reservoirs,
+    and the first epoch touching such a group refills it through the
+    recompute path — landing on the batch answer."""
+    t = _mk(spark, str(tmp_path / "t"), n=10)
+    mv = _mv_ext(spark, t, str(tmp_path / "mv"))
+    mv.advance()
+    # simulate the legacy layout: drop the maintenance columns
+    for n in ("min_chars", "max_chars"):
+        mv.view.apply_ddl({"op": "DROP_COLUMN", "column": f"_res_{n}"})
+    # reopen: patches the schema back instead of refusing
+    mv2 = _mv_ext(spark, t, str(tmp_path / "mv"))
+    assert {f"_res_min_chars", f"_res_max_chars"} <= {
+        f.name for f in mv2.view.schema.fields
+    }
+    # an extremal retraction on the NULL-reservoir rows → lazy refill
+    t.merge(
+        spark.createDataFrame(
+            [("c9", 0, None, None, None, None, "DELETE", 990)], DDL
+        ),
+        "w", "b-legacy",
+    )
+    mv2.advance()
+    _check_ext(mv2, t)
