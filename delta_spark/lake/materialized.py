@@ -135,12 +135,11 @@ class MaterializedAggregate:
         if LakeTable.exists(self.view_path):
             self.view = LakeTable.load(spark, self.view_path)
             have = {f.name for f in self.view.schema.fields}
-            # reservoir columns are MAINTENANCE state, not measures: a
-            # pre-reservoir view (or one created with a smaller extrema
-            # set... no — _res_ mirrors mins/maxs 1:1) upgrades in
-            # place with a metadata-only ADD_COLUMN; its rows then hold
-            # NULL reservoirs, which the fold classifies as
-            # needs-recompute and refills lazily per touched group
+            # reservoir columns are MAINTENANCE state, not measures
+            # (they mirror mins/maxs 1:1): a pre-reservoir view
+            # upgrades in place with a metadata-only ADD_COLUMN; its
+            # rows then hold NULL reservoirs, which the fold classifies
+            # as needs-recompute and refills lazily per touched group
             probe = self._with_res(base.read().limit(0))
             probe_types = {f.name: f.dataType for f in probe.schema.fields}
             for rn in self._res_names():

@@ -1108,6 +1108,10 @@ ALL_ORACLES: dict[str, str] = {
 # feed shares table_changes_feed's oracle verbatim
 ALL_ORACLES["datasource_changes"] = ALL_ORACLES["table_changes_feed"]
 
+# one definition, two physical delta shapes: the fanout-MoR streaming
+# replay shares the spanning replay's oracle verbatim
+ALL_ORACLES["cdc_replay_fanout_lww"] = ALL_ORACLES["cdc_replay_stream_lww"]
+
 ALL_ORACLES["incremental_curation"] = f"""
     WITH src AS (
       SELECT doc_id AS id,

@@ -1676,11 +1676,31 @@ def cdc_replay_stream_lww(spark, sf_dir):
         max_files_per_trigger=2,          # several micro-batches
         sort_key_col=("ts", "ingest_ts"),  # composite SortKey tiebreak
         compact_pressure=4,
+        mor_fanout=_fanout_mode,
     )
     Pipeline(spark, cfg).run_stream_to_completion()
     return LakeTable.load(spark, cfg.table_path).read().select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
     )
+
+
+_fanout_mode = False
+
+
+def cdc_replay_fanout_lww(spark, sf_dir):
+    """The streaming replay of ``cdc_replay_stream_lww`` with the
+    FANOUT MoR write shape (per-bucket delta files — Iceberg's fanout
+    writer — instead of spanning ones): one definition, two physical
+    layouts, one oracle. Hash-equality against the same DuckDB LWW
+    proves the delta shape is semantically invisible end-to-end
+    (streaming epochs, bucket-pruned fold, compaction absorbing
+    per-bucket deltas mid-stream, composite sortKey ties)."""
+    global _fanout_mode
+    _fanout_mode = True
+    try:
+        return cdc_replay_stream_lww(spark, sf_dir)
+    finally:
+        _fanout_mode = False
 
 
 _FIXTURE_CACHE: dict = {}
@@ -2174,6 +2194,7 @@ ALL_QUERIES = {
     "rollback_replay_lww": rollback_replay_lww,
     "wap_publish": wap_publish,
     "cdc_replay_stream_lww": cdc_replay_stream_lww,
+    "cdc_replay_fanout_lww": cdc_replay_fanout_lww,
     "table_changes_feed": table_changes_feed,
     "datasource_scan": datasource_scan,
     "datasource_changes": datasource_changes,
