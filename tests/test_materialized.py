@@ -675,3 +675,119 @@ def test_legacy_view_without_reservoirs_upgrades_in_place(spark, tmp_path):
     )
     mv2.advance()
     _check_ext(mv2, t)
+
+
+def test_reservoir_fold_soundness_randomized(spark):
+    """The reservoir fold's SOUNDNESS property against a brute-force
+    model, 300 seeded random epochs in one evaluation: starting from a
+    refilled reservoir state over multiset S0, after folding random
+    retracts (a sub-multiset of S0) and inserts, either the fold flags
+    a recompute (bad / drained — always safe) or its array is EXACTLY
+    the j-best prefix of the true final multiset: the scalar head is
+    the true extremum, and a complete reservoir is the whole multiset.
+    Both polarities (min and max)."""
+    import random
+
+    from pyspark.sql import types as TT
+
+    from delta_spark.lake.materialized import MaterializedAggregate
+
+    K = 4
+    rng = random.Random(20260820)
+    cases = []
+    for i in range(300):
+        is_min = i % 2 == 0
+        s0 = sorted(rng.randint(0, 5) for _ in range(rng.randint(0, 10)))
+        retr = sorted(rng.sample(s0, rng.randint(0, len(s0))))
+        ins = sorted(rng.randint(0, 5) for _ in range(rng.randint(0, 6)))
+        # refilled reservoir over s0: the K best, complete iff all fit
+        key = (lambda x: x) if is_min else (lambda x: -x)
+        s0_sorted = sorted(s0, key=key)
+        res_v = s0_sorted[:K]
+        res_c = len(s0) <= K
+        fin = list(s0)
+        for r in retr:
+            fin.remove(r)
+        fin += ins
+        cases.append(
+            {
+                "case_id": i,
+                "is_min": is_min,
+                "_o_n": len(s0) if s0 else None,  # empty s0 → new group
+                "_o_res": {"v": res_v, "c": res_c} if s0 else None,
+                "_ia": sorted(ins, key=key)[:K],
+                "_ic": len(ins),
+                "_ra": sorted(retr, key=key)[: K + 1],
+                "final": sorted(fin, key=key),
+            }
+        )
+
+    schema = TT.StructType(
+        [
+            TT.StructField("case_id", TT.IntegerType()),
+            TT.StructField("is_min", TT.BooleanType()),
+            TT.StructField("_o_n", TT.LongType(), True),
+            TT.StructField(
+                "_o_res",
+                TT.StructType(
+                    [
+                        TT.StructField("v", TT.ArrayType(TT.LongType())),
+                        TT.StructField("c", TT.BooleanType()),
+                    ]
+                ),
+                True,
+            ),
+            TT.StructField("_ia", TT.ArrayType(TT.LongType())),
+            TT.StructField("_ic", TT.LongType()),
+            TT.StructField("_ra", TT.ArrayType(TT.LongType())),
+        ]
+    )
+    rows = [
+        (
+            c["case_id"], c["is_min"], c["_o_n"], c["_o_res"],
+            c["_ia"], c["_ic"], c["_ra"],
+        )
+        for c in cases
+    ]
+    df = spark.createDataFrame(rows, schema)
+
+    class _Stub:
+        reservoir_k = K
+
+    out = {}
+    for is_min in (True, False):
+        part = df.filter(F.col("is_min") == is_min).select(
+            "case_id",
+            *[F.col(n).alias(f"{n}_x") for n in ("_ia", "_ic", "_ra")],
+            "_o_n",
+            "_o_res",
+        )
+        # the fold reads unsuffixed measure-named columns
+        part = part.select(
+            "case_id", "_o_n",
+            F.col("_o_res").alias("_o_res_m"),
+            F.col("_ia_x").alias("_ia_m"),
+            F.col("_ic_x").alias("_ic_m"),
+            F.col("_ra_x").alias("_ra_m"),
+        )
+        fin = MaterializedAggregate._reservoir_fold(_Stub(), "m", is_min)
+        for r in part.withColumn("_fin", fin).collect():
+            out[r["case_id"]] = r["_fin"]
+
+    for c in cases:
+        fin = out[c["case_id"]]
+        v, comp, bad = list(fin["v"] or []), fin["c"], fin["bad"]
+        final = c["final"]
+        drained = len(v) == 0 and not comp
+        if bad or drained:
+            continue  # recompute path — always safe
+        # prefix property: v is exactly the j best of the final multiset
+        assert v == final[: len(v)], (c, v, final)
+        if comp:
+            # complete ⇒ the reservoir IS the whole live multiset
+            assert v == final and len(final) <= K, (c, v, final)
+        if v:
+            assert v[0] == final[0], (c, v, final)  # true extremum
+        else:
+            # empty and not drained ⇒ complete with no live values
+            assert comp and final == [], (c, v, final)
