@@ -47,6 +47,12 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=0)
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--max-bytes-per-trigger", default=None, help='e.g. "128m"')
+    ap.add_argument("--mor-fanout", action="store_true",
+                    help="streaming MoR deltas as per-bucket files "
+                    "(Iceberg fanout writer: full encode parallelism, "
+                    "bucket-pruned delta reads, per-bucket compaction "
+                    "pressure — the sustained-throughput shape); "
+                    "default = spanning files (cheapest trickle)")
     ap.add_argument("--blacklist", default="", help="comma-separated ops to drop")
     ap.add_argument("--sort-key-col", default=None,
                     help="UN_ORDERED-source tiebreak column (e.g. ingest_ts)")
@@ -169,6 +175,7 @@ def main() -> None:
         op_blacklist=tuple(x for x in args.blacklist.split(",") if x),
         max_files_per_trigger=args.max_files_per_trigger,
         max_bytes_per_trigger=args.max_bytes_per_trigger,
+        mor_fanout=args.mor_fanout,
         sort_key_col=args.sort_key_col,
         column_whitelist=tuple(x for x in args.columns.split(",") if x) or None,
         branch=args.branch,
