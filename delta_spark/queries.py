@@ -1773,6 +1773,14 @@ def _two_gen_table(spark, sf_dir) -> tuple[str, int, float]:
 def _register_format(spark):
     from .lake.datasource import register
 
+    # the deltaspark reader defines pushFilters(), and Spark refuses to
+    # plan such a reader unless this conf is on. The builder's own
+    # build_session sets it, but the driver harness passes a VANILLA
+    # session to queries() — the conf is runtime-settable, so set it
+    # here too (idempotent) instead of failing loudly on a stock
+    # session. The loud-failure default stays in lake/datasource.py:
+    # it is right for end users who opted out deliberately.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     if not getattr(spark, "_deltaspark_registered", False):
         register(spark)
         spark._deltaspark_registered = True
