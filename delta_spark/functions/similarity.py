@@ -302,23 +302,39 @@ def lsh_topk(
     Measured on the synthetic sf0.01 embeddings (random — the
     adversarial case for LSH): recall@10 = 0.8 scanning ~42% vs
     single-table Hamming-1 probing's 0.1 at ~11%
-    (tests/test_ann_recall.py pins the floor)."""
+    (tests/test_ann_recall.py pins the floor).
+
+    Plan shape: the candidate test is L·m interpreted higher-order
+    dot products per row — by far the heaviest part of the probe — and
+    it lives in a FILTER, which the optimizer will happily push below
+    any upstream exchange back onto the raw scan (where a single-file
+    input means a single task does all of it). The projected source is
+    therefore lineage-barriered (``localCheckpoint``) so the predicate
+    provably executes on the distributed partitions, and the whole
+    condition is assembled as ONE SQL string — one parse instead of
+    thousands of per-literal driver round trips (the expression-build
+    cost itself was ~2 s measured at 8 tables x 4 planes x 64 dims).
+    The arithmetic is byte-identical to the Column form: same
+    zip_with/aggregate fold, same cast order, same plane constants."""
     dim = len(query_vec)
-    cond = None
+    src = df.select(id_col, vec_col).localCheckpoint(eager=False)
+    conds = []
     for t in range(n_tables):
-        sig = F.lit(0)
-        qsig = 0
+        bits = []
         for i in range(n_planes):
             plane = _pseudo_plane(dim, t * 100 + i, seed)
-            pl = F.array(*[F.lit(x) for x in plane])
-            sig = sig + F.when(
-                dot(F.col(vec_col), pl) >= 0, F.lit(1 << i)
-            ).otherwise(F.lit(0))
-            if sum(float(a) * b for a, b in zip(query_vec, plane)) >= 0:
-                qsig |= 1 << i
-        match = sig == F.lit(qsig)
-        cond = match if cond is None else (cond | match)
-    cand = df.filter(cond)
+            qbit = sum(float(a) * b for a, b in zip(query_vec, plane)) >= 0
+            arr = ", ".join(repr(float(x)) for x in plane)
+            dot_sql = (
+                f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            bits.append(
+                f"(({dot_sql}) >= 0) = {'true' if qbit else 'false'}"
+            )
+        conds.append("(" + " AND ".join(bits) + ")")
+    cand = src.filter(F.expr(" OR ".join(conds)))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(

@@ -446,48 +446,59 @@ class MaterializedAggregate:
             )
             keep.append(F.size(f"_ia_{n}") > 0)
             keep.append(F.size(f"_ra_{n}") > 0)
+        # the delta frame is consumed by SEVERAL actions — the bucket
+        # probe below, then the merge's own distinct-buckets probe and
+        # write (and, for extrema, the threat count / recompute-group
+        # list). Uncached, every one of those re-runs the change-feed
+        # DIFF JOIN (two MoR-folded bucket reads + a full-outer join —
+        # the expensive part of an advance) from scratch; caching the
+        # O(touched groups) aggregate makes the feed scan run ONCE per
+        # advance. Unpersist is guarded — a failing action must not
+        # leak cached partitions into a long-running sink driver.
         delta = (
             ch.select(*sel)
             .groupBy(*self.group_cols)
             .agg(*aggs)
             .filter(F.greatest(*keep, F.lit(False)))
-        )
-
-        # fold into current view values: read ONLY the view buckets the
-        # delta touches (the same control-plane distinct-buckets probe
-        # merge itself uses) — the per-advance cost is O(touched
-        # groups + their buckets), independent of total group count
-        bks = sorted(
-            int(r[0])
-            for r in delta.withColumn("_bucket", self.view.bucket_expr())
-            .select("_bucket")
-            .distinct()
-            .collect()
-        )
-        old = self.view.read(buckets=bks).select(
-            *self.group_cols,
-            F.col("n_rows").alias("_o_n"),
-            *[F.col(n).alias(f"_o_{n}") for n in (*self.sums, *ext)],
-            *[F.col(f"_res_{n}").alias(f"_o_res_{n}") for n in ext],
-        )
-        # no broadcast hint: the pruned view side is USUALLY tiny (AQE
-        # promotes it to a broadcast join at runtime), but a delta
-        # touching every bucket of a wide view must be allowed to
-        # shuffle instead of OOMing the driver on a forced broadcast
-        j = delta.join(old, self.group_cols, "left")
-        if ext:
-            # the extrema path consults j THREE times (threat count,
-            # fold, recompute-group list) — cache the O(touched
-            # groups) join result instead of re-running the feed
-            # aggregation per consumer; everything downstream runs
-            # under the unpersist guard (a failing count() must not
-            # leak cached partitions into a long-running sink driver)
-            j = j.persist()
+        ).persist()
         try:
-            return self._advance_fold(j, ext, vschema, frm, to_id)
-        finally:
+            # fold into current view values: read ONLY the view buckets
+            # the delta touches (the same control-plane distinct-buckets
+            # probe merge itself uses) — the per-advance cost is
+            # O(touched groups + their buckets), independent of total
+            # group count
+            bks = sorted(
+                int(r[0])
+                for r in delta.withColumn("_bucket", self.view.bucket_expr())
+                .select("_bucket")
+                .distinct()
+                .collect()
+            )
+            old = self.view.read(buckets=bks).select(
+                *self.group_cols,
+                F.col("n_rows").alias("_o_n"),
+                *[F.col(n).alias(f"_o_{n}") for n in (*self.sums, *ext)],
+                *[F.col(f"_res_{n}").alias(f"_o_res_{n}") for n in ext],
+            )
+            # no broadcast hint: the pruned view side is USUALLY tiny
+            # (AQE promotes it to a broadcast join at runtime), but a
+            # delta touching every bucket of a wide view must be
+            # allowed to shuffle instead of OOMing the driver on a
+            # forced broadcast
+            j = delta.join(old, self.group_cols, "left")
             if ext:
-                j.unpersist()
+                # the extrema path consults j THREE times (threat
+                # count, fold, recompute-group list) — cache the join
+                # result too so the pruned view read behind it runs
+                # once, not per consumer
+                j = j.persist()
+            try:
+                return self._advance_fold(j, ext, vschema, frm, to_id)
+            finally:
+                if ext:
+                    j.unpersist()
+        finally:
+            delta.unpersist()
 
     def _reservoir_fold(self, n: str, is_min: bool):
         """Column expression folding one group's epoch delta into its
