@@ -139,11 +139,17 @@ class MaterializedAggregate:
             # (they mirror mins/maxs 1:1): a pre-reservoir view
             # upgrades in place with a metadata-only ADD_COLUMN; its
             # rows then hold NULL reservoirs, which the fold classifies
-            # as needs-recompute and refills lazily per touched group
-            probe = self._with_res(base.read().limit(0))
-            probe_types = {f.name: f.dataType for f in probe.schema.fields}
-            for rn in self._res_names():
-                if rn not in have:
+            # as needs-recompute and refills lazily per touched group.
+            # The schema probe plan is analysis-only but NOT free
+            # (~0.3-0.5 s of driver-side plan building per handle) —
+            # build it only when a reservoir column is actually missing
+            missing_res = [rn for rn in self._res_names() if rn not in have]
+            if missing_res:
+                probe = self._with_res(base.read().limit(0))
+                probe_types = {
+                    f.name: f.dataType for f in probe.schema.fields
+                }
+                for rn in missing_res:
                     self.view.apply_ddl(
                         {
                             "op": "ADD_COLUMN",
@@ -640,6 +646,7 @@ class MaterializedAggregate:
             .alias("op"),
         )
         rows = fold
+        has_recomp = False
         if ext:
             groups = j.filter(needs).select(*self.group_cols)
             n_re = groups.count()  # control-plane scalar, O(touched groups)
@@ -673,6 +680,17 @@ class MaterializedAggregate:
                 # once, not per action
                 recomp = recomp.persist()
                 rows = fold.unionByName(recomp)
+                has_recomp = True
+        # lineage-barrier the O(touched groups) merge input: the fold's
+        # reservoir expressions (nested F.aggregate lambdas) make this
+        # plan expensive to ANALYZE, and merge plans its input several
+        # times (partition probe, then the write) — measured ~1.1 s of
+        # repeated driver-side planning per extrema advance. A lazy
+        # localCheckpoint plans the fold exactly once and hands merge a
+        # short-circuit plan; content, partitioning and file counts are
+        # unchanged, and a lost block just fails the advance, which is
+        # idempotent by its (writer-id, batch-id) marker.
+        rows = rows.localCheckpoint(eager=False)
         try:
             self.view.merge(
                 rows.withColumn("seq", F.lit(to_id).cast("long")),
@@ -681,7 +699,7 @@ class MaterializedAggregate:
                 mode="auto",
             )
         finally:
-            if rows is not fold:
+            if has_recomp:
                 recomp.unpersist()
         return to_id
 

@@ -78,6 +78,30 @@ def _type_of(name: str) -> T.DataType:
         return T.StructType.fromDDL(f"x {name}")[0].dataType
 
 
+# parquet schema-inference cache for scan construction: data files are
+# IMMUTABLE (content-addressed under unique snap tags; a path is never
+# rewritten), so the inferred schema of an exact file set can be reused
+# for the lifetime of the process. Repeated reads of the same snapshot
+# (change-feed sides, matview advance re-reads, a bench's best-of-N)
+# otherwise pay ~50-80 ms of driver-side footer inference per reader
+# construction. Keyed on the EXACT path tuple — never shared across
+# different file sets — and bounded (reset, not LRU: correctness never
+# depends on a hit).
+_SCHEMA_CACHE: dict[tuple[str, ...], T.StructType] = {}
+
+
+def _read_parquet(spark: SparkSession, paths: list[str]) -> DataFrame:
+    key = tuple(paths)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is not None:
+        return spark.read.schema(sch).parquet(*paths)
+    df = spark.read.parquet(*paths)
+    if len(_SCHEMA_CACHE) >= 4096:
+        _SCHEMA_CACHE.clear()
+    _SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 # manifest column-bounds stats: shared Spark-free helpers (the DuckDB
 # interop reader plans file skips from the same functions)
 from .stats import SKETCH_TYPES  # noqa: E402
@@ -1001,7 +1025,7 @@ class LakeTable:
         parts = []
         for (sv, spanning, spec), paths in by_sv.items():
             old_fields = {f["id"]: f for f in self.metadata["schemas"][str(sv)]}
-            df = self.spark.read.parquet(*paths)
+            df = _read_parquet(self.spark, paths)
             if spanning and bset is not None and spec == cur_spec:
                 df = df.filter(F.col("_bucket").isin([int(b) for b in bset]))
             cols = []
