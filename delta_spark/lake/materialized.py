@@ -262,15 +262,21 @@ class MaterializedAggregate:
         """``_absolute`` plus the per-group top-K reservoirs — the
         refill path (view creation probe, rebootstrap, group
         recompute). Reservoirs are built with a manual two-phase
-        top-K (bounded memory — never a per-group collect of the
-        whole group): phase 1 keeps the K best non-null values PER
-        INPUT PARTITION (collect_list has no native partial-combine;
-        grouping by spark_partition_id() makes one bounded, K-element
-        partial per partition), phase 2 merges the partials. Two
-        exchanges total for ALL measures — stage count independent of
-        the measure list. The completeness bit is set when the group
-        holds at most K non-null values (a complete reservoir IS the
-        group: no retraction can ever drain it into a recompute)."""
+        top-K: phase 1 keeps the K best non-null values per (group,
+        input partition) — grouping by spark_partition_id() gives one
+        K-element partial per partition — and phase 2 merges the
+        partials. Memory caveat: collect_list has no partial-combine,
+        so phase 1 materializes a (group, partition)'s values before
+        sort_array/slice truncates them — the bound is that
+        partition's share of the group, NOT O(K); a hugely skewed
+        group concentrated in one partition still pressures its
+        executor (an F.aggregate insert-fold would be true O(K) at
+        more expression complexity — revisit if that skew shape shows
+        up). Two exchanges total for ALL measures — stage count
+        independent of the measure list. The completeness bit is set
+        when the group holds at most K non-null values (a complete
+        reservoir IS the group: no retraction can ever drain it into
+        a recompute)."""
         out = self._absolute(state)
         ext = self._extrema()
         if not ext:

@@ -1731,7 +1731,7 @@ def wap_publish(spark, sf_dir):
 # ===================================================== engine E2E (rows-only)
 
 
-def cdc_replay_stream_lww(spark, sf_dir):
+def cdc_replay_stream_lww(spark, sf_dir, mor_fanout=False):
     """STREAMING E2E with a SQL oracle: the events view mapped onto the
     input_hint transcript-changelog shape and TRIPLED into equal-seq
     revisions that only a composite sortKey tiebreak (ts, then
@@ -1784,15 +1784,12 @@ def cdc_replay_stream_lww(spark, sf_dir):
         max_files_per_trigger=2,          # several micro-batches
         sort_key_col=("ts", "ingest_ts"),  # composite SortKey tiebreak
         compact_pressure=4,
-        mor_fanout=_fanout_mode,
+        mor_fanout=mor_fanout,
     )
     Pipeline(spark, cfg).run_stream_to_completion()
     return LakeTable.load(spark, cfg.table_path).read().select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
     )
-
-
-_fanout_mode = False
 
 
 def cdc_replay_fanout_lww(spark, sf_dir):
@@ -1802,13 +1799,11 @@ def cdc_replay_fanout_lww(spark, sf_dir):
     layouts, one oracle. Hash-equality against the same DuckDB LWW
     proves the delta shape is semantically invisible end-to-end
     (streaming epochs, bucket-pruned fold, compaction absorbing
-    per-bucket deltas mid-stream, composite sortKey ties)."""
-    global _fanout_mode
-    _fanout_mode = True
-    try:
-        return cdc_replay_stream_lww(spark, sf_dir)
-    finally:
-        _fanout_mode = False
+    per-bucket deltas mid-stream, composite sortKey ties). The flag is
+    passed explicitly (no module-level mode global), so the two
+    registry entries are order-independent and safe under concurrent
+    callers."""
+    return cdc_replay_stream_lww(spark, sf_dir, mor_fanout=True)
 
 
 _FIXTURE_CACHE: dict = {}
